@@ -1,0 +1,90 @@
+"""Headline benchmark: analyze() throughput (verdicts/sec/chip).
+
+Measures the fused full-modality signal program (RoBERTa-base dual heads +
+EfficientNet-B0 + CLIP ViT-B/32 + vault kNN + fusion MLP) on text+image
+pairs — the BASELINE.md target metric. Prints ONE JSON line.
+
+`vs_baseline` compares against the reference-equivalent sequential torch-CPU
+pipeline measured on this machine by tools/measure_baseline.py (the upstream
+repo publishes no numbers, BASELINE.md; the number is cached in
+baseline_measured.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+BASELINE_FILE = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from misinfo_tpu.core.config import ForensicsConfig
+    from misinfo_tpu.engine.signals import signals_program
+    from misinfo_tpu.models.detector import DetectorConfig, detector_init
+    from misinfo_tpu.ops.common import Policy
+    import functools
+
+    cfg = ForensicsConfig(verbose=False)
+    det_cfg = DetectorConfig()
+    policy = Policy(cfg.precision)  # bf16 serving mode
+    params = detector_init(jax.random.PRNGKey(0), det_cfg)
+
+    rng = np.random.default_rng(0)
+    B, S, C = BATCH, cfg.seq.roberta_max_len, cfg.seq.clip_max_len
+    vault_rows = 2176
+    batch = {
+        "roberta_ids": jnp.asarray(rng.integers(3, 50000, (B, S)), jnp.int32),
+        "roberta_mask": jnp.ones((B, S), jnp.int32),
+        "clip_ids": jnp.asarray(rng.integers(1, 49000, (B, C)), jnp.int32),
+        "clip_mask": jnp.ones((B, C), jnp.int32),
+        "image_effnet": jnp.asarray(rng.integers(0, 255, (B, 224, 224, 3)), jnp.uint8),
+        "image_clip": jnp.asarray(rng.integers(0, 255, (B, 224, 224, 3)), jnp.uint8),
+        "vault_emb": jnp.asarray(rng.normal(size=(vault_rows, 512)).astype(np.float32)),
+        "vault_valid": jnp.ones((vault_rows,), jnp.bool_),
+        "vault_text_emb": jnp.asarray(rng.normal(size=(vault_rows, 512)).astype(np.float32)),
+    }
+
+    fn = jax.jit(functools.partial(signals_program, variant="full",
+                                   det_cfg=det_cfg, cfg=cfg, policy=policy))
+    # warmup / compile
+    out = fn(params, batch)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fn(params, batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    throughput = B * ITERS / dt
+    p50_latency_ms = (dt / ITERS) * 1000.0
+
+    vs_baseline = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            base = json.load(f)
+        ref = base.get("reference_cpu_verdicts_per_sec")
+        if ref:
+            vs_baseline = throughput / ref
+
+    print(json.dumps({
+        "metric": "analyze_throughput_full_modality",
+        "value": round(throughput, 2),
+        "unit": "verdicts/sec/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "batch": B,
+        "p50_batch_latency_ms": round(p50_latency_ms, 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,290 @@
+"""Torch `.pth` → JAX param-pytree conversion.
+
+Replicates the reference's checkpoint-loading contract (C10, reference
+misinfo_forensics.py:174-204, 260-317): prefer the monolithic
+`forensics_master_final.pth` (`full_model_state_dict` key), fall back to
+per-branch files with key-prefix stripping, and apply everything with
+`strict=False` semantics — tensors that match overlay the current params,
+everything else keeps its initialization.
+
+Converters are torch-free: they accept any mapping of key → array-like
+(numpy arrays or torch tensors; tensors are detached lazily). `load_pth`
+is the only function that imports torch.
+
+Weight layout transforms:
+  * torch Linear [out,in] → kernel [in,out] (transpose)
+  * torch Conv2d OIHW → HWIO; depthwise [C,1,k,k] → [k,k,1,C]
+  * SE 1×1 convs → dense kernels [in,out]
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, List, Mapping, Optional, Tuple
+
+import numpy as np
+
+Updates = Dict[Tuple, np.ndarray]
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def _linear(sd: Mapping, key: str, out: Updates, path: Tuple) -> None:
+    if key + ".weight" in sd:
+        out[path + ("kernel",)] = _np(sd[key + ".weight"]).T
+    if key + ".bias" in sd:
+        out[path + ("bias",)] = _np(sd[key + ".bias"])
+
+
+def _ln(sd: Mapping, key: str, out: Updates, path: Tuple) -> None:
+    if key + ".weight" in sd:
+        out[path + ("scale",)] = _np(sd[key + ".weight"])
+    if key + ".bias" in sd:
+        out[path + ("bias",)] = _np(sd[key + ".bias"])
+
+
+def _bn(sd: Mapping, key: str, out: Updates, path: Tuple) -> None:
+    for tk, jk in (("weight", "scale"), ("bias", "bias"),
+                   ("running_mean", "mean"), ("running_var", "var")):
+        if f"{key}.{tk}" in sd:
+            out[path + (jk,)] = _np(sd[f"{key}.{tk}"])
+
+
+def _conv(sd: Mapping, key: str, out: Updates, path: Tuple,
+          depthwise: bool = False) -> None:
+    if key + ".weight" in sd:
+        w = _np(sd[key + ".weight"])  # OIHW
+        out[path] = w.transpose(2, 3, 1, 0)  # → HWIO ([k,k,1,C] if depthwise)
+
+
+# ---------------------------------------------------------------- RoBERTa
+
+def convert_roberta(sd: Mapping, prefix: str = "roberta.",
+                    num_layers: int = 12) -> Updates:
+    """HF RobertaModel state dict → updates for models.roberta param tree."""
+    out: Updates = {}
+    p = prefix
+    for tk, path in (
+        ("embeddings.word_embeddings.weight", ("embeddings", "word")),
+        ("embeddings.position_embeddings.weight", ("embeddings", "position")),
+        ("embeddings.token_type_embeddings.weight", ("embeddings", "token_type")),
+    ):
+        if p + tk in sd:
+            out[path] = _np(sd[p + tk])
+    _ln(sd, p + "embeddings.LayerNorm", out, ("embeddings", "ln"))
+    for i in range(num_layers):
+        lp = f"{p}encoder.layer.{i}."
+        base = ("layers", i)
+        _linear(sd, lp + "attention.self.query", out, base + ("attn", "q"))
+        _linear(sd, lp + "attention.self.key", out, base + ("attn", "k"))
+        _linear(sd, lp + "attention.self.value", out, base + ("attn", "v"))
+        _linear(sd, lp + "attention.output.dense", out, base + ("attn", "o"))
+        _ln(sd, lp + "attention.output.LayerNorm", out, base + ("attn_ln",))
+        _linear(sd, lp + "intermediate.dense", out, base + ("mlp_in",))
+        _linear(sd, lp + "output.dense", out, base + ("mlp_out",))
+        _ln(sd, lp + "output.LayerNorm", out, base + ("mlp_ln",))
+    return out
+
+
+def convert_head(sd: Mapping, prefix: str) -> Updates:
+    """nn.Sequential([Linear,ReLU,Dropout,Linear]) → {fc1, fc2}.
+    Handles both full-model prefixes ('ai_head.0.weight') and
+    prefix-stripped forms ('0.weight', reference misinfo_forensics.py:273)."""
+    out: Updates = {}
+    _linear(sd, prefix + "0", out, ("fc1",))
+    _linear(sd, prefix + "3", out, ("fc2",))
+    return out
+
+
+def convert_fusion(sd: Mapping, prefix: str = "fusion_layer.") -> Updates:
+    """nn.Sequential([Lin,ReLU,Drop,Lin,ReLU,Lin]) → {fc1, fc2, fc3}."""
+    out: Updates = {}
+    _linear(sd, prefix + "0", out, ("fc1",))
+    _linear(sd, prefix + "3", out, ("fc2",))
+    _linear(sd, prefix + "5", out, ("fc3",))
+    return out
+
+
+# ----------------------------------------------------------- EfficientNet
+
+def convert_efficientnet(sd: Mapping, prefix: str = "efficientnet.") -> Updates:
+    """torchvision efficientnet_b0 state dict → updates for
+    models.efficientnet param tree (stage table B0_STAGES)."""
+    from misinfo_tpu.models.efficientnet import B0_STAGES
+
+    out: Updates = {}
+    p = prefix
+    _conv(sd, p + "features.0.0", out, ("stem", "conv"))
+    _bn(sd, p + "features.0.1", out, ("stem", "bn"))
+
+    bi = 0  # flat block index in our layout
+    for stage_idx, (e, k, s, cin, cout, n) in enumerate(B0_STAGES, start=1):
+        for b in range(n):
+            tb = f"{p}features.{stage_idx}.{b}.block."
+            base = ("blocks", bi)
+            if e != 1:
+                _conv(sd, tb + "0.0", out, base + ("expand", "conv"))
+                _bn(sd, tb + "0.1", out, base + ("expand", "bn"))
+                dw, se, proj = "1", "2", "3"
+            else:
+                dw, se, proj = "0", "1", "2"
+            _conv(sd, tb + dw + ".0", out, base + ("dw", "conv"), depthwise=True)
+            _bn(sd, tb + dw + ".1", out, base + ("dw", "bn"))
+            for fc in ("fc1", "fc2"):
+                wkey = f"{tb}{se}.{fc}.weight"
+                if wkey in sd:
+                    w = _np(sd[wkey])  # [out,in,1,1]
+                    out[base + ("se", fc, "kernel")] = w[:, :, 0, 0].T
+                bkey = f"{tb}{se}.{fc}.bias"
+                if bkey in sd:
+                    out[base + ("se", fc, "bias")] = _np(sd[bkey])
+            _conv(sd, tb + proj + ".0", out, base + ("project", "conv"))
+            _bn(sd, tb + proj + ".1", out, base + ("project", "bn"))
+            bi += 1
+
+    _conv(sd, p + "features.8.0", out, ("head", "conv"))
+    _bn(sd, p + "features.8.1", out, ("head", "bn"))
+    _linear(sd, p + "classifier.1", out, ("classifier",))
+    return out
+
+
+# ------------------------------------------------------------------ CLIP
+
+def convert_clip(sd: Mapping, prefix: str = "",
+                 text_layers: int = 12, vision_layers: int = 12) -> Updates:
+    """HF CLIPModel state dict → updates for models.clip param tree."""
+    out: Updates = {}
+    p = prefix
+
+    def blocks(tower_prefix: str, tree_name: str, n: int):
+        for i in range(n):
+            lp = f"{p}{tower_prefix}.encoder.layers.{i}."
+            base = (tree_name, "blocks", i)
+            _ln(sd, lp + "layer_norm1", out, base + ("ln1",))
+            _linear(sd, lp + "self_attn.q_proj", out, base + ("attn", "q"))
+            _linear(sd, lp + "self_attn.k_proj", out, base + ("attn", "k"))
+            _linear(sd, lp + "self_attn.v_proj", out, base + ("attn", "v"))
+            _linear(sd, lp + "self_attn.out_proj", out, base + ("attn", "o"))
+            _ln(sd, lp + "layer_norm2", out, base + ("ln2",))
+            _linear(sd, lp + "mlp.fc1", out, base + ("mlp_in",))
+            _linear(sd, lp + "mlp.fc2", out, base + ("mlp_out",))
+
+    for tk, path in (
+        ("text_model.embeddings.token_embedding.weight", ("text", "token_embedding")),
+        ("text_model.embeddings.position_embedding.weight", ("text", "position_embedding")),
+        ("vision_model.embeddings.class_embedding", ("vision", "class_embedding")),
+        ("vision_model.embeddings.position_embedding.weight", ("vision", "position_embedding")),
+        ("logit_scale", ("logit_scale",)),
+    ):
+        if p + tk in sd:
+            out[path] = _np(sd[p + tk])
+    if p + "vision_model.embeddings.patch_embedding.weight" in sd:
+        w = _np(sd[p + "vision_model.embeddings.patch_embedding.weight"])
+        out[("vision", "patch_embedding")] = w.transpose(2, 3, 1, 0)
+    blocks("text_model", "text", text_layers)
+    blocks("vision_model", "vision", vision_layers)
+    _ln(sd, p + "text_model.final_layer_norm", out, ("text", "final_ln"))
+    # NB: "pre_layrnorm" is HF's actual (misspelled) parameter name
+    _ln(sd, p + "vision_model.pre_layrnorm", out, ("vision", "pre_ln"))
+    _ln(sd, p + "vision_model.post_layernorm", out, ("vision", "post_ln"))
+    for tk, path in (("text_projection.weight", ("text_projection", "kernel")),
+                     ("visual_projection.weight", ("visual_projection", "kernel"))):
+        if p + tk in sd:
+            out[path] = _np(sd[p + tk]).T
+    return out
+
+
+# ------------------------------------------------------------- overlay
+
+def apply_updates(params, updates: Updates, strict: bool = False):
+    """Overlay converted tensors onto a param tree (strict=False semantics:
+    unknown paths are skipped, shape mismatches are skipped with a note —
+    mirroring torch load_state_dict(strict=False) as the reference uses it
+    everywhere, misinfo_forensics.py:182,274,282,293)."""
+    import jax.numpy as jnp
+
+    applied, skipped = 0, []
+    for path, value in updates.items():
+        node = params
+        try:
+            for k in path[:-1]:
+                node = node[k]
+            cur = node[path[-1]]
+        except (KeyError, IndexError, TypeError):
+            if strict:
+                raise KeyError(f"no param at {path}")
+            skipped.append((path, "missing"))
+            continue
+        if tuple(cur.shape) != tuple(value.shape):
+            if strict:
+                raise ValueError(f"shape mismatch at {path}: "
+                                 f"{cur.shape} vs {value.shape}")
+            skipped.append((path, f"shape {cur.shape} vs {value.shape}"))
+            continue
+        node[path[-1]] = jnp.asarray(value, dtype=cur.dtype)
+        applied += 1
+    return applied, skipped
+
+
+def load_pth(path: str) -> Dict[str, Any]:
+    """torch.load with the reference's settings (weights_only=False,
+    reference misinfo_forensics.py:178)."""
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_detector_from_reference_ckpts(params: Dict, paths) -> Dict[str, Any]:
+    """Reference loading cascade (C10): monolithic full model first, then
+    per-branch fallbacks. Returns a report of what loaded."""
+    import os
+
+    report: Dict[str, Any] = {"mode": None, "applied": 0, "skipped": []}
+
+    def _overlay_full(sd):
+        n = 0
+        for conv, sub in (
+            (lambda s: convert_roberta(s, "roberta."), "roberta"),
+            (lambda s: convert_head(s, "ai_head."), "ai_head"),
+            (lambda s: convert_head(s, "misinfo_head."), "misinfo_head"),
+            (lambda s: convert_efficientnet(s, "efficientnet."), "efficientnet"),
+            (lambda s: convert_fusion(s, "fusion_layer."), "fusion"),
+        ):
+            a, sk = apply_updates(params[sub], conv(sd))
+            n += a
+            report["skipped"].extend(sk)
+        return n
+
+    if os.path.exists(paths.fusion_weights):
+        ckpt = load_pth(paths.fusion_weights)
+        if isinstance(ckpt, dict) and "full_model_state_dict" in ckpt:
+            report["mode"] = "monolithic"
+            report["applied"] = _overlay_full(ckpt["full_model_state_dict"])
+            report["epoch"] = ckpt.get("epoch")
+            report["accuracy"] = ckpt.get("accuracy")
+            return report
+
+    report["mode"] = "individual"
+    for attr, conv, sub in (
+        ("ai_head_weights", lambda s: convert_head(s, "ai_head."), "ai_head"),
+        ("misinfo_head_weights", lambda s: convert_head(s, "misinfo_head."), "misinfo_head"),
+        ("efficientnet_weights", lambda s: convert_efficientnet(s, "efficientnet."), "efficientnet"),
+    ):
+        p = getattr(paths, attr)
+        if os.path.exists(p):
+            ckpt = load_pth(p)
+            sd = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+            a, sk = apply_updates(params[sub], conv(sd))
+            report["applied"] += a
+            report["skipped"].extend(sk)
+    if os.path.exists(paths.clip_weights):
+        ckpt = load_pth(paths.clip_weights)
+        if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
+            a, sk = apply_updates(params["clip"],
+                                  convert_clip(ckpt["model_state_dict"], "clip."))
+            report["applied"] += a
+            report["skipped"].extend(sk)
+    return report

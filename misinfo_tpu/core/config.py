@@ -1,0 +1,136 @@
+"""Single dataclass config tree for the whole framework.
+
+Replaces the reference's three ad-hoc config mechanisms — hardcoded
+constants (incl. Windows absolute paths, reference misinfo_forensics.py:123),
+argparse flags, and env vars — with one typed tree plus env/CLI overrides
+(SURVEY.md §5 "Config / flag system").
+
+All behavioral constants of the reference are centralized here with their
+source citations so parity is auditable:
+  * vault image-reuse gate 0.85      (reference misinfo_forensics.py:464)
+  * fusion FAKE decision gate 0.5    (reference misinfo_forensics.py:605)
+  * CLIP match threshold 0.25        (reference clip_similarity_engine.py:18)
+  * explanation rule gates 0.7/0.3   (reference misinfo_forensics.py:747-760)
+  * video: max 12 frames, 1 s stride (reference misinfo_forensics.py:497-498)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Thresholds:
+    """Behavioral decision constants (values match the reference exactly)."""
+
+    vault_reuse: float = 0.85          # misinfo_forensics.py:464
+    fake_decision: float = 0.5         # misinfo_forensics.py:605
+    clip_match: float = 0.25           # clip_similarity_engine.py:18
+    explain_vault: float = 0.7         # misinfo_forensics.py:747
+    explain_deepfake: float = 0.7      # misinfo_forensics.py:751
+    explain_ai: float = 0.7            # misinfo_forensics.py:754
+    explain_misinfo: float = 0.7       # misinfo_forensics.py:757
+    explain_clip_low: float = 0.3      # misinfo_forensics.py:760
+    vault_prompt_gate: float = 0.5     # misinfo_forensics.py:678
+
+
+@dataclass(frozen=True)
+class VideoConfig:
+    max_frames: int = 12               # misinfo_forensics.py:497
+    stride_seconds: float = 1.0        # misinfo_forensics.py:498
+    fps_fallback: float = 25.0         # misinfo_forensics.py:513-514
+
+
+@dataclass(frozen=True)
+class ModelPaths:
+    """Checkpoint / asset locations. All relative by default (the reference
+    bakes in Windows absolute paths; we consciously fix that, SURVEY.md §5)."""
+
+    fusion_weights: str = "forensics_master_final.pth"
+    ai_head_weights: str = "ai_head_best.pth"
+    misinfo_head_weights: str = "roberta_detective_best.pth"
+    efficientnet_weights: str = "efficientnet_cifake_best.pth"
+    clip_weights: str = "clip_detective_best.pth"
+    vault_path: str = "guardian_embeddings.pkl"
+    roberta_tokenizer_dir: Optional[str] = None   # dir with vocab.json+merges.txt
+    clip_tokenizer_dir: Optional[str] = None
+    orbax_dir: Optional[str] = None               # native checkpoint format
+
+
+@dataclass(frozen=True)
+class PrecisionConfig:
+    """Dtype policy. `bfloat16` activations ride the MXU at full rate;
+    `float32` is used for parity validation (≤1e-3 divergence target)."""
+
+    compute_dtype: str = "bfloat16"    # activations / matmul inputs
+    param_dtype: str = "float32"       # master weights
+    accum_dtype: str = "float32"       # matmul accumulation (MXU native)
+    softmax_dtype: str = "float32"     # score softmaxes always f32
+
+    @staticmethod
+    def highest() -> "PrecisionConfig":
+        return PrecisionConfig(compute_dtype="float32")
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh topology. 1-D `data` axis batch-shards the serving
+    program; an optional `model` axis tensor-shards transformer weights
+    (attention heads / FFN hidden) via GSPMD PartitionSpecs."""
+
+    data: int = -1                     # -1 → all remaining devices
+    model: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+@dataclass(frozen=True)
+class SequenceConfig:
+    """Static sequence lengths — jit signatures are fixed per modality
+    combination (SURVEY.md §7 'Ragged/optional modalities under jit')."""
+
+    roberta_max_len: int = 512         # inference (misinfo_forensics.py:329)
+    roberta_train_len: int = 256       # training (train_roberta_detective.py:160)
+    clip_max_len: int = 77
+    image_size: int = 224
+    vault_top_k: int = 5               # misinfo_forensics.py:410
+
+
+@dataclass(frozen=True)
+class ServingConfig:
+    """Batched engine knobs: request queue → padded batch → pjit."""
+
+    batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
+    max_wait_ms: float = 5.0           # micro-batching window
+    donate_buffers: bool = True
+
+
+@dataclass(frozen=True)
+class ForensicsConfig:
+    paths: ModelPaths = field(default_factory=ModelPaths)
+    thresholds: Thresholds = field(default_factory=Thresholds)
+    video: VideoConfig = field(default_factory=VideoConfig)
+    precision: PrecisionConfig = field(default_factory=PrecisionConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    seq: SequenceConfig = field(default_factory=SequenceConfig)
+    serving: ServingConfig = field(default_factory=ServingConfig)
+    gemini_api_key: Optional[str] = None
+    gemini_model: str = "gemini-2.5-flash"   # misinfo_forensics.py:155
+    seed: int = 0
+    verbose: bool = True
+
+    @staticmethod
+    def from_env(**overrides) -> "ForensicsConfig":
+        """Environment overrides mirror the reference's env usage:
+        GOOGLE_API_KEY (misinfo_forensics.py:150), WHISPER_MODEL
+        (forensics_dashboard.py:48)."""
+        cfg = ForensicsConfig(**overrides)
+        key = os.getenv("GOOGLE_API_KEY")
+        if key and cfg.gemini_api_key is None:
+            cfg = dataclasses.replace(cfg, gemini_api_key=key)
+        return cfg
+
+    def replace(self, **kw) -> "ForensicsConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,60 @@
+"""Device mesh construction and sharding helpers.
+
+The reference is strictly single-device (reference misinfo_forensics.py:127;
+SURVEY.md §2.5 — no torch.distributed anywhere). Parallelism here is designed
+TPU-first: a 2-D `(data, model)` jax.sharding.Mesh; batch dimensions shard on
+`data`, transformer head/FFN dimensions optionally shard on `model`; XLA
+GSPMD inserts the ICI collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from misinfo_tpu.core.config import MeshConfig
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a (data, model) mesh over the available devices.
+
+    `data=-1` consumes all devices not claimed by `model`. Works identically
+    on real TPU slices and on the CPU virtual-device backend used by tests
+    (`--xla_force_host_platform_device_count`).
+    """
+    cfg = cfg or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    model = max(1, cfg.model)
+    if n % model != 0:
+        raise ValueError(f"{n} devices not divisible by model={model}")
+    data = cfg.data if cfg.data > 0 else n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, cfg.axis_names)
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis on `data`, replicate the rest."""
+    spec = P(mesh.axis_names[0], *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place every array in `tree` with its leading axis sharded on `data`."""
+    def _place(x):
+        return jax.device_put(x, data_sharding(mesh, x.ndim))
+    return jax.tree_util.tree_map(_place, tree)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

@@ -1,0 +1,383 @@
+"""MisinfoForensics — the serving facade (C8/L2, SURVEY.md §1-2).
+
+API-compatible with the reference orchestrator (misinfo_forensics.py:111-927):
+`analyze(text, image_path, video_path, verbose)` returns the identical report
+dict `{verdict, verdict_text, confidence, scores, vault_matches, explanation}`,
+and the per-signal methods (`analyze_text`, `analyze_image`,
+`analyze_consistency`, `search_vault`, `analyze_video`, `fusion_verdict`)
+are all present.
+
+Internally everything is batched: single `analyze()` calls run through the
+same fused XLA programs as `analyze_batch()` (batch size 1 is just the
+smallest bucket), so the dashboard, CLI, trainers and benchmarks all drive
+one engine (SURVEY.md §7 design move 2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from misinfo_tpu.core.config import ForensicsConfig
+from misinfo_tpu.engine.explain import Explainer
+from misinfo_tpu.engine.signals import SignalOutput, SignalPrograms
+from misinfo_tpu.models.clip import clip_text_features
+from misinfo_tpu.models.detector import DetectorConfig, detector_init
+from misinfo_tpu.ops.common import Policy, l2_normalize
+from misinfo_tpu.preprocess.image import batch_images, image_to_array, load_image_rgb
+from misinfo_tpu.preprocess.tokenizer import load_clip_tokenizer, load_roberta_tokenizer
+from misinfo_tpu.vault.store import TruthVault
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class MisinfoForensics:
+    """Batched TPU forensics engine."""
+
+    def __init__(
+        self,
+        config: Optional[ForensicsConfig] = None,
+        det_cfg: Optional[DetectorConfig] = None,
+        params: Optional[Dict] = None,
+        mesh=None,
+        use_pallas: bool = False,
+    ):
+        self.cfg = config or ForensicsConfig.from_env()
+        self.det_cfg = det_cfg or DetectorConfig()
+        self.policy = Policy(self.cfg.precision)
+        self.mesh = mesh
+        t0 = time.perf_counter()
+
+        # tokenizers (parity-grade BPE when assets exist, hash fallback else)
+        self.roberta_tokenizer = load_roberta_tokenizer(
+            self.cfg.paths.roberta_tokenizer_dir,
+            vocab_size=self.det_cfg.roberta.vocab_size)
+        self.clip_tokenizer = load_clip_tokenizer(
+            self.cfg.paths.clip_tokenizer_dir,
+            vocab_size=self.det_cfg.clip.vocab_size)
+
+        # detector params: init then overlay checkpoints (reference C10 cascade)
+        if params is None:
+            params = detector_init(jax.random.PRNGKey(self.cfg.seed), self.det_cfg)
+            try:
+                from misinfo_tpu.checkpoints.torch_convert import (
+                    load_detector_from_reference_ckpts)
+                self.load_report = load_detector_from_reference_ckpts(
+                    params, self.cfg.paths)
+            except Exception as e:  # torch missing / unreadable ckpts → fresh init
+                self.load_report = {"mode": "init", "error": str(e)}
+        else:
+            self.load_report = {"mode": "provided"}
+        if mesh is not None:
+            from misinfo_tpu.parallel.sharding import shard_params
+            params = shard_params(mesh, params)
+        self.params = params
+
+        # Truth Vault (soft-fail, reference misinfo_forensics.py:243-246)
+        self.vault = TruthVault.load(self.cfg.paths.vault_path)
+        self.vault_loaded = self.vault is not None
+        self._vault_device = self._prepare_vault()
+
+        self.programs = SignalPrograms(self.det_cfg, self.cfg, self.policy,
+                                       use_pallas=use_pallas)
+        self.explainer = Explainer(self.cfg.gemini_api_key,
+                                   self.cfg.gemini_model,
+                                   self.cfg.thresholds)
+        self.gemini_available = self.explainer.available
+        self._clip_text_jit = jax.jit(
+            lambda p, ids, mask: l2_normalize(clip_text_features(
+                p, ids, mask, self.det_cfg.clip, self.policy)))
+        self.init_seconds = time.perf_counter() - t0
+        if self.cfg.verbose:
+            print(f"MisinfoForensics ready in {self.init_seconds:.1f}s "
+                  f"(devices={jax.device_count()}, "
+                  f"vault={'loaded' if self.vault_loaded else 'absent'}, "
+                  f"ckpt={self.load_report.get('mode')})")
+
+    # ----------------------------------------------------------- helpers
+
+    def _prepare_vault(self):
+        if self.vault is None:
+            # 128-row dummy so program shapes stay static; row_valid all-False
+            d = self.det_cfg.clip.projection_dim
+            return {
+                "vault_emb": jnp.zeros((128, d), jnp.float32),
+                "vault_valid": jnp.zeros((128,), jnp.bool_),
+                "vault_text_emb": jnp.zeros((128, d), jnp.float32),
+            }
+        out = {
+            "vault_emb": jnp.asarray(self.vault.embeddings),
+            "vault_valid": jnp.asarray(self.vault.row_valid),
+        }
+        if self.vault.text_embeddings is not None:
+            out["vault_text_emb"] = jnp.asarray(self.vault.text_embeddings)
+        else:
+            out["vault_text_emb"] = jnp.zeros_like(out["vault_emb"])
+        return out
+
+    def _tokenize_batch(self, texts: List[str], bucket: int):
+        rb_len = min(self.cfg.seq.roberta_max_len,
+                     self.det_cfg.roberta.max_position_embeddings - 2)
+        cl_len = min(self.cfg.seq.clip_max_len, self.det_cfg.clip.max_text_len)
+        rb_ids, rb_mask = self.roberta_tokenizer.batch(
+            texts + [""] * (bucket - len(texts)), rb_len)
+        cl_ids, cl_mask = self.clip_tokenizer.batch(
+            texts + [""] * (bucket - len(texts)), cl_len)
+        return rb_ids, rb_mask, cl_ids, cl_mask
+
+    def _image_batch(self, images: List, bucket: int):
+        size = self.cfg.seq.image_size
+        eff = [image_to_array(im, "effnet", size) if im is not None else None
+               for im in images]
+        clp = [image_to_array(im, "clip", size) if im is not None else None
+               for im in images]
+        pad = bucket - len(images)
+        eff += [None] * pad
+        clp += [None] * pad
+        return batch_images(eff, size), batch_images(clp, size)
+
+    def _run(self, variant: str, batch: Dict) -> SignalOutput:
+        batch = dict(batch)
+        batch.update(self._vault_device)
+        out = self.programs.get(variant)(self.params, batch)
+        return jax.tree_util.tree_map(np.asarray, out)
+
+    # ------------------------------------------------- per-signal methods
+    # API parity with reference MisinfoForensics; each rides the batched
+    # engine (these are conveniences — the fused program is the hot path).
+
+    def analyze_text(self, text: str) -> Dict[str, float]:
+        """Reference analyze_text (misinfo_forensics.py:319-352)."""
+        out = self._analyze_batch_internal([{"text": text}])[0]
+        return {"ai_score": out["scores"]["ai_score"],
+                "misinfo_score": out["scores"]["misinfo_score"]}
+
+    def analyze_image(self, image_path) -> Dict[str, float]:
+        """Reference analyze_image (misinfo_forensics.py:354-373)."""
+        out = self._analyze_batch_internal([{"image": image_path}])[0]
+        return {"deepfake_score": out["scores"]["deepfake_score"]}
+
+    def analyze_consistency(self, text: str, image_path) -> Dict[str, float]:
+        """Reference analyze_consistency (misinfo_forensics.py:375-408)."""
+        out = self._analyze_batch_internal([{"text": text, "image": image_path}])[0]
+        return {"clip_similarity": out["scores"]["clip_similarity"]}
+
+    def search_vault(self, image_path, user_caption: Optional[str] = None,
+                     top_k: Optional[int] = None) -> Dict:
+        """Reference search_vault (misinfo_forensics.py:410-491)."""
+        if not self.vault_loaded:
+            return TruthVault.empty_result()
+        req = {"image": image_path}
+        if user_caption:
+            req["text"] = user_caption
+        out = self._analyze_batch_internal([req])[0]
+        return {
+            "vault_discrepancy": out["scores"]["vault_discrepancy"],
+            "matches": out["vault_matches"],
+            "vault_available": True,
+            "text_similarity": out["scores"]["text_similarity"],
+        }
+
+    def fusion_verdict(self, scores: Dict[str, float]) -> Dict:
+        """Reference fusion_verdict (misinfo_forensics.py:575-615)."""
+        from misinfo_tpu.models.fusion import fusion_apply
+        vec = jnp.asarray([[
+            scores.get("ai_score", 0.0),
+            scores.get("misinfo_score", 0.0),
+            scores.get("deepfake_score", 0.0),
+            scores.get("clip_similarity", 0.0),
+            scores.get("vault_discrepancy", 0.0),
+        ]], jnp.float32)
+        probs = np.asarray(jax.nn.softmax(
+            fusion_apply(self.params["fusion"], vec), axis=-1))[0]
+        real_p, fake_p = float(probs[0]), float(probs[1])
+        verdict = 1 if fake_p > self.cfg.thresholds.fake_decision else 0
+        return {"verdict": verdict,
+                "confidence": fake_p if verdict == 1 else real_p,
+                "fake_probability": fake_p,
+                "real_probability": real_p}
+
+    # --------------------------------------------------------- analyze()
+
+    def analyze(self, text: Optional[str] = None,
+                image_path: Optional[str] = None,
+                video_path: Optional[str] = None,
+                verbose: bool = True) -> Dict:
+        """Complete forensic pipeline; report dict identical to reference
+        analyze (misinfo_forensics.py:767-927)."""
+        if not text and not image_path and not video_path:
+            raise ValueError("Provide at least one of: text, image_path, or video_path")
+        req: Dict = {}
+        if text:
+            req["text"] = text
+        if image_path is not None:
+            req["image"] = image_path
+        if video_path is not None:
+            req["video"] = video_path
+        report = self._analyze_batch_internal([req], explanations=True)[0]
+        if verbose:
+            self._print_report(req, report)
+        return report
+
+    def analyze_batch(self, requests: List[Dict],
+                      explanations: bool = False) -> List[Dict]:
+        """Batched analyze: list of {text?, image?, video?} dicts. Requests
+        are grouped per modality-variant and padded to bucket sizes, so the
+        whole batch runs in a handful of fused program invocations."""
+        return self._analyze_batch_internal(requests, explanations)
+
+    def _analyze_batch_internal(self, requests: List[Dict],
+                                explanations: bool = False) -> List[Dict]:
+        groups: Dict[str, List[int]] = {}
+        for i, r in enumerate(requests):
+            if "video" in r:
+                v = "video_text" if r.get("text") else "video"
+            elif r.get("text") and "image" in r:
+                v = "full"
+            elif r.get("text"):
+                v = "text_only"
+            elif "image" in r:
+                v = "visual_only"
+            else:
+                raise ValueError(f"request {i} has no modality")
+            groups.setdefault(v, []).append(i)
+
+        results: List[Optional[Dict]] = [None] * len(requests)
+        for variant, idxs in groups.items():
+            if variant.startswith("video"):
+                for i in idxs:
+                    results[i] = self._analyze_video_request(requests[i])
+                continue
+            reqs = [requests[i] for i in idxs]
+            bucket = _bucket(len(reqs), self.cfg.serving.batch_buckets)
+            batch: Dict = {}
+            if variant in ("full", "text_only"):
+                texts = [r.get("text", "") for r in reqs]
+                rb_ids, rb_mask, cl_ids, cl_mask = self._tokenize_batch(texts, bucket)
+                batch.update(roberta_ids=jnp.asarray(rb_ids),
+                             roberta_mask=jnp.asarray(rb_mask),
+                             clip_ids=jnp.asarray(cl_ids),
+                             clip_mask=jnp.asarray(cl_mask))
+            if variant in ("full", "visual_only"):
+                eff, clp = self._image_batch([r.get("image") for r in reqs], bucket)
+                batch.update(image_effnet=jnp.asarray(eff),
+                             image_clip=jnp.asarray(clp))
+            out = self._run(variant, batch)
+            for row, i in enumerate(idxs):
+                results[i] = self._format_report(out, row, requests[i])
+
+        if explanations or any("video" in r for r in requests):
+            pass
+        if explanations:
+            for r in results:
+                r["explanation"] = self.explainer.explain(r["scores"],
+                                                          r["vault_matches"])
+        else:
+            for r in results:
+                r.setdefault("explanation", "")
+        return results
+
+    def _analyze_video_request(self, req: Dict) -> Dict:
+        from misinfo_tpu.preprocess.video import sample_video_frames
+        frames, valid = sample_video_frames(
+            req["video"], self.cfg.video.max_frames,
+            self.cfg.video.stride_seconds, self.cfg.video.fps_fallback)
+        text = req.get("text")
+        variant = "video_text" if text else "video"
+        size = self.cfg.seq.image_size
+        pad = [None] * (self.cfg.video.max_frames - len(frames))
+        batch: Dict = {
+            "image_effnet": jnp.asarray(batch_images(
+                [image_to_array(f, "effnet", size) for f in frames] + pad, size)),
+            "image_clip": jnp.asarray(batch_images(
+                [image_to_array(f, "clip", size) for f in frames] + pad, size)),
+            "frame_valid": jnp.asarray(valid),
+        }
+        if text:
+            rb_ids, rb_mask, cl_ids, cl_mask = self._tokenize_batch([text], 1)
+            batch.update(roberta_ids=jnp.asarray(rb_ids),
+                         roberta_mask=jnp.asarray(rb_mask),
+                         clip_ids=jnp.asarray(cl_ids),
+                         clip_mask=jnp.asarray(cl_mask))
+        out = self._run(variant, batch)
+        return self._format_report(out, 0, req)
+
+    # ------------------------------------------------------- formatting
+
+    def _format_report(self, out: SignalOutput, row: int, req: Dict) -> Dict:
+        scores = {
+            "ai_score": float(out.ai_score[row]),
+            "misinfo_score": float(out.misinfo_score[row]),
+            "deepfake_score": float(out.deepfake_score[row]),
+            "clip_similarity": float(out.clip_similarity[row]),
+            "vault_discrepancy": float(out.vault_discrepancy[row]),
+            "text_similarity": float(out.text_similarity[row]),
+        }
+        matches: List[Dict] = []
+        if self.vault_loaded and "image" in req or (self.vault_loaded and "video" in req):
+            idxs = out.vault_top_idx[row]
+            sims = out.vault_top_sims[row]
+            if idxs[0] >= 0:
+                matches = self.vault.matches_from_indices(idxs, sims)
+        # on-demand caption-vs-headline similarity when the vault lacks
+        # precomputed title text embeddings (reference :468-484 parity path)
+        if (matches and req.get("text")
+                and scores["vault_discrepancy"] > self.cfg.thresholds.vault_reuse
+                and self.vault is not None
+                and self.vault.text_embeddings is None):
+            scores["text_similarity"] = self._caption_title_similarity(
+                req["text"], matches[0]["title"])
+        verdict = int(out.verdict[row])
+        scores.update({
+            "verdict": verdict,
+            "confidence": float(out.confidence[row]),
+            "fake_probability": float(out.fake_probability[row]),
+            "real_probability": float(out.real_probability[row]),
+        })
+        return {
+            "verdict": verdict,
+            "verdict_text": "FAKE" if verdict == 1 else "REAL",
+            "confidence": float(out.confidence[row]),
+            "scores": scores,
+            "vault_matches": matches,
+        }
+
+    def _caption_title_similarity(self, caption: str, title: str) -> float:
+        ids, mask = self.clip_tokenizer.batch([caption, title],
+                                              self.cfg.seq.clip_max_len)
+        emb = np.asarray(self._clip_text_jit(self.params["clip"],
+                                             jnp.asarray(ids), jnp.asarray(mask)))
+        return float(np.dot(emb[0], emb[1]))
+
+    def _print_report(self, req: Dict, report: Dict) -> None:
+        print("\n" + "=" * 70)
+        print("MISINFORMATION FORENSICS ANALYSIS (TPU engine)")
+        print("=" * 70)
+        s = report["scores"]
+        if req.get("text"):
+            print(f"[Text]   AI-generated: {s['ai_score']:.2%}   "
+                  f"misinfo: {s['misinfo_score']:.2%}")
+        if req.get("image") is not None or req.get("video"):
+            print(f"[Visual] deepfake: {s['deepfake_score']:.2%}   "
+                  f"clip-sim: {s['clip_similarity']:.4f}   "
+                  f"vault: {s['vault_discrepancy']:.2%}")
+            if report["vault_matches"]:
+                m = report["vault_matches"][0]
+                print(f"         top vault match: \"{m['title']}\" "
+                      f"({m['similarity']:.1%})")
+        print(f"[Verdict] {report['verdict_text']} "
+              f"(confidence {report['confidence']:.1%})")
+        if report.get("explanation"):
+            print("-" * 70)
+            print(report["explanation"])
+        print("=" * 70)

@@ -1,0 +1,246 @@
+"""The fused 5-signal XLA programs — the serving hot path.
+
+The reference runs five sequential PyTorch calls with a host↔device round
+trip each plus a host numpy kNN (call stack at SURVEY.md §3.2). Here each
+modality combination is ONE jit'd program (SURVEY.md §7 design move 1):
+
+    (roberta tokens, clip tokens, clip image, effnet image, vault)
+        → (5 scores, verdict, probabilities, top-k matches)
+
+Three static variants replicate the reference's gating arithmetic exactly
+(reference misinfo_forensics.py:879-899):
+
+  * ``full``        — text AND visual → fusion MLP verdict
+  * ``text_only``   — fake_prob = misinfo_score
+  * ``visual_only`` — fake_prob = max(deepfake, vault_discrepancy)
+
+plus a ``video`` program that treats sampled frames as a batch axis and
+applies the reference's mean/mean/max aggregation (reference :563-573)
+on device before the verdict.
+
+All branches execute back-to-back inside one XLA program; uint8 images are
+normalized on device; the vault matmul rides the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from misinfo_tpu.core.config import ForensicsConfig
+from misinfo_tpu.models.detector import DetectorConfig
+from misinfo_tpu.models.roberta import dual_head_logits
+from misinfo_tpu.models.clip import clip_text_features, clip_image_features
+from misinfo_tpu.models.efficientnet import effnet_apply
+from misinfo_tpu.models.fusion import fusion_apply
+from misinfo_tpu.ops.common import Policy, l2_normalize, softmax_f32
+from misinfo_tpu.ops.image_ops import normalize_images
+from misinfo_tpu.vault.search import vault_search
+
+
+class SignalOutput(NamedTuple):
+    """Score vector + verdict per request. Field names mirror the
+    reference's report dict keys (misinfo_forensics.py:866-872, 920-927)."""
+
+    ai_score: jax.Array            # [B]
+    misinfo_score: jax.Array       # [B]
+    deepfake_score: jax.Array      # [B]
+    clip_similarity: jax.Array     # [B]
+    vault_discrepancy: jax.Array   # [B]
+    text_similarity: jax.Array     # [B]
+    verdict: jax.Array             # [B] int32 (1=FAKE)
+    confidence: jax.Array          # [B]
+    fake_probability: jax.Array    # [B]
+    real_probability: jax.Array    # [B]
+    vault_top_sims: jax.Array      # [B, K]
+    vault_top_idx: jax.Array       # [B, K]
+
+
+def _text_branch(params, batch, det_cfg, policy, use_pallas):
+    ai_logits, mis_logits = dual_head_logits(
+        params["roberta"], params["ai_head"], params["misinfo_head"],
+        batch["roberta_ids"], batch["roberta_mask"],
+        det_cfg.roberta, policy, use_pallas=use_pallas)
+    ai_score = softmax_f32(ai_logits)[:, 1]
+    misinfo_score = softmax_f32(mis_logits)[:, 1]
+    return ai_score, misinfo_score
+
+
+def _visual_branch(params, batch, det_cfg, cfg, policy, use_pallas,
+                   caption_text_emb=None, has_caption=None):
+    img_eff = normalize_images(batch["image_effnet"], "imagenet", policy.compute)
+    img_clip = normalize_images(batch["image_clip"], "clip", policy.compute)
+    logits, _ = effnet_apply(params["efficientnet"], img_eff, policy=policy)
+    deepfake_score = softmax_f32(logits)[:, 1]
+    image_emb = l2_normalize(clip_image_features(
+        params["clip"], img_clip, det_cfg.clip, policy, use_pallas))
+    vr = vault_search(
+        image_emb, batch["vault_emb"], batch["vault_valid"],
+        top_k=cfg.seq.vault_top_k,
+        reuse_threshold=cfg.thresholds.vault_reuse,
+        caption_text_emb=caption_text_emb,
+        vault_text_emb=batch.get("vault_text_emb"),
+        has_caption=has_caption)
+    return deepfake_score, image_emb, vr
+
+
+def _verdict_from_fusion(params, scores_vec):
+    logits = fusion_apply(params["fusion"], scores_vec)
+    probs = softmax_f32(logits)
+    real_p, fake_p = probs[:, 0], probs[:, 1]
+    verdict = (fake_p > 0.5).astype(jnp.int32)
+    confidence = jnp.where(verdict == 1, fake_p, real_p)
+    return verdict, confidence, fake_p, real_p
+
+
+def _verdict_from_prob(fake_p):
+    """Fallback verdict arithmetic (reference misinfo_forensics.py:890-899)."""
+    fake_p = jnp.clip(fake_p, 0.0, 1.0)
+    real_p = 1.0 - fake_p
+    verdict = (fake_p > 0.5).astype(jnp.int32)
+    confidence = jnp.where(verdict == 1, fake_p, real_p)
+    return verdict, confidence, fake_p, real_p
+
+
+def signals_program(
+    params: Dict,
+    batch: Dict[str, jax.Array],
+    *,
+    variant: str,                       # 'full' | 'text_only' | 'visual_only'
+    det_cfg: DetectorConfig,
+    cfg: ForensicsConfig,
+    policy: Policy,
+    use_pallas: bool = False,
+) -> SignalOutput:
+    B = (batch["roberta_ids"].shape[0] if "roberta_ids" in batch
+         else batch["image_clip"].shape[0])
+    zeros = jnp.zeros((B,), jnp.float32)
+    K = cfg.seq.vault_top_k
+
+    if variant == "text_only":
+        ai, mis = _text_branch(params, batch, det_cfg, policy, use_pallas)
+        verdict, conf, fake_p, real_p = _verdict_from_prob(mis)
+        return SignalOutput(ai, mis, zeros, zeros, zeros, zeros,
+                            verdict, conf, fake_p, real_p,
+                            jnp.zeros((B, K)), jnp.full((B, K), -1, jnp.int32))
+
+    if variant == "visual_only":
+        deep, _, vr = _visual_branch(params, batch, det_cfg, cfg, policy, use_pallas)
+        fake_p = jnp.maximum(deep, vr.vault_discrepancy)
+        verdict, conf, fake_p, real_p = _verdict_from_prob(fake_p)
+        return SignalOutput(zeros, zeros, deep, zeros, vr.vault_discrepancy,
+                            vr.text_similarity, verdict, conf, fake_p, real_p,
+                            vr.top_sims, vr.top_idx)
+
+    if variant == "full":
+        ai, mis = _text_branch(params, batch, det_cfg, policy, use_pallas)
+        cap_emb = l2_normalize(clip_text_features(
+            params["clip"], batch["clip_ids"], batch["clip_mask"],
+            det_cfg.clip, policy, use_pallas))
+        deep, img_emb, vr = _visual_branch(
+            params, batch, det_cfg, cfg, policy, use_pallas,
+            caption_text_emb=cap_emb,
+            has_caption=jnp.ones((B,), jnp.bool_))
+        clip_sim = jnp.sum(cap_emb * img_emb, axis=-1)
+        scores_vec = jnp.stack([ai, mis, deep, clip_sim,
+                                vr.vault_discrepancy], axis=1)
+        verdict, conf, fake_p, real_p = _verdict_from_fusion(params, scores_vec)
+        return SignalOutput(ai, mis, deep, clip_sim, vr.vault_discrepancy,
+                            vr.text_similarity, verdict, conf, fake_p, real_p,
+                            vr.top_sims, vr.top_idx)
+
+    raise ValueError(f"unknown variant {variant!r}")
+
+
+def video_program(
+    params: Dict,
+    batch: Dict[str, jax.Array],
+    *,
+    has_text: bool,
+    det_cfg: DetectorConfig,
+    cfg: ForensicsConfig,
+    policy: Policy,
+    use_pallas: bool = False,
+) -> SignalOutput:
+    """Video forensics: frames stacked on the batch axis (SURVEY.md §7
+    design move 3). Inputs carry `frame_valid` [F] masking padded frames.
+    Aggregation matches reference analyze_video (misinfo_forensics.py:
+    563-573): mean deepfake, mean clip-sim, MAX vault discrepancy (that
+    frame's matches win); then the standard verdict gating.
+    """
+    fv = batch["frame_valid"].astype(jnp.float32)          # [F]
+    n = jnp.maximum(jnp.sum(fv), 1.0)
+
+    if has_text:
+        ai, mis = _text_branch(params, batch, det_cfg, policy, use_pallas)
+        ai, mis = ai[:1], mis[:1]
+        cap_emb = l2_normalize(clip_text_features(
+            params["clip"], batch["clip_ids"], batch["clip_mask"],
+            det_cfg.clip, policy, use_pallas))              # [1, D]
+    else:
+        ai = mis = jnp.zeros((1,), jnp.float32)
+        cap_emb = None
+
+    F = batch["image_clip"].shape[0]
+    deep, img_emb, vr = _visual_branch(
+        params, batch, det_cfg, cfg, policy, use_pallas,
+        caption_text_emb=(jnp.broadcast_to(cap_emb, (F, cap_emb.shape[1]))
+                          if cap_emb is not None else None),
+        has_caption=(jnp.ones((F,), jnp.bool_) if has_text else None))
+
+    deep_mean = jnp.sum(deep * fv) / n
+    if cap_emb is not None:
+        sims = jnp.sum(img_emb * cap_emb, axis=-1)          # [F]
+        clip_mean = jnp.sum(sims * fv) / n
+    else:
+        clip_mean = jnp.zeros(())
+
+    vd = jnp.where(fv > 0, vr.vault_discrepancy, -1.0)
+    best_f = jnp.argmax(vd)
+    vault_disc = jnp.maximum(vr.vault_discrepancy[best_f], 0.0)
+    text_sim = vr.text_similarity[best_f]
+    top_sims = vr.top_sims[best_f][None]
+    top_idx = vr.top_idx[best_f][None]
+
+    deep_mean = deep_mean[None]
+    clip_mean = clip_mean[None]
+    vault_disc = vault_disc[None]
+    text_sim = text_sim[None]
+
+    if has_text:
+        scores_vec = jnp.stack([ai, mis, deep_mean, clip_mean, vault_disc], axis=1)
+        verdict, conf, fake_p, real_p = _verdict_from_fusion(params, scores_vec)
+    else:
+        verdict, conf, fake_p, real_p = _verdict_from_prob(
+            jnp.maximum(deep_mean, vault_disc))
+    return SignalOutput(ai, mis, deep_mean, clip_mean, vault_disc, text_sim,
+                        verdict, conf, fake_p, real_p, top_sims, top_idx)
+
+
+class SignalPrograms:
+    """Compiled program cache: one jit per (variant, batch bucket)."""
+
+    def __init__(self, det_cfg: DetectorConfig, cfg: ForensicsConfig,
+                 policy: Policy, use_pallas: bool = False):
+        self.det_cfg = det_cfg
+        self.cfg = cfg
+        self.policy = policy
+        self.use_pallas = use_pallas
+        self._jitted: Dict[str, object] = {}
+
+    def get(self, variant: str):
+        if variant not in self._jitted:
+            if variant.startswith("video"):
+                has_text = variant == "video_text"
+                fn = functools.partial(
+                    video_program, has_text=has_text, det_cfg=self.det_cfg,
+                    cfg=self.cfg, policy=self.policy, use_pallas=self.use_pallas)
+            else:
+                fn = functools.partial(
+                    signals_program, variant=variant, det_cfg=self.det_cfg,
+                    cfg=self.cfg, policy=self.policy, use_pallas=self.use_pallas)
+            self._jitted[variant] = jax.jit(fn)
+        return self._jitted[variant]

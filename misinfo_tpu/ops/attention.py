@@ -1,0 +1,77 @@
+"""Multi-head attention for the RoBERTa / CLIP / Whisper towers.
+
+Default path is plain XLA einsum attention — at these sequence lengths
+(≤512 RoBERTa, ≤77 CLIP, SURVEY.md §5 "long-context: N/A") the whole
+score matrix fits in VMEM and XLA fuses it well. A Pallas fused-attention
+kernel (`misinfo_tpu.ops.pallas_attention`) can be enabled for the hot
+serving path via ``use_pallas=True``; it falls back automatically when the
+head configuration is unsupported.
+
+Head-dimension sharding: the `q/k/v/o` kernels carry logical axes
+(heads on the optional `model` mesh axis) — see parallel/sharding.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from misinfo_tpu.ops.common import DEFAULT_POLICY, Policy, dense, dense_init
+
+_NEG_INF = -1e9  # additive mask value; matches HF min-dtype masking semantics
+
+
+def attention_init(key, dim: int, num_heads: int, out_dim: Optional[int] = None) -> Dict:
+    ks = jax.random.split(key, 4)
+    out_dim = out_dim or dim
+    return {
+        "q": dense_init(ks[0], dim, dim),
+        "k": dense_init(ks[1], dim, dim),
+        "v": dense_init(ks[2], dim, dim),
+        "o": dense_init(ks[3], dim, out_dim),
+    }
+
+
+def multi_head_attention(
+    params: Dict,
+    x: jax.Array,                       # [B, S, D] queries source
+    num_heads: int,
+    mask: Optional[jax.Array] = None,   # [B, S_kv] 1=valid, 0=pad
+    causal: bool = False,
+    kv: Optional[jax.Array] = None,     # [B, S_kv, D] for cross-attention
+    policy: Policy = DEFAULT_POLICY,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Standard scaled-dot-product MHA, bf16 matmuls + f32 softmax."""
+    B, S, D = x.shape
+    kv = x if kv is None else kv
+    S_kv = kv.shape[1]
+    head_dim = D // num_heads
+
+    q = dense(params["q"], x, policy).reshape(B, S, num_heads, head_dim)
+    k = dense(params["k"], kv, policy).reshape(B, S_kv, num_heads, head_dim)
+    v = dense(params["v"], kv, policy).reshape(B, S_kv, num_heads, head_dim)
+
+    if use_pallas and not causal and mask is None:
+        from misinfo_tpu.ops.pallas_attention import fused_attention
+        ctx = fused_attention(q, k, v)
+        return dense(params["o"], ctx.reshape(B, S, D), policy)
+
+    scale = 1.0 / jnp.sqrt(head_dim).astype(jnp.float32)
+    # [B, H, S, S_kv]
+    scores = jnp.einsum("bshd,bthd->bhst", q, k,
+                        preferred_element_type=jnp.float32,
+                        precision=policy.precision) * scale
+    if mask is not None:
+        scores = scores + (1.0 - mask[:, None, None, :].astype(jnp.float32)) * _NEG_INF
+    if causal:
+        idx = jnp.arange(S)
+        cmask = (idx[:, None] >= jnp.arange(S_kv)[None, :]).astype(jnp.float32)
+        scores = scores + (1.0 - cmask)[None, None] * _NEG_INF
+    probs = jax.nn.softmax(scores, axis=-1).astype(policy.compute)
+    ctx = jnp.einsum("bhst,bthd->bshd", probs, v,
+                     preferred_element_type=policy.accum,
+                     precision=policy.precision).astype(policy.compute)
+    return dense(params["o"], ctx.reshape(B, S, D), policy)

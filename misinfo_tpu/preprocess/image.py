@@ -1,0 +1,87 @@
+"""Image frontend: host-side decode/resize, device-side normalize.
+
+Split per SURVEY.md §7 design move 6 — decode and resize stay on host
+(PIL), while float conversion + per-channel normalization run on device
+as the first fused stage of the signal program, in NHWC layout (TPU conv
+native layout).
+
+Two resize flavors replicate the reference exactly:
+
+* **EfficientNet path** — `Resize((224,224))` bilinear squash + ImageNet
+  stats (reference misinfo_forensics.py:249-253).
+* **CLIP path** — shortest-edge 224 bicubic + center-crop 224 + CLIP stats
+  (HF CLIPProcessor behavior invoked at reference misinfo_forensics.py:386).
+
+The CIFAKE trainer's CLIP-stat variant for EfficientNet inputs (reference
+train_cifake_forensics.py:44,50) is covered by passing ``stats='clip'``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+try:
+    from PIL import Image
+    _PIL = True
+except ImportError:  # pragma: no cover
+    _PIL = False
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def load_image_rgb(image_or_path) -> "Image.Image":
+    """PIL load + RGB convert (reference misinfo_forensics.py:255-258)."""
+    if not _PIL:
+        raise RuntimeError("Pillow is required for image decoding")
+    if isinstance(image_or_path, Image.Image):
+        return image_or_path.convert("RGB")
+    if isinstance(image_or_path, np.ndarray):
+        return Image.fromarray(image_or_path).convert("RGB")
+    return Image.open(str(image_or_path)).convert("RGB")
+
+
+def resize_squash(img: "Image.Image", size: int = 224) -> np.ndarray:
+    """torchvision `Resize((size,size))` semantics → uint8 HWC."""
+    return np.asarray(img.resize((size, size), Image.BILINEAR), dtype=np.uint8)
+
+
+def resize_center_crop(img: "Image.Image", size: int = 224) -> np.ndarray:
+    """CLIPProcessor semantics: shortest edge → `size` (bicubic), center crop."""
+    w, h = img.size
+    scale = size / min(w, h)
+    nw, nh = max(size, int(round(w * scale))), max(size, int(round(h * scale)))
+    img = img.resize((nw, nh), Image.BICUBIC)
+    left = (nw - size) // 2
+    top = (nh - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    return np.asarray(img, dtype=np.uint8)
+
+
+def image_to_array(
+    image_or_path,
+    mode: str = "effnet",
+    size: int = 224,
+) -> np.ndarray:
+    """Decode+resize one image → uint8 [size,size,3] (normalization is
+    done on-device by :func:`misinfo_tpu.ops.image_ops.normalize_images`)."""
+    img = load_image_rgb(image_or_path)
+    if mode == "effnet":
+        return resize_squash(img, size)
+    if mode == "clip":
+        return resize_center_crop(img, size)
+    raise ValueError(mode)
+
+
+def batch_images(arrays, size: int = 224) -> np.ndarray:
+    """Stack uint8 HWC arrays → [B,size,size,3]; None entries become zeros
+    (missing-media zero-fill contract, reference misinformation_dataset.py:186-189)."""
+    out = np.zeros((len(arrays), size, size, 3), dtype=np.uint8)
+    for i, a in enumerate(arrays):
+        if a is not None:
+            out[i] = a
+    return out

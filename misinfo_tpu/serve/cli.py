@@ -1,0 +1,72 @@
+"""CLI entry — flag-compatible with the reference's `main`
+(C11, reference misinfo_forensics.py:930-966): --text/--image/--video/
+--gemini-key/--output, requiring at least one modality, with optional JSON
+dump of the report. Adds --batch-file for the batched TPU path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Misinformation Forensics Analysis (TPU)")
+    p.add_argument("--text", type=str, help="News headline or article text")
+    p.add_argument("--image", type=str, help="Path to image file")
+    p.add_argument("--video", type=str, help="Path to video file")
+    p.add_argument("--gemini-key", type=str,
+                   help="Google Gemini API key (optional, reads from env)")
+    p.add_argument("--output", type=str, help="Save results to JSON file")
+    p.add_argument("--batch-file", type=str,
+                   help="JSONL of {text?, image?, video?} requests (batched path)")
+    p.add_argument("--vault", type=str, default=None, help="Vault path override")
+    p.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto",
+                   help="Force a JAX backend (cpu is useful when the TPU is busy)")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if not (args.text or args.image or args.video or args.batch_file):
+        build_parser().error("Provide at least one of --text, --image, --video, or --batch-file")
+
+    if args.device != "auto":
+        import jax
+        jax.config.update("jax_platforms",
+                          "cpu" if args.device == "cpu" else "tpu,axon")
+
+    from misinfo_tpu.core.config import ForensicsConfig
+    from misinfo_tpu.engine.forensics import MisinfoForensics
+
+    cfg = ForensicsConfig.from_env(verbose=not args.quiet)
+    if args.gemini_key:
+        cfg = cfg.replace(gemini_api_key=args.gemini_key)
+    if args.vault:
+        cfg = cfg.replace(paths=cfg.paths.__class__(
+            **{**cfg.paths.__dict__, "vault_path": args.vault}))
+
+    engine = MisinfoForensics(config=cfg)
+
+    if args.batch_file:
+        with open(args.batch_file, encoding="utf-8") as f:
+            requests = [json.loads(line) for line in f if line.strip()]
+        results = engine.analyze_batch(requests, explanations=True)
+    else:
+        results = engine.analyze(text=args.text, image_path=args.image,
+                                 video_path=args.video,
+                                 verbose=not args.quiet)
+
+    if args.output:
+        with open(args.output, "w", encoding="utf-8") as f:
+            json.dump(results, f, indent=2, ensure_ascii=False)
+        if not args.quiet:
+            print(f"Results saved to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

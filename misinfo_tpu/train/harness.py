@@ -1,0 +1,98 @@
+"""Shared training harness: epoch loop, validation, early stopping and
+best-checkpoint policy — the structure every reference trainer repeats
+(SURVEY.md §2.3). Keeps trainers thin: they provide a step fn, an eval fn,
+and data iterators.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+
+@dataclass
+class TrainResult:
+    best_metric: float
+    best_epoch: int
+    history: list = field(default_factory=list)
+    params: Optional[Dict] = None
+
+
+def run_training(
+    params,
+    opt_state,
+    step_fn: Callable,            # (params, opt_state, batch, rng) -> (p, o, metrics)
+    train_batches: Callable[[], Iterable[Dict]],
+    eval_fn: Optional[Callable] = None,   # (params) -> {metric: float}
+    *,
+    epochs: int,
+    seed: int = 0,
+    select_metric: str = "loss",
+    select_mode: str = "min",             # 'min' (val loss) | 'max' (accuracy)
+    early_stop_patience: Optional[int] = None,  # reference: 3 (C15)
+    checkpoint_fn: Optional[Callable] = None,   # (params, opt_state, epoch, metrics)
+    log: Callable[[str], None] = print,
+) -> TrainResult:
+    rng = jax.random.PRNGKey(seed)
+    best = np.inf if select_mode == "min" else -np.inf
+    best_epoch = -1
+    patience = 0
+    history = []
+    best_params = params
+
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        n_batches = 0
+        running: Dict[str, float] = {}
+        for batch in train_batches():
+            rng, k = jax.random.split(rng)
+            params, opt_state, metrics = step_fn(params, opt_state, batch, k)
+            n_batches += 1
+            for mk, mv in metrics.items():
+                running[mk] = running.get(mk, 0.0) + float(mv)
+        train_metrics = {k: v / max(1, n_batches) for k, v in running.items()}
+
+        eval_metrics = eval_fn(params) if eval_fn else {}
+        all_metrics = {**{f"train_{k}": v for k, v in train_metrics.items()},
+                       **{f"val_{k}": v for k, v in eval_metrics.items()}}
+        all_metrics["epoch"] = epoch
+        all_metrics["seconds"] = time.perf_counter() - t0
+        history.append(all_metrics)
+        log(f"epoch {epoch}: " + "  ".join(
+            f"{k}={v:.4f}" for k, v in all_metrics.items()
+            if isinstance(v, float)))
+
+        current = eval_metrics.get(select_metric,
+                                   train_metrics.get(select_metric))
+        if current is None:
+            current = train_metrics.get("loss", 0.0)
+        improved = (current < best) if select_mode == "min" else (current > best)
+        if improved:
+            best, best_epoch, patience = current, epoch, 0
+            best_params = params
+            if checkpoint_fn:
+                checkpoint_fn(params, opt_state, epoch, all_metrics)
+        else:
+            patience += 1
+            if early_stop_patience and patience >= early_stop_patience:
+                log(f"early stop at epoch {epoch} "
+                    f"(no improvement for {patience} epochs)")
+                break
+
+    return TrainResult(best_metric=float(best), best_epoch=best_epoch,
+                       history=history, params=best_params)
+
+
+def split_train_val(samples, val_fraction: float = 0.2, seed: int = 42):
+    """80/20 split with the reference's canonical seed 42."""
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(samples))
+    n_val = int(len(samples) * val_fraction)
+    val_idx = set(idx[:n_val].tolist())
+    train = [s for i, s in enumerate(samples) if i not in val_idx]
+    val = [s for i, s in enumerate(samples) if i in val_idx]
+    return train, val

@@ -1,0 +1,84 @@
+"""On-device vault kNN — one matmul + top-k inside the signal program.
+
+Replaces the reference's host-side numpy brute force (misinfo_forensics.py:
+443-449, which also re-normalized the whole vault per query) with a single
+MXU matmul over the pre-normalized vault and `jax.lax.top_k`. Thresholding
+matches the reference exactly: ``vault_discrepancy = max_sim if
+max_sim > 0.85 else 0.0`` (:462-464), and the conditional caption-vs-headline
+text similarity (:468-484) becomes a gather over precomputed title text
+embeddings.
+
+For vaults that outgrow one chip's HBM, `sharded_vault_sims` row-shards the
+matmul over the `data` mesh axis and all-gathers per-shard top-k candidates
+(SURVEY.md §2.5 consequence (c)).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class VaultResult(NamedTuple):
+    top_sims: jax.Array          # [B, K] f32
+    top_idx: jax.Array           # [B, K] int32
+    vault_discrepancy: jax.Array  # [B] f32
+    text_similarity: jax.Array   # [B] f32
+
+
+def vault_search(
+    query_image_emb: jax.Array,   # [B, D] L2-normalized f32
+    vault_emb: jax.Array,         # [N, D] L2-normalized, zero rows padded
+    row_valid: jax.Array,         # [N] bool
+    *,
+    top_k: int = 5,
+    reuse_threshold: float = 0.85,
+    caption_text_emb: Optional[jax.Array] = None,  # [B, D] normalized
+    vault_text_emb: Optional[jax.Array] = None,    # [N, D] normalized
+    has_caption: Optional[jax.Array] = None,       # [B] bool
+) -> VaultResult:
+    """Batched vault search; everything stays on device."""
+    # always full-f32: a bf16-pass dot's ~4e-3 error could flip the 0.85
+    # reuse gate; one [B,512]×[512,N] matmul at HIGHEST is cheap
+    sims = jnp.dot(query_image_emb, vault_emb.T,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # [B, N]
+    sims = jnp.where(row_valid[None, :], sims, -2.0)
+    top_sims, top_idx = jax.lax.top_k(sims, top_k)
+
+    max_sim = top_sims[:, 0]
+    gate = max_sim > reuse_threshold
+    vault_discrepancy = jnp.where(gate, max_sim, 0.0)
+
+    if caption_text_emb is not None and vault_text_emb is not None:
+        matched_title_emb = vault_text_emb[top_idx[:, 0]]          # [B, D]
+        tsim = jnp.sum(caption_text_emb * matched_title_emb, axis=-1)
+        if has_caption is not None:
+            gate = jnp.logical_and(gate, has_caption)
+        text_similarity = jnp.where(gate, tsim, 0.0)
+    else:
+        text_similarity = jnp.zeros_like(max_sim)
+
+    return VaultResult(top_sims, top_idx.astype(jnp.int32),
+                       vault_discrepancy, text_similarity)
+
+
+def sharded_vault_sims(query: jax.Array, vault_shard: jax.Array,
+                       shard_offset: jax.Array, row_valid_shard: jax.Array,
+                       top_k: int, axis_name: str = "data"):
+    """shard_map body: local matmul + local top-k, then all-gather the
+    per-shard candidates and re-top-k — O(K·devices) gathered instead of N."""
+    sims = jnp.dot(query, vault_shard.T, preferred_element_type=jnp.float32)
+    sims = jnp.where(row_valid_shard[None, :], sims, -2.0)
+    loc_sims, loc_idx = jax.lax.top_k(sims, top_k)
+    loc_idx = loc_idx + shard_offset
+    all_sims = jax.lax.all_gather(loc_sims, axis_name, axis=1)  # [B, S, K]
+    all_idx = jax.lax.all_gather(loc_idx, axis_name, axis=1)
+    B = all_sims.shape[0]
+    flat_sims = all_sims.reshape(B, -1)
+    flat_idx = all_idx.reshape(B, -1)
+    top_sims, pos = jax.lax.top_k(flat_sims, top_k)
+    top_idx = jnp.take_along_axis(flat_idx, pos, axis=1)
+    return top_sims, top_idx

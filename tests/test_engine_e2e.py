@@ -1,0 +1,116 @@
+"""End-to-end engine tests on tiny configs: all modality variants of the
+fused signal program + the analyze() report contract
+(fixture shapes follow final_test.json / text_only.json / image_only.json,
+SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from misinfo_tpu.core.config import ForensicsConfig, PrecisionConfig
+from misinfo_tpu.engine.forensics import MisinfoForensics
+from misinfo_tpu.models.detector import DetectorConfig, detector_init
+from misinfo_tpu.vault.store import TruthVault
+
+
+@pytest.fixture(scope="module")
+def tiny_engine(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("vault")
+    det_cfg = DetectorConfig.tiny()
+    rng = np.random.default_rng(0)
+    d = det_cfg.clip.projection_dim
+    vault = TruthVault(
+        image_embeddings=rng.normal(size=(3, d)).astype(np.float32),
+        metadata=[{"title": f"Guardian article {i}", "url": f"u{i}",
+                   "date": "2024-01-01"} for i in range(3)],
+        text_embeddings=rng.normal(size=(3, d)).astype(np.float32),
+    )
+    vpath = str(tmp / "vault.npz")
+    vault.save(vpath)
+
+    cfg = ForensicsConfig(verbose=False).replace(
+        precision=PrecisionConfig.highest())
+    cfg = cfg.replace(paths=cfg.paths.__class__(vault_path=vpath),
+                      seq=cfg.seq.__class__(roberta_max_len=32, image_size=64))
+    params = detector_init(jax.random.PRNGKey(0), det_cfg)
+    return MisinfoForensics(config=cfg, det_cfg=det_cfg, params=params)
+
+
+def _img(seed=0, size=64):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, size=(size, size, 3)).astype(np.uint8)
+
+
+def test_text_only(tiny_engine):
+    rep = tiny_engine.analyze(text="Breaking news shocking claim", verbose=False)
+    s = rep["scores"]
+    assert rep["verdict"] in (0, 1)
+    assert rep["verdict_text"] in ("REAL", "FAKE")
+    # fallback verdict arithmetic: fake_prob == misinfo_score
+    assert abs(s["fake_probability"] - s["misinfo_score"]) < 1e-6
+    assert s["deepfake_score"] == 0.0 and s["clip_similarity"] == 0.0
+    assert rep["vault_matches"] == []
+    assert 0.0 <= rep["confidence"] <= 1.0
+
+
+def test_visual_only(tiny_engine):
+    from PIL import Image
+    rep = tiny_engine.analyze(image_path=Image.fromarray(_img(1)), verbose=False)
+    s = rep["scores"]
+    assert s["ai_score"] == 0.0 and s["misinfo_score"] == 0.0
+    expected = max(s["deepfake_score"], s["vault_discrepancy"])
+    assert abs(s["fake_probability"] - min(1.0, expected)) < 1e-6
+    assert len(rep["vault_matches"]) == 3  # top-k capped by 3 valid rows
+
+
+def test_full(tiny_engine):
+    from PIL import Image
+    rep = tiny_engine.analyze(text="A caption for the image",
+                              image_path=Image.fromarray(_img(2)),
+                              verbose=False)
+    s = rep["scores"]
+    for k in ("ai_score", "misinfo_score", "deepfake_score"):
+        assert 0.0 <= s[k] <= 1.0
+    assert -1.0 <= s["clip_similarity"] <= 1.0
+    assert abs(s["fake_probability"] + s["real_probability"] - 1.0) < 1e-5
+    assert rep["explanation"]  # rule-based explanation text present
+
+
+def test_fusion_verdict_method(tiny_engine):
+    v = tiny_engine.fusion_verdict({"ai_score": 0.9, "misinfo_score": 0.8,
+                                    "deepfake_score": 0.7,
+                                    "clip_similarity": 0.1,
+                                    "vault_discrepancy": 0.9})
+    assert v["verdict"] in (0, 1)
+    assert abs(v["fake_probability"] + v["real_probability"] - 1.0) < 1e-5
+    assert v["confidence"] >= 0.5  # confidence is prob of predicted class
+
+
+def test_batch_matches_single(tiny_engine):
+    from PIL import Image
+    img = Image.fromarray(_img(3))
+    single = tiny_engine.analyze(text="hello world", image_path=img, verbose=False)
+    batch = tiny_engine.analyze_batch(
+        [{"text": "hello world", "image": img},
+         {"text": "other caption", "image": Image.fromarray(_img(4))}])
+    np.testing.assert_allclose(
+        batch[0]["scores"]["fake_probability"],
+        single["scores"]["fake_probability"], atol=1e-5)
+
+
+def test_vault_gating_threshold(tiny_engine):
+    """vault_discrepancy is 0 unless max similarity > 0.85 (reference :464)."""
+    from PIL import Image
+    rep = tiny_engine.analyze(image_path=Image.fromarray(_img(5)), verbose=False)
+    s = rep["scores"]
+    top_sim = rep["vault_matches"][0]["similarity"]
+    if top_sim > 0.85:
+        assert abs(s["vault_discrepancy"] - top_sim) < 1e-5
+    else:
+        assert s["vault_discrepancy"] == 0.0
+
+
+def test_requires_modality(tiny_engine):
+    with pytest.raises(ValueError):
+        tiny_engine.analyze(verbose=False)
