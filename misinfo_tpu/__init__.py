@@ -26,4 +26,22 @@ serve/        CLI + dashboard + transcript extraction
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Platform escape hatch: some TPU plugin stacks (e.g. the axon tunnel)
+# override JAX_PLATFORMS programmatically at interpreter start, making the
+# standard env var ineffective. MISINFO_TPU_PLATFORM=cpu forces the backend
+# via jax.config before first use (harmless no-op if already initialized).
+_plat = _os.environ.get("MISINFO_TPU_PLATFORM")
+if _plat:
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _plat)
+        _ndev = _os.environ.get("MISINFO_TPU_NUM_CPU_DEVICES")
+        if _ndev and _plat == "cpu":
+            _jax.config.update("jax_num_cpu_devices", int(_ndev))
+    except Exception:
+        pass
+
 from misinfo_tpu.core.config import ForensicsConfig  # noqa: F401

@@ -1,0 +1,194 @@
+"""Whisper encoder-decoder for video transcript extraction, pure JAX.
+
+The reference dashboard lazily loads openai-whisper and merges the
+transcript into the caption before analysis (C13, reference
+forensics_dashboard.py:18-87,160-162). This module provides the
+TPU-native model: log-mel frontend (preprocess/audio.py), conv-downsampled
+encoder with sinusoidal positions, causal decoder with cross-attention and
+greedy decoding via `lax.while_loop` (compiler-friendly, fixed max length).
+
+Semantics match HF `WhisperModel` (validated by tests/test_whisper_parity.py
+with a tiny random-init config): pre-LN blocks, GELU, learned decoder
+positions, encoder positions fixed-sinusoidal.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from misinfo_tpu.ops.common import (
+    DEFAULT_POLICY, Policy, dense, dense_init, gelu_exact, layer_norm,
+    layer_norm_init,
+)
+from misinfo_tpu.ops.attention import attention_init, multi_head_attention
+
+
+@dataclass(frozen=True)
+class WhisperConfig:
+    vocab_size: int = 51865
+    num_mel_bins: int = 80
+    d_model: int = 512            # base
+    encoder_layers: int = 6
+    decoder_layers: int = 6
+    num_heads: int = 8
+    ffn_dim: int = 2048
+    max_source_positions: int = 1500
+    max_target_positions: int = 448
+    eos_token_id: int = 50257
+    decoder_start_token_id: int = 50258
+
+    @staticmethod
+    def tiny() -> "WhisperConfig":
+        return WhisperConfig(vocab_size=256, num_mel_bins=16, d_model=64,
+                             encoder_layers=2, decoder_layers=2, num_heads=4,
+                             ffn_dim=128, max_source_positions=64,
+                             max_target_positions=32, eos_token_id=255,
+                             decoder_start_token_id=254)
+
+
+def sinusoidal_positions(length: int, dim: int) -> np.ndarray:
+    """Whisper's fixed sinusoid table (interleaved sin/cos halves)."""
+    log_timescale = np.log(10000.0) / (dim // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(dim // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+def _enc_block_init(key, cfg):
+    ks = jax.random.split(key, 3)
+    return {
+        "ln1": layer_norm_init(cfg.d_model),
+        "attn": attention_init(ks[0], cfg.d_model, cfg.num_heads),
+        "ln2": layer_norm_init(cfg.d_model),
+        "mlp_in": dense_init(ks[1], cfg.d_model, cfg.ffn_dim),
+        "mlp_out": dense_init(ks[2], cfg.ffn_dim, cfg.d_model),
+    }
+
+
+def _dec_block_init(key, cfg):
+    ks = jax.random.split(key, 4)
+    return {
+        "ln1": layer_norm_init(cfg.d_model),
+        "self_attn": attention_init(ks[0], cfg.d_model, cfg.num_heads),
+        "ln_cross": layer_norm_init(cfg.d_model),
+        "cross_attn": attention_init(ks[1], cfg.d_model, cfg.num_heads),
+        "ln2": layer_norm_init(cfg.d_model),
+        "mlp_in": dense_init(ks[2], cfg.d_model, cfg.ffn_dim),
+        "mlp_out": dense_init(ks[3], cfg.ffn_dim, cfg.d_model),
+    }
+
+
+def whisper_init(key, cfg: WhisperConfig = WhisperConfig()) -> Dict:
+    n = cfg.encoder_layers + cfg.decoder_layers + 8
+    ks = iter(jax.random.split(key, n))
+    s = 0.02
+    k1 = int(3)
+    return {
+        "encoder": {
+            "conv1": {"kernel": jax.random.normal(next(ks), (3, cfg.num_mel_bins, cfg.d_model)) * s,
+                      "bias": jnp.zeros((cfg.d_model,))},
+            "conv2": {"kernel": jax.random.normal(next(ks), (3, cfg.d_model, cfg.d_model)) * s,
+                      "bias": jnp.zeros((cfg.d_model,))},
+            "positions": jnp.asarray(
+                sinusoidal_positions(cfg.max_source_positions, cfg.d_model)),
+            "blocks": [_enc_block_init(next(ks), cfg)
+                       for _ in range(cfg.encoder_layers)],
+            "final_ln": layer_norm_init(cfg.d_model),
+        },
+        "decoder": {
+            "token_embedding": jax.random.normal(
+                next(ks), (cfg.vocab_size, cfg.d_model)) * s,
+            "positions": jax.random.normal(
+                next(ks), (cfg.max_target_positions, cfg.d_model)) * s,
+            "blocks": [_dec_block_init(next(ks), cfg)
+                       for _ in range(cfg.decoder_layers)],
+            "final_ln": layer_norm_init(cfg.d_model),
+        },
+    }
+
+
+def _conv1d(p: Dict, x: jax.Array, stride: int, policy: Policy) -> jax.Array:
+    """1-D conv over time (kernel [K, Cin, Cout]), SAME padding."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(policy.compute), p["kernel"].astype(policy.compute),
+        window_strides=(stride,), padding=[(1, 1)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=policy.accum,
+        precision=policy.precision).astype(policy.compute)
+    return y + p["bias"].astype(policy.compute)
+
+
+def whisper_encode(params: Dict, mel: jax.Array,
+                   cfg: WhisperConfig = WhisperConfig(),
+                   policy: Policy = DEFAULT_POLICY) -> jax.Array:
+    """mel [B, T, n_mels] → encoder states [B, T//2, D]."""
+    enc = params["encoder"]
+    x = gelu_exact(_conv1d(enc["conv1"], mel, 1, policy))
+    x = gelu_exact(_conv1d(enc["conv2"], x, 2, policy))
+    x = x + enc["positions"][: x.shape[1]].astype(policy.compute)
+    for blk in enc["blocks"]:
+        h = layer_norm(blk["ln1"], x, policy=policy)
+        x = x + multi_head_attention(blk["attn"], h, cfg.num_heads, policy=policy)
+        h = layer_norm(blk["ln2"], x, policy=policy)
+        x = x + dense(blk["mlp_out"], gelu_exact(dense(blk["mlp_in"], h, policy)), policy)
+    return layer_norm(enc["final_ln"], x, policy=policy)
+
+
+def whisper_decode_step(params: Dict, tokens: jax.Array, enc_out: jax.Array,
+                        cfg: WhisperConfig = WhisperConfig(),
+                        policy: Policy = DEFAULT_POLICY) -> jax.Array:
+    """Full-prefix decoder forward → logits [B, S, V] (no KV cache; fine at
+    transcript lengths ≤448)."""
+    dec = params["decoder"]
+    S = tokens.shape[1]
+    x = (jnp.take(dec["token_embedding"], tokens, axis=0)
+         + dec["positions"][:S]).astype(policy.compute)
+    for blk in dec["blocks"]:
+        h = layer_norm(blk["ln1"], x, policy=policy)
+        x = x + multi_head_attention(blk["self_attn"], h, cfg.num_heads,
+                                     causal=True, policy=policy)
+        h = layer_norm(blk["ln_cross"], x, policy=policy)
+        x = x + multi_head_attention(blk["cross_attn"], h, cfg.num_heads,
+                                     kv=enc_out, policy=policy)
+        h = layer_norm(blk["ln2"], x, policy=policy)
+        x = x + dense(blk["mlp_out"], gelu_exact(dense(blk["mlp_in"], h, policy)), policy)
+    x = layer_norm(dec["final_ln"], x, policy=policy)
+    return jnp.dot(x, dec["token_embedding"].T.astype(policy.compute),
+                   preferred_element_type=jnp.float32,
+                   precision=policy.precision)
+
+
+def greedy_decode(params: Dict, mel: jax.Array,
+                  cfg: WhisperConfig = WhisperConfig(),
+                  policy: Policy = DEFAULT_POLICY,
+                  max_len: Optional[int] = None,
+                  prompt_tokens: Optional[jax.Array] = None) -> jax.Array:
+    """Greedy transcript decoding with static shapes: a fori_loop over a
+    fixed [B, max_len] token buffer (post-EOS positions stay EOS)."""
+    max_len = max_len or cfg.max_target_positions
+    enc_out = whisper_encode(params, mel, cfg, policy)
+    B = mel.shape[0]
+    tokens = jnp.full((B, max_len), cfg.eos_token_id, jnp.int32)
+    tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
+    start = 1
+    if prompt_tokens is not None:
+        P = prompt_tokens.shape[1]
+        tokens = tokens.at[:, 1:1 + P].set(prompt_tokens)
+        start = 1 + P
+    done0 = jnp.zeros((B,), jnp.bool_)
+
+    def body(i, carry):
+        tokens, done = carry
+        logits = whisper_decode_step(params, tokens, enc_out, cfg, policy)
+        nxt = jnp.argmax(logits[:, i - 1, :], axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, cfg.eos_token_id, nxt)
+        done = jnp.logical_or(done, nxt == cfg.eos_token_id)
+        return tokens.at[:, i].set(nxt), done
+
+    tokens, _ = jax.lax.fori_loop(start, max_len, body, (tokens, done0))
+    return tokens

@@ -50,7 +50,13 @@ def make_optimizer(cfg: OptimConfig,
                              eps=cfg.eps, weight_decay=cfg.weight_decay))
     tx = optax.chain(*chain)
     if trainable_mask is not None:
-        tx = optax.masked(tx, trainable_mask)
+        # NB: optax.masked leaves non-selected updates AS-IS (raw grads),
+        # so frozen leaves must be explicitly zeroed first.
+        inverted = jax.tree_util.tree_map(lambda t: not t, trainable_mask)
+        tx = optax.chain(
+            optax.masked(optax.set_to_zero(), inverted),
+            optax.masked(tx, trainable_mask),
+        )
     return tx
 
 

@@ -1,0 +1,85 @@
+"""Tracing / profiling / structured observability (SURVEY.md §5).
+
+The reference's only visibility is tqdm bars and emoji prints; this module
+provides the designed replacements:
+
+  * `Tracer` — structured per-stage event log (one event per analyze stage)
+    with counters: verdicts/sec, per-signal latency — the BASELINE.json
+    metrics surface
+  * `stage_timer` — context manager feeding the tracer
+  * `profile_trace` — jax.profiler wrapper emitting a Perfetto-compatible
+    trace directory for TPU kernel-level inspection
+  * `nan_guard` — opt-in jax_debug_nans toggling for CI (race detection is
+    N/A in pure-functional JAX; NaN checks are the analogous runtime guard)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from collections import defaultdict
+from typing import Dict, Iterator, List, Optional
+
+
+class Tracer:
+    def __init__(self, sink=None):
+        self.events: List[Dict] = []
+        self.counters: Dict[str, float] = defaultdict(float)
+        self.sink = sink
+
+    def event(self, stage: str, seconds: float, **fields) -> None:
+        ev = {"stage": stage, "seconds": seconds, "ts": time.time(), **fields}
+        self.events.append(ev)
+        self.counters[f"{stage}_seconds"] += seconds
+        self.counters[f"{stage}_count"] += 1
+        if self.sink:
+            self.sink(json.dumps(ev))
+
+    def rate(self, stage: str) -> float:
+        secs = self.counters.get(f"{stage}_seconds", 0.0)
+        n = self.counters.get(f"{stage}_count", 0.0)
+        return n / secs if secs > 0 else 0.0
+
+    def summary(self) -> Dict[str, float]:
+        out = dict(self.counters)
+        out["verdicts_per_sec"] = self.rate("analyze")
+        return out
+
+
+GLOBAL_TRACER = Tracer()
+
+
+@contextlib.contextmanager
+def stage_timer(stage: str, tracer: Optional[Tracer] = None, **fields
+                ) -> Iterator[None]:
+    tracer = tracer or GLOBAL_TRACER
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        tracer.event(stage, time.perf_counter() - t0, **fields)
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str = "/tmp/misinfo_tpu_trace") -> Iterator[None]:
+    """jax.profiler trace (view with Perfetto / TensorBoard)."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+@contextlib.contextmanager
+def nan_guard(enable: bool = True) -> Iterator[None]:
+    import jax
+
+    prev = jax.config.read("jax_debug_nans")
+    jax.config.update("jax_debug_nans", enable)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", prev)

@@ -7,6 +7,9 @@ we must also set jax.config before any backend use.
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # never grab the (single) TPU from tests
 _flags = os.environ.get("XLA_FLAGS", "")

@@ -1,0 +1,118 @@
+"""Checkpoint tests: .pth conversion cascade semantics (C10) and orbax
+round-trip."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+
+from misinfo_tpu.checkpoints.torch_convert import (
+    apply_updates, convert_fusion, convert_head,
+    load_detector_from_reference_ckpts,
+)
+from misinfo_tpu.core.config import ModelPaths
+from misinfo_tpu.models.detector import DetectorConfig, detector_init
+
+
+def _torch_head():
+    return torch.nn.Sequential(
+        torch.nn.Linear(64, 256), torch.nn.ReLU(), torch.nn.Dropout(0.3),
+        torch.nn.Linear(256, 2))
+
+
+def _torch_fusion():
+    return torch.nn.Sequential(
+        torch.nn.Linear(5, 64), torch.nn.ReLU(), torch.nn.Dropout(0.2),
+        torch.nn.Linear(64, 32), torch.nn.ReLU(), torch.nn.Linear(32, 2))
+
+
+def test_head_conversion_matches_torch():
+    torch.manual_seed(0)
+    head = _torch_head().eval()
+    sd = {f"ai_head.{k}": v for k, v in head.state_dict().items()}
+    det = DetectorConfig.tiny()
+    params = detector_init(jax.random.PRNGKey(0), det)
+    applied, skipped = apply_updates(params["ai_head"],
+                                     convert_head(sd, "ai_head."))
+    assert applied == 4 and not skipped
+
+    x = np.random.default_rng(0).normal(size=(3, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref = head(torch.tensor(x)).numpy()
+    from misinfo_tpu.models.roberta import head_apply
+    from misinfo_tpu.ops.common import Policy
+    from misinfo_tpu.core.config import PrecisionConfig
+    ours = np.asarray(head_apply(params["ai_head"], x,
+                                 policy=Policy(PrecisionConfig.highest())))
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_fusion_conversion_matches_torch():
+    torch.manual_seed(1)
+    fusion = _torch_fusion().eval()
+    sd = {f"fusion_layer.{k}": v for k, v in fusion.state_dict().items()}
+    det = DetectorConfig.tiny()
+    params = detector_init(jax.random.PRNGKey(0), det)
+    applied, skipped = apply_updates(params["fusion"], convert_fusion(sd))
+    assert applied == 6 and not skipped
+
+    x = np.random.default_rng(1).normal(size=(4, 5)).astype(np.float32)
+    with torch.no_grad():
+        ref = fusion(torch.tensor(x)).numpy()
+    from misinfo_tpu.models.fusion import fusion_apply
+    ours = np.asarray(fusion_apply(params["fusion"], x))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_strict_false_overlay_skips_mismatches():
+    det = DetectorConfig.tiny()
+    params = detector_init(jax.random.PRNGKey(0), det)
+    before = np.asarray(params["fusion"]["fc1"]["kernel"]).copy()
+    # wrong-shaped tensor + unknown key → both skipped, original kept
+    updates = {("fc1", "kernel"): np.zeros((7, 7), np.float32),
+               ("nonexistent", "kernel"): np.zeros((2, 2), np.float32)}
+    applied, skipped = apply_updates(params["fusion"], updates, strict=False)
+    assert applied == 0 and len(skipped) == 2
+    np.testing.assert_array_equal(
+        np.asarray(params["fusion"]["fc1"]["kernel"]), before)
+    with pytest.raises((KeyError, ValueError)):
+        apply_updates(params["fusion"], updates, strict=True)
+
+
+def test_monolithic_pth_cascade(tmp_path):
+    """Reference loading cascade: full_model_state_dict preferred
+    (misinfo_forensics.py:181-189)."""
+    torch.manual_seed(2)
+    fusion = _torch_fusion()
+    ai = _torch_head()
+    full_sd = {}
+    full_sd.update({f"fusion_layer.{k}": v for k, v in fusion.state_dict().items()})
+    full_sd.update({f"ai_head.{k}": v for k, v in ai.state_dict().items()})
+    ckpt_path = tmp_path / "forensics_master_final.pth"
+    torch.save({"full_model_state_dict": full_sd, "epoch": 8,
+                "accuracy": 95.38}, str(ckpt_path))
+
+    det = DetectorConfig.tiny()
+    params = detector_init(jax.random.PRNGKey(0), det)
+    paths = ModelPaths(fusion_weights=str(ckpt_path))
+    report = load_detector_from_reference_ckpts(params, paths)
+    assert report["mode"] == "monolithic"
+    assert report["applied"] == 10  # 6 fusion + 4 ai_head tensors
+    assert report["epoch"] == 8
+
+
+def test_orbax_roundtrip(tmp_path):
+    from misinfo_tpu.checkpoints.io import (
+        load_checkpoint, load_metadata, save_checkpoint)
+
+    det = DetectorConfig.tiny()
+    params = detector_init(jax.random.PRNGKey(0), det)
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, params, metadata={"epoch": 3, "accuracy": 0.9})
+    restored = load_checkpoint(d, detector_init(jax.random.PRNGKey(1), det))
+    assert restored is not None
+    np.testing.assert_allclose(
+        np.asarray(restored["fusion"]["fc1"]["kernel"]),
+        np.asarray(params["fusion"]["fc1"]["kernel"]), atol=1e-6)
+    assert load_metadata(d)["epoch"] == 3

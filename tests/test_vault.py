@@ -1,0 +1,160 @@
+"""Truth Vault tests: dual-schema loading, on-device search semantics,
+threshold gating, sharded search equivalence on the virtual 8-device mesh."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from misinfo_tpu.vault.store import TruthVault
+from misinfo_tpu.vault.search import vault_search, sharded_vault_sims
+
+
+def _mk_vault(n=10, d=64, seed=0, with_text=True):
+    rng = np.random.default_rng(seed)
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    meta = [{"title": f"article {i}", "url": f"u{i}", "date": "2024"}
+            for i in range(n)]
+    te = rng.normal(size=(n, d)).astype(np.float32) if with_text else None
+    return TruthVault(emb, meta, te)
+
+
+def test_rows_padded_and_normalized():
+    v = _mk_vault(10, 64)
+    assert v.embeddings.shape[0] == 128  # padded to lane multiple
+    norms = np.linalg.norm(v.embeddings[:10], axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    assert v.row_valid[:10].all() and not v.row_valid[10:].any()
+
+
+def test_reference_pickle_schemas(tmp_path):
+    rng = np.random.default_rng(1)
+    emb = rng.normal(size=(4, 32)).astype(np.float32)
+
+    # schema A: embeddings + metadata (reference misinfo_forensics.py:222-224)
+    pa = tmp_path / "a.pkl"
+    with open(pa, "wb") as f:
+        pickle.dump({"embeddings": emb,
+                     "metadata": [{"title": f"t{i}"} for i in range(4)]}, f)
+    va = TruthVault.load(str(pa))
+    assert va is not None and va.num_articles == 4
+
+    # schema B: image_embeddings + text_contents + image_paths (:225-234)
+    pb = tmp_path / "b.pkl"
+    with open(pb, "wb") as f:
+        pickle.dump({"image_embeddings": emb,
+                     "text_contents": [f"headline {i}" for i in range(4)],
+                     "image_paths": [f"p{i}.jpg" for i in range(4)],
+                     "text_embeddings": emb}, f)
+    vb = TruthVault.load(str(pb))
+    assert vb is not None and vb.num_articles == 4
+    assert vb.metadata[0]["title"] == "headline 0"
+    assert vb.text_embeddings is not None
+
+    # unknown schema → None (reference :236)
+    pc = tmp_path / "c.pkl"
+    with open(pc, "wb") as f:
+        pickle.dump({"weird": 1}, f)
+    assert TruthVault.load(str(pc)) is None
+    # missing file → None (reference :243-246)
+    assert TruthVault.load(str(tmp_path / "nope.pkl")) is None
+
+
+def test_npz_roundtrip(tmp_path):
+    v = _mk_vault(6, 32)
+    p = str(tmp_path / "v.npz")
+    v.save(p)
+    v2 = TruthVault.load(p)
+    assert v2.num_articles == 6
+    np.testing.assert_allclose(v2.embeddings, v.embeddings, atol=1e-6)
+    assert v2.metadata[3]["title"] == "article 3"
+
+
+def test_search_matches_reference_numpy_semantics():
+    """On-device result == the reference's numpy argsort brute force
+    (misinfo_forensics.py:443-449)."""
+    v = _mk_vault(20, 64, seed=2)
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(3, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    res = vault_search(jnp.asarray(q), jnp.asarray(v.embeddings),
+                       jnp.asarray(v.row_valid), top_k=5)
+    # reference numpy path
+    vn = v.embeddings[:20]
+    for b in range(3):
+        sims = vn @ q[b]
+        top = np.argsort(sims)[-5:][::-1]
+        np.testing.assert_array_equal(np.asarray(res.top_idx[b]), top)
+        np.testing.assert_allclose(np.asarray(res.top_sims[b]), sims[top],
+                                   atol=1e-5)
+        expected_vd = sims[top[0]] if sims[top[0]] > 0.85 else 0.0
+        assert abs(float(res.vault_discrepancy[b]) - expected_vd) < 1e-5
+
+
+def test_threshold_gate_and_text_similarity():
+    v = _mk_vault(8, 32, seed=4)
+    # craft a query identical to row 5 → similarity 1.0 > 0.85
+    q = v.embeddings[5][None]
+    cap = np.asarray(v.text_embeddings[2][None])
+    res = vault_search(jnp.asarray(q), jnp.asarray(v.embeddings),
+                       jnp.asarray(v.row_valid), top_k=3,
+                       caption_text_emb=jnp.asarray(cap),
+                       vault_text_emb=jnp.asarray(v.text_embeddings),
+                       has_caption=jnp.asarray([True]))
+    assert int(res.top_idx[0, 0]) == 5
+    assert float(res.vault_discrepancy[0]) > 0.99
+    expected_tsim = float(cap[0] @ v.text_embeddings[5])
+    assert abs(float(res.text_similarity[0]) - expected_tsim) < 1e-5
+
+    # below-gate query → discrepancy 0 and text similarity 0
+    rng = np.random.default_rng(9)
+    q2 = rng.normal(size=(1, 32)).astype(np.float32)
+    q2 /= np.linalg.norm(q2)
+    res2 = vault_search(jnp.asarray(q2), jnp.asarray(v.embeddings),
+                        jnp.asarray(v.row_valid), top_k=3,
+                        caption_text_emb=jnp.asarray(cap),
+                        vault_text_emb=jnp.asarray(v.text_embeddings),
+                        has_caption=jnp.asarray([True]))
+    if float(res2.top_sims[0, 0]) <= 0.85:
+        assert float(res2.vault_discrepancy[0]) == 0.0
+        assert float(res2.text_similarity[0]) == 0.0
+
+
+def test_sharded_search_equivalence():
+    """Row-sharded top-k over the 8-device mesh == single-device result."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    devices = jax.devices()[:8]
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.asarray(devices), ("data",))
+
+    v = _mk_vault(120, 64, seed=6)  # pads to 128 = 8 shards of 16 rows
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(4, 64)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    N = v.embeddings.shape[0]
+    shard_rows = N // 8
+    offsets = (np.arange(8, dtype=np.int32) * shard_rows)[:, None]
+
+    fn = shard_map(
+        lambda qq, vs, off, rv: sharded_vault_sims(qq, vs, off[0], rv,
+                                                   top_k=5),
+        mesh=mesh,
+        in_specs=(P(), P("data", None), P("data", None), P("data")),
+        out_specs=(P(), P()),
+        check_vma=False)
+    top_sims, top_idx = fn(jnp.asarray(q), jnp.asarray(v.embeddings),
+                           jnp.asarray(offsets), jnp.asarray(v.row_valid))
+
+    ref = vault_search(jnp.asarray(q), jnp.asarray(v.embeddings),
+                       jnp.asarray(v.row_valid), top_k=5)
+    np.testing.assert_allclose(np.asarray(top_sims), np.asarray(ref.top_sims),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(top_idx), np.asarray(ref.top_idx))
