@@ -20,12 +20,18 @@ import numpy as np
 
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+USE_PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
+SEQ_LEN = int(os.environ.get("BENCH_SEQ", "0"))  # 0 → config default (512)
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    from misinfo_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from misinfo_tpu.core.config import ForensicsConfig
     from misinfo_tpu.engine.signals import signals_program
@@ -39,7 +45,7 @@ def main():
     params = detector_init(jax.random.PRNGKey(0), det_cfg)
 
     rng = np.random.default_rng(0)
-    B, S, C = BATCH, cfg.seq.roberta_max_len, cfg.seq.clip_max_len
+    B, S, C = BATCH, SEQ_LEN or cfg.seq.roberta_max_len, cfg.seq.clip_max_len
     vault_rows = 2176
     batch = {
         "roberta_ids": jnp.asarray(rng.integers(3, 50000, (B, S)), jnp.int32),
@@ -54,7 +60,8 @@ def main():
     }
 
     fn = jax.jit(functools.partial(signals_program, variant="full",
-                                   det_cfg=det_cfg, cfg=cfg, policy=policy))
+                                   det_cfg=det_cfg, cfg=cfg, policy=policy,
+                                   use_pallas=USE_PALLAS))
     # warmup / compile
     out = fn(params, batch)
     jax.block_until_ready(out)

@@ -57,6 +57,11 @@ class MisinfoForensics:
         self.policy = Policy(self.cfg.precision)
         self.mesh = mesh
         t0 = time.perf_counter()
+        try:
+            from misinfo_tpu.core.cache import enable_compilation_cache
+            enable_compilation_cache()
+        except Exception:
+            pass
 
         # tokenizers (parity-grade BPE when assets exist, hash fallback else)
         self.roberta_tokenizer = load_roberta_tokenizer(
@@ -125,14 +130,23 @@ class MisinfoForensics:
             out["vault_text_emb"] = jnp.zeros_like(out["vault_emb"])
         return out
 
+    _TEXT_BUCKETS = (64, 128, 256, 512)
+
     def _tokenize_batch(self, texts: List[str], bucket: int):
-        rb_len = min(self.cfg.seq.roberta_max_len,
+        rb_max = min(self.cfg.seq.roberta_max_len,
                      self.det_cfg.roberta.max_position_embeddings - 2)
         cl_len = min(self.cfg.seq.clip_max_len, self.det_cfg.clip.max_text_len)
-        rb_ids, rb_mask = self.roberta_tokenizer.batch(
-            texts + [""] * (bucket - len(texts)), rb_len)
-        cl_ids, cl_mask = self.clip_tokenizer.batch(
-            texts + [""] * (bucket - len(texts)), cl_len)
+        padded = texts + [""] * (bucket - len(texts))
+        rb_ids, rb_mask = self.roberta_tokenizer.batch(padded, rb_max)
+        # length bucketing: pad to the smallest bucket covering the batch's
+        # longest sequence instead of always paying the 512-token worst case
+        # (padding invariance of scores is guaranteed by the attention mask
+        # and asserted in tests/test_roberta_parity.py)
+        longest = int(rb_mask.sum(axis=1).max()) if len(padded) else rb_max
+        rb_len = next((b for b in self._TEXT_BUCKETS
+                       if b >= longest and b <= rb_max), rb_max)
+        rb_ids, rb_mask = rb_ids[:, :rb_len], rb_mask[:, :rb_len]
+        cl_ids, cl_mask = self.clip_tokenizer.batch(padded, cl_len)
         return rb_ids, rb_mask, cl_ids, cl_mask
 
     def _image_batch(self, images: List, bucket: int):

@@ -137,7 +137,16 @@ class HashTokenizer(_Batcher):
 def load_roberta_tokenizer(tokenizer_dir: Optional[str],
                            vocab_size: int = 50265) -> _Batcher:
     if tokenizer_dir and os.path.exists(os.path.join(tokenizer_dir, "vocab.json")):
-        return RobertaTokenizer.from_dir(tokenizer_dir)
+        vocab = os.path.join(tokenizer_dir, "vocab.json")
+        merges = os.path.join(tokenizer_dir, "merges.txt")
+        try:  # prefer the native C++ batch encoder when compiled
+            from misinfo_tpu.preprocess.native_bpe import NativeRobertaTokenizer
+            tok = NativeRobertaTokenizer(vocab, merges)
+            if tok.native_available:
+                return tok
+        except Exception:
+            pass
+        return RobertaTokenizer(vocab, merges)
     return HashTokenizer("roberta", vocab_size=vocab_size)
 
 

@@ -1,0 +1,91 @@
+"""Multi-chip tests on the 8-virtual-device CPU mesh: the fused serving
+program under data (+model) sharding must produce the same scores as the
+single-device run, and the sharded training step must run."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from misinfo_tpu.core.config import ForensicsConfig, MeshConfig, PrecisionConfig
+from misinfo_tpu.core.mesh import make_mesh
+from misinfo_tpu.engine.signals import signals_program
+from misinfo_tpu.models.detector import DetectorConfig, detector_init
+from misinfo_tpu.ops.common import Policy
+from misinfo_tpu.parallel.sharding import batch_pspecs, detector_pspecs
+
+DET = DetectorConfig.tiny()
+F32 = Policy(PrecisionConfig.highest())
+CFG = ForensicsConfig(verbose=False).replace(precision=PrecisionConfig.highest())
+
+
+def _batch(B=8):
+    rng = np.random.default_rng(0)
+    s = DET.clip.image_size
+    emb = rng.normal(size=(128, DET.clip.projection_dim)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    return {
+        "roberta_ids": jnp.asarray(
+            rng.integers(3, DET.roberta.vocab_size, (B, 16)), jnp.int32),
+        "roberta_mask": jnp.ones((B, 16), jnp.int32),
+        "clip_ids": jnp.asarray(
+            rng.integers(1, DET.clip.vocab_size - 2, (B, 16)), jnp.int32),
+        "clip_mask": jnp.ones((B, 16), jnp.int32),
+        "image_effnet": jnp.asarray(rng.integers(0, 255, (B, s, s, 3)), jnp.uint8),
+        "image_clip": jnp.asarray(rng.integers(0, 255, (B, s, s, 3)), jnp.uint8),
+        "vault_emb": jnp.asarray(emb),
+        "vault_valid": jnp.asarray(np.arange(128) < 7),
+        "vault_text_emb": jnp.asarray(emb),
+    }
+
+
+@pytest.mark.parametrize("model_axis", [1, 2])
+def test_sharded_serving_matches_single_device(model_axis):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    params = detector_init(jax.random.PRNGKey(0), DET)
+    batch = _batch()
+
+    import functools
+    fn = functools.partial(signals_program, variant="full", det_cfg=DET,
+                           cfg=CFG, policy=F32)
+    single = jax.jit(fn)(params, batch)
+
+    mesh = make_mesh(MeshConfig(model=model_axis))
+    pspecs = detector_pspecs(params)
+    params_s = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, pspecs)
+    bspecs = batch_pspecs(batch)
+    batch_s = {k: jax.device_put(v, NamedSharding(mesh, bspecs[k]))
+               for k, v in batch.items()}
+    sharded = jax.jit(fn)(params_s, batch_s)
+
+    np.testing.assert_allclose(np.asarray(sharded.fake_probability),
+                               np.asarray(single.fake_probability), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sharded.clip_similarity),
+                               np.asarray(single.clip_similarity), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(sharded.vault_top_idx),
+                                  np.asarray(single.vault_top_idx))
+
+
+def test_tensor_parallel_pspecs_cover_attention():
+    """Sanity: TP specs actually mark attention/FFN kernels for sharding."""
+    params = detector_init(jax.random.PRNGKey(0), DET)
+    specs = detector_pspecs(params)
+    qspec = specs["roberta"]["layers"][0]["attn"]["q"]["kernel"]
+    ospec = specs["roberta"]["layers"][0]["attn"]["o"]["kernel"]
+    mspec = specs["roberta"]["layers"][0]["mlp_in"]["kernel"]
+    assert qspec == P(None, "model")
+    assert ospec == P("model", None)
+    assert mspec == P(None, "model")
+    # embeddings replicate
+    assert specs["roberta"]["embeddings"]["word"] == P()
+
+
+def test_graft_dryrun_entrypoint():
+    """The driver's dryrun contract end-to-end (small device count)."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(4)
