@@ -161,10 +161,14 @@ class MisinfoForensics:
         return batch_images(eff, size), batch_images(clp, size)
 
     def _run(self, variant: str, batch: Dict) -> SignalOutput:
+        from misinfo_tpu.utils.tracing import stage_timer
         batch = dict(batch)
         batch.update(self._vault_device)
-        out = self.programs.get(variant)(self.params, batch)
-        return jax.tree_util.tree_map(np.asarray, out)
+        with stage_timer(f"program_{variant}",
+                         batch_size=int(next(iter(batch.values())).shape[0])):
+            out = self.programs.get(variant)(self.params, batch)
+            out = jax.tree_util.tree_map(np.asarray, out)
+        return out
 
     # ------------------------------------------------- per-signal methods
     # API parity with reference MisinfoForensics; each rides the batched
@@ -252,6 +256,16 @@ class MisinfoForensics:
 
     def _analyze_batch_internal(self, requests: List[Dict],
                                 explanations: bool = False) -> List[Dict]:
+        from misinfo_tpu.utils.tracing import GLOBAL_TRACER, stage_timer
+        _t = stage_timer("analyze", n_requests=len(requests))
+        _t.__enter__()
+        try:
+            return self.__analyze_batch_body(requests, explanations)
+        finally:
+            _t.__exit__(None, None, None)
+
+    def __analyze_batch_body(self, requests: List[Dict],
+                             explanations: bool = False) -> List[Dict]:
         groups: Dict[str, List[int]] = {}
         for i, r in enumerate(requests):
             if "video" in r:

@@ -54,9 +54,10 @@ def multi_head_attention(
     k = dense(params["k"], kv, policy).reshape(B, S_kv, num_heads, head_dim)
     v = dense(params["v"], kv, policy).reshape(B, S_kv, num_heads, head_dim)
 
-    if use_pallas and not causal and mask is None:
+    if use_pallas:
         from misinfo_tpu.ops.pallas_attention import fused_attention
-        ctx = fused_attention(q, k, v)
+        pm = mask.astype(jnp.float32) if mask is not None else None
+        ctx = fused_attention(q, k, v, mask=pm, causal=causal)
         return dense(params["o"], ctx.reshape(B, S, D), policy)
 
     scale = 1.0 / jnp.sqrt(head_dim).astype(jnp.float32)

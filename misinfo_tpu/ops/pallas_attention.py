@@ -31,15 +31,15 @@ _NEG = -1e9
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
                  causal: bool):
-    # block shapes: q/k/v [1, S, 1, D] → [S, D]; mask [1, S_kv] → [S_kv]
-    q = q_ref[0, :, 0, :]
-    k = k_ref[0, :, 0, :]
-    v = v_ref[0, :, 0, :]
+    # block shapes: q/k/v [1, 1, S, D] → [S, D]; mask [1, 1, S_kv] → [S_kv]
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale        # [S, S_kv]
     if mask_ref is not None:
-        m = mask_ref[0, :].astype(jnp.float32)             # [S_kv]
+        m = mask_ref[0, 0, :].astype(jnp.float32)          # [S_kv]
         scores = scores + (1.0 - m)[None, :] * _NEG
     if causal:
         S, S_kv = scores.shape
@@ -50,46 +50,55 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float,
     out = jax.lax.dot_general(
         probs, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("causal",))
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     mask: Optional[jax.Array] = None,
                     causal: bool = False) -> jax.Array:
-    """q [B,S,H,D], k/v [B,S_kv,H,D], mask [B,S_kv] (1=valid) → [B,S,H,D]."""
+    """q [B,S,H,D], k/v [B,S_kv,H,D], mask [B,S_kv] (1=valid) → [B,S,H,D].
+
+    Internally transposed to [B,H,S,D] so each grid cell's block spans the
+    full (S, D) trailing dims — Mosaic requires trailing block dims to be
+    tile-aligned or equal to the array dims."""
     B, S, H, D = q.shape
     S_kv = k.shape[1]
     scale = 1.0 / (D ** 0.5)
 
-    qspec = pl.BlockSpec((1, S, 1, D), lambda b, h: (b, 0, h, 0),
+    qt = q.transpose(0, 2, 1, 3)   # [B,H,S,D]
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    qspec = pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h, 0, 0),
                          memory_space=pltpu.VMEM)
-    kvspec = pl.BlockSpec((1, S_kv, 1, D), lambda b, h: (b, 0, h, 0),
+    kvspec = pl.BlockSpec((1, 1, S_kv, D), lambda b, h: (b, h, 0, 0),
                           memory_space=pltpu.VMEM)
     in_specs = [qspec, kvspec, kvspec]
-    args = [q, k, v]
+    args = [qt, kt, vt]
     if mask is not None:
-        in_specs.append(pl.BlockSpec((1, S_kv), lambda b, h: (b, 0),
+        in_specs.append(pl.BlockSpec((1, 1, S_kv), lambda b, h: (b, 0, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(mask.astype(jnp.float32))
+        args.append(mask.astype(jnp.float32).reshape(B, 1, S_kv))
         kernel = functools.partial(_attn_kernel, scale=scale, causal=causal)
     else:
         kernel = functools.partial(
             lambda qr, kr, vr, orf, **kw: _attn_kernel(qr, kr, vr, None, orf, **kw),
             scale=scale, causal=causal)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(B, H),
         in_specs=in_specs,
         out_specs=qspec,
-        out_shape=jax.ShapeDtypeStruct((B, S, H, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * (S * S_kv * D * 2),
             bytes_accessed=B * H * (S * D + 2 * S_kv * D + S * D) * 2,
             transcendentals=B * H * S * S_kv,
         ),
     )(*args)
+    return out.transpose(0, 2, 1, 3)
 
 
 def fused_layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,

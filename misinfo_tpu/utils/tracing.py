@@ -33,6 +33,9 @@ class Tracer:
         self.events.append(ev)
         self.counters[f"{stage}_seconds"] += seconds
         self.counters[f"{stage}_count"] += 1
+        for k, v in fields.items():
+            if isinstance(v, (int, float)):
+                self.counters[f"{stage}_{k}"] += v
         if self.sink:
             self.sink(json.dumps(ev))
 
@@ -43,7 +46,10 @@ class Tracer:
 
     def summary(self) -> Dict[str, float]:
         out = dict(self.counters)
-        out["verdicts_per_sec"] = self.rate("analyze")
+        secs = self.counters.get("analyze_seconds", 0.0)
+        reqs = self.counters.get("analyze_n_requests",
+                                 self.counters.get("analyze_count", 0.0))
+        out["verdicts_per_sec"] = reqs / secs if secs > 0 else 0.0
         return out
 
 

@@ -1,0 +1,67 @@
+"""End-to-end serving benchmark THROUGH the facade: host preprocessing
+(BPE tokenize, PIL decode/resize) + device program + report formatting.
+
+Complements bench.py (pure program throughput) with the number a service
+operator sees. Prints one JSON line.
+
+    python tools/bench_e2e.py            # TPU
+    MISINFO_TPU_PLATFORM=cpu python tools/bench_e2e.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+
+
+def main():
+    from PIL import Image
+
+    from misinfo_tpu.core.config import ForensicsConfig
+    from misinfo_tpu.engine.forensics import MisinfoForensics
+    from misinfo_tpu.utils.tracing import GLOBAL_TRACER
+
+    cfg = ForensicsConfig(verbose=False)
+    engine = MisinfoForensics(config=cfg)
+
+    rng = np.random.default_rng(0)
+    words = ["breaking", "news", "report", "officials", "study", "claims",
+             "shocking", "reveals", "yesterday", "according", "sources"]
+    requests = []
+    for i in range(BATCH):
+        text = " ".join(rng.choice(words, size=18))
+        img = Image.fromarray(
+            rng.integers(0, 255, (480, 640, 3)).astype(np.uint8))
+        requests.append({"text": text, "image": img})
+
+    engine.analyze_batch(requests)  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = engine.analyze_batch(requests)
+    dt = time.perf_counter() - t0
+
+    throughput = BATCH * ITERS / dt
+    summary = GLOBAL_TRACER.summary()
+    device_frac = (summary.get("program_full_seconds", 0.0)
+                   / max(1e-9, summary.get("analyze_seconds", 1.0)))
+    print(json.dumps({
+        "metric": "analyze_batch_e2e_throughput",
+        "value": round(throughput, 2),
+        "unit": "verdicts/sec (incl host preprocessing)",
+        "batch": BATCH,
+        "p50_request_latency_ms": round(1000 * dt / (ITERS * BATCH), 3),
+        "device_time_fraction": round(device_frac, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
