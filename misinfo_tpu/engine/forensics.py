@@ -15,7 +15,6 @@ one engine (SURVEY.md §7 design move 2).
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from typing import Dict, List, Optional, Sequence, Union
 
@@ -256,7 +255,7 @@ class MisinfoForensics:
 
     def _analyze_batch_internal(self, requests: List[Dict],
                                 explanations: bool = False) -> List[Dict]:
-        from misinfo_tpu.utils.tracing import GLOBAL_TRACER, stage_timer
+        from misinfo_tpu.utils.tracing import stage_timer
         _t = stage_timer("analyze", n_requests=len(requests))
         _t.__enter__()
         try:
@@ -304,8 +303,6 @@ class MisinfoForensics:
             for row, i in enumerate(idxs):
                 results[i] = self._format_report(out, row, requests[i])
 
-        if explanations or any("video" in r for r in requests):
-            pass
         if explanations:
             for r in results:
                 r["explanation"] = self.explainer.explain(r["scores"],
