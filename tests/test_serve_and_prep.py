@@ -1,0 +1,194 @@
+"""Host-side serving & prep components: dashboard score mapping (C14),
+transcript soft-fail contract (C13), dataset harmonizer/fusion prep
+(C22/C24/C25), guardian HTML extraction (C23)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+# ------------------------------------------------------------- dashboard
+
+def test_probs_label_gating():
+    from misinfo_tpu.serve.dashboard import probs_label
+
+    lbl = probs_label(0.73, "Deepfake", "Authentic")
+    assert lbl["Deepfake"] == pytest.approx(0.73)
+    assert lbl["Authentic"] == pytest.approx(0.27)
+    na = probs_label(None, "Deepfake", "Authentic")
+    assert "N/A (modality not provided)" in na
+
+
+def test_clip_similarity_ui_mapping():
+    """[-1,1] → [0,1] via (s+1)/2 (reference forensics_dashboard.py:222-223)."""
+    from misinfo_tpu.serve.dashboard import normalize_clip_similarity
+
+    assert normalize_clip_similarity(-1.0) == 0.0
+    assert normalize_clip_similarity(0.0) == 0.5
+    assert normalize_clip_similarity(1.0) == 1.0
+
+
+def test_verdict_badge_html():
+    from misinfo_tpu.serve.dashboard import verdict_badge_html
+
+    html = verdict_badge_html("FAKE", 0.87)
+    assert "FAKE" in html and "87.0%" in html
+    assert "#d93025" in html  # red for fake
+    assert "#188038" in verdict_badge_html("REAL", 0.6)
+
+
+# ------------------------------------------------------------ transcript
+
+def test_transcript_soft_fail_contract():
+    """Without weights/tokenizer the transcriber returns "" (reference
+    forensics_dashboard.py:32-34), never raises."""
+    from misinfo_tpu.serve.transcript import WhisperTranscriber, extract_transcript
+
+    assert extract_transcript(None) == ""
+    t = WhisperTranscriber.__new__(WhisperTranscriber)
+    t.has_weights = False
+    t.tokenizer = None
+    assert t.transcribe("/nonexistent.mp4") == ""
+
+
+def test_transcript_merge_rule():
+    """Transcript merges into the caption unless it is an error string
+    (reference forensics_dashboard.py:160-162)."""
+    caption, transcript = "caption", "[transcript error: boom]"
+    combined = caption
+    if transcript and not transcript.startswith("[transcript error"):
+        combined = caption + "\n\n" + transcript
+    assert combined == "caption"
+
+
+# ------------------------------------------------------------- data prep
+
+def test_balanced_sample():
+    from misinfo_tpu.train.data_prep import balanced_sample
+
+    items = ([{"text": f"r{i}", "label": 0} for i in range(30)]
+             + [{"text": f"f{i}", "label": 1} for i in range(50)])
+    out = balanced_sample(items, 20, seed=42)
+    labels = [it["label"] for it in out]
+    assert labels.count(0) == 20 and labels.count(1) == 20
+    out2 = balanced_sample(items, 20, seed=42)
+    assert [it["text"] for it in out] == [it["text"] for it in out2]
+
+
+def test_prepare_fusion_dataset(tmp_path):
+    import pandas as pd
+
+    from misinfo_tpu.train.data_prep import prepare_fusion_dataset
+
+    clip_csv = tmp_path / "clip_train.csv"
+    rows = []
+    for i in range(20):
+        rows.append({"image_path": f"img{i}.jpg", "text": f"match {i}", "label": 0})
+        rows.append({"image_path": f"img{i}.jpg", "text": f"mismatch {i}", "label": 1})
+    pd.DataFrame(rows).to_csv(clip_csv, index=False)
+
+    hc3 = tmp_path / "hc3.csv"
+    pd.DataFrame([{"text": f"ai {i}", "label": 1} for i in range(10)]
+                 + [{"text": f"human {i}", "label": 0} for i in range(10)]
+                 ).to_csv(hc3, index=False)
+
+    out_csv = tmp_path / "Final_Fusion_Train.csv"
+    df = prepare_fusion_dataset(str(clip_csv), str(hc3), None, str(out_csv),
+                                per_source_fake=10, log=lambda *_: None)
+    assert os.path.exists(out_csv)
+    assert set(df.columns) >= {"text", "image_path", "label"}
+    n_fake = int((df["label"] == 1).sum())
+    n_real = int((df["label"] == 0).sum())
+    assert n_fake > n_real  # 2:1 fake-heavy sampling per source
+
+
+def test_quick_fusion_prep(tmp_path):
+    import pandas as pd
+
+    from misinfo_tpu.train.data_prep import quick_fusion_prep
+
+    src = tmp_path / "clip_train.csv"
+    pd.DataFrame([{"image_path": "a.jpg", "text": f"t{i}", "label": i % 2}
+                  for i in range(100)]).to_csv(src, index=False)
+    df = quick_fusion_prep(str(src), str(tmp_path / "out.csv"), 30,
+                           log=lambda *_: None)
+    assert len(df) == 30
+
+
+def test_harmonize_outputs(tmp_path, monkeypatch):
+    from misinfo_tpu.train.data_prep import harmonize_datasets
+
+    monkeypatch.chdir(tmp_path)
+    out = harmonize_datasets(None, None, None, 10, log=lambda *_: None)
+    assert out == []
+    assert os.path.exists(tmp_path / "harmonized_train_data.pkl")
+    assert os.path.exists(tmp_path / "newscippings_genuine_seed.json")
+
+
+# ---------------------------------------------------------- guardian prep
+
+HTML = """<html><head>
+<meta property="og:title" content="Flood hits coastal town" />
+<meta property="og:image" content="https://img.example/photo.jpg" />
+</head><body><h1>ignored h1</h1></body></html>"""
+
+HTML_FALLBACK = """<html><head><title>x</title></head>
+<body><h1>  Headline from H1  </h1>
+<img src="tiny.gif" width="16"/>
+<img src="big_photo.jpg" width="640"/>
+</body></html>"""
+
+
+def test_extract_article_og_tags():
+    from misinfo_tpu.train.guardian_prep import extract_article
+
+    title, img = extract_article(HTML)
+    assert title == "Flood hits coastal town"
+    assert img == "https://img.example/photo.jpg"
+
+
+def test_extract_article_fallbacks():
+    from misinfo_tpu.train.guardian_prep import extract_article
+
+    title, img = extract_article(HTML_FALLBACK)
+    assert title == "Headline from H1"
+    assert img == "big_photo.jpg"  # width>=300 preferred over tiny icon
+
+
+def test_emit_clip_csvs_leak_free(tmp_path):
+    import pandas as pd
+
+    from misinfo_tpu.train.guardian_prep import emit_clip_csvs
+
+    articles = [{"article_id": f"g{i}", "text_content": f"headline {i}",
+                 "image_local_path": f"im{i}.jpg", "url": f"u{i}"}
+                for i in range(10)]
+    tr = str(tmp_path / "clip_train.csv")
+    va = str(tmp_path / "clip_val.csv")
+    emit_clip_csvs(articles, tr, va, 0.2, log=lambda *_: None)
+    train = pd.read_csv(tr)
+    val = pd.read_csv(va)
+    # 1 matched + 1 mismatched per image
+    assert (train["label"] == 0).sum() == (train["label"] == 1).sum()
+    # leak-free: no image appears in both splits
+    assert not (set(train["image_path"]) & set(val["image_path"]))
+    # mismatched pair text differs from the image's own headline
+    for _, row in train[train["label"] == 1].iterrows():
+        own = row["image_path"].replace("im", "headline ").replace(".jpg", "")
+        assert row["text"] != own
+
+
+def test_fetch_and_save_image_local(tmp_path):
+    from PIL import Image
+
+    from misinfo_tpu.train.guardian_prep import fetch_and_save_image
+
+    src = tmp_path / "src.png"
+    Image.fromarray(np.zeros((50, 80, 3), np.uint8)).save(src)
+    dst = str(tmp_path / "out.jpg")
+    assert fetch_and_save_image(str(src), dst, size=224)
+    img = Image.open(dst)
+    assert img.size == (224, 224)  # LANCZOS resize to 224
+    assert not fetch_and_save_image("https://no.network/x.jpg", dst)
