@@ -66,6 +66,25 @@ def load_checkpoint(path: str, params_like) -> Optional[Dict]:
         return jax.tree_util.tree_unflatten(treedef, flat)
 
 
+def load_opt_state(path: str, opt_state_like) -> Optional[object]:
+    """Restore optimizer state saved by save_checkpoint → enables training
+    resume (the reference checkpoints optimizer state too,
+    train_roberta_detective.py:309-318, but never reloads it; we do)."""
+    npz = os.path.join(path, "opt_state.npz")
+    if not os.path.exists(npz):
+        return None
+    data = np.load(npz, allow_pickle=False)
+    flat = [data[k] for k in data.files]
+    treedef = jax.tree_util.tree_structure(opt_state_like)
+    leaves_like = jax.tree_util.tree_leaves(opt_state_like)
+    if len(flat) != len(leaves_like):
+        return None
+    cast = [np.asarray(x, dtype=np.asarray(l).dtype).reshape(np.asarray(l).shape)
+            if hasattr(l, "shape") else x
+            for x, l in zip(flat, leaves_like)]
+    return jax.tree_util.tree_unflatten(treedef, cast)
+
+
 def load_metadata(path: str) -> Dict:
     p = os.path.join(path, "metadata.json")
     if os.path.exists(p):

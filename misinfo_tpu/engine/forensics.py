@@ -385,24 +385,50 @@ class MisinfoForensics:
         return float(np.dot(emb[0], emb[1]))
 
     def _print_report(self, req: Dict, report: Dict) -> None:
+        """Step-by-step forensic report, same six-step structure as the
+        reference's verbose analyze() (misinfo_forensics.py:785-918)."""
+        s = report["scores"]
+        has_text = bool(req.get("text"))
+        has_visual = req.get("image") is not None or bool(req.get("video"))
         print("\n" + "=" * 70)
         print("MISINFORMATION FORENSICS ANALYSIS (TPU engine)")
         print("=" * 70)
-        s = report["scores"]
-        if req.get("text"):
-            print(f"[Text]   AI-generated: {s['ai_score']:.2%}   "
-                  f"misinfo: {s['misinfo_score']:.2%}")
-        if req.get("image") is not None or req.get("video"):
-            print(f"[Visual] deepfake: {s['deepfake_score']:.2%}   "
-                  f"clip-sim: {s['clip_similarity']:.4f}   "
-                  f"vault: {s['vault_discrepancy']:.2%}")
+        print("\n[Step 1] Text Analysis (RoBERTa Dual Heads)...")
+        if has_text:
+            print(f"  - AI-Generated Score: {s['ai_score']:.2%}")
+            print(f"  - Misinfo/Propaganda Score: {s['misinfo_score']:.2%}")
+        else:
+            print("  - Skipped (no text provided)")
+        step2 = ("Video Forensics (Frame Sampling)" if req.get("video")
+                 else "Visual Forensics (EfficientNet)")
+        print(f"\n[Step 2] {step2}...")
+        if has_visual:
+            print(f"  - Deepfake Probability: {s['deepfake_score']:.2%}")
+        else:
+            print("  - Skipped (no image/video provided)")
+        print("\n[Step 3] Image-Text Consistency (CLIP)...")
+        if has_text and has_visual:
+            print(f"  - CLIP Similarity: {s['clip_similarity']:.4f}")
+        else:
+            print("  - Skipped (missing modality)")
+        print("\n[Step 4] Truth Vault Search...")
+        if has_visual and self.vault_loaded:
+            print(f"  - Historical Discrepancy: {s['vault_discrepancy']:.2%}")
             if report["vault_matches"]:
                 m = report["vault_matches"][0]
-                print(f"         top vault match: \"{m['title']}\" "
-                      f"({m['similarity']:.1%})")
-        print(f"[Verdict] {report['verdict_text']} "
-              f"(confidence {report['confidence']:.1%})")
+                print(f"  - Top Match: \"{m['title']}\"")
+                print(f"    Image Similarity: {m['similarity']:.1%}")
+                if s.get("text_similarity", 0.0) > 0:
+                    print(f"    Text Similarity: {s['text_similarity']:.2%}")
+        elif has_visual:
+            print("  - Vault not available")
+        else:
+            print("  - Skipped (no image/video provided)")
+        print("\n[Step 5] Verdict...")
+        print(f"  Final Verdict: {report['verdict_text']}")
+        print(f"  - Confidence: {report['confidence']:.1%}")
         if report.get("explanation"):
-            print("-" * 70)
+            print("\n[Step 6] Forensic Summary...")
+            print("=" * 70)
             print(report["explanation"])
         print("=" * 70)

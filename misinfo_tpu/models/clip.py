@@ -17,7 +17,7 @@ Re-implements the consistency scorer / vault encoder of the reference
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

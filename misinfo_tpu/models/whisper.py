@@ -15,7 +15,7 @@ positions, encoder positions fixed-sinusoidal.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -87,7 +87,6 @@ def whisper_init(key, cfg: WhisperConfig = WhisperConfig()) -> Dict:
     n = cfg.encoder_layers + cfg.decoder_layers + 8
     ks = iter(jax.random.split(key, n))
     s = 0.02
-    k1 = int(3)
     return {
         "encoder": {
             "conv1": {"kernel": jax.random.normal(next(ks), (3, cfg.num_mel_bins, cfg.d_model)) * s,

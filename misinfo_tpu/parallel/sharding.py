@@ -12,6 +12,12 @@ the designed-for-TPU replacement:
   pair needs a single all-reduce which GSPMD places on ICI.
 * vault rows may shard on `data` for giant vaults (vault/search.py).
 
+Pipeline / sequence / expert parallelism are intentionally out of scope:
+this workload's models fit one chip many times over, sequence lengths are
+≤512 (SURVEY.md §5 "long-context: N/A"), and there are no MoE layers. The
+long axes — video frames (≤12) and vault rows — are handled by batching
+and row-sharding respectively, not by PP/SP/EP.
+
 Everything is expressed as PartitionSpecs; no hand-written collectives on
 this path — GSPMD chooses ppermute/all-gather/reduce-scatter.
 """

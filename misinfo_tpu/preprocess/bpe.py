@@ -21,7 +21,7 @@ from __future__ import annotations
 import functools
 import html
 import json
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 try:  # `regex` supports \p{L}/\p{N}; it ships as a transformers dependency.
     import regex as _re

@@ -18,8 +18,6 @@ train_cifake_forensics.py:44,50) is covered by passing ``stats='clip'``.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
-
 import numpy as np
 
 try:

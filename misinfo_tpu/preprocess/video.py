@@ -9,7 +9,7 @@ loop of per-frame model calls (SURVEY.md §7 design move 3).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 
