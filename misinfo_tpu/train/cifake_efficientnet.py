@@ -119,8 +119,10 @@ def train(cifake_root: str, out_dir: str = "efficientnet_cifake_best",
                 "accuracy": float(np.mean(accs)) if accs else 0.0}
 
     def train_batches():
-        for b in train_b.batches(batch_size):
-            yield {k: jnp.asarray(v) for k, v in b.items()}
+        from misinfo_tpu.train.datasets import prefetch
+        gen = ({k: jnp.asarray(v) for k, v in b.items()}
+               for b in train_b.batches(batch_size))
+        yield from prefetch(gen)
 
     def ckpt(params, opt_state, epoch, metrics):
         from misinfo_tpu.checkpoints.io import save_checkpoint

@@ -159,8 +159,10 @@ def train(train_csv: str, val_csv: Optional[str] = None,
                 "fixed_accuracy": float(np.mean(fix_accs)) if fix_accs else 0.0}
 
     def train_batches():
-        for b in train_b.batches(batch_size):
-            yield {k: jnp.asarray(v) for k, v in b.items()}
+        from misinfo_tpu.train.datasets import prefetch
+        gen = ({k: jnp.asarray(v) for k, v in b.items()}
+               for b in train_b.batches(batch_size))
+        yield from prefetch(gen)
 
     def ckpt(params, opt_state, epoch, metrics):
         from misinfo_tpu.checkpoints.io import save_checkpoint

@@ -169,6 +169,33 @@ class MisinfoDataset:
             yield batch
 
 
+def prefetch(batch_iter, depth: int = 2):
+    """Background-thread prefetcher: overlaps host-side augmentation /
+    JPEG round-trips / tokenization with device compute. (The reference
+    runs all DataLoaders with num_workers=0 — strictly serial host work,
+    SURVEY.md §2.5.)"""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in batch_iter:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+
+
 def pad_batch_to(batch: Dict[str, np.ndarray], size: int) -> Dict[str, np.ndarray]:
     """Pad a trailing partial batch up to `size` (static jit shapes)."""
     n = len(batch["labels"])

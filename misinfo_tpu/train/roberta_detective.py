@@ -108,9 +108,11 @@ def train(csv_path: str, out_dir: str = "roberta_detective_best",
     step = make_text_head_step(tx, det_cfg, policy, head=head)
 
     def train_batches():
-        for b in train_ds.batches(batch_size, drop_remainder=True):
-            yield {k: jnp.asarray(v) for k, v in b.items()
-                   if k in ("input_ids", "attention_mask", "labels")}
+        from misinfo_tpu.train.datasets import prefetch
+        gen = ({k: jnp.asarray(v) for k, v in b.items()
+                if k in ("input_ids", "attention_mask", "labels")}
+               for b in train_ds.batches(batch_size, drop_remainder=True))
+        yield from prefetch(gen)
 
     def val_batches():
         yield from val_ds.batches(batch_size, shuffle=False, drop_remainder=True)
