@@ -71,6 +71,9 @@ def multi_head_attention(
         idx = jnp.arange(S)
         cmask = (idx[:, None] >= jnp.arange(S_kv)[None, :]).astype(jnp.float32)
         scores = scores + (1.0 - cmask)[None, None] * _NEG_INF
+    # NB: a deferred-normalization variant (bf16 unnormalized exp-scores,
+    # divide after PV) was benchmarked at 597 vs 682 verdicts/s — XLA's
+    # native softmax+matmul fusion wins; keep the straightforward form.
     probs = jax.nn.softmax(scores, axis=-1).astype(policy.compute)
     ctx = jnp.einsum("bhst,bthd->bshd", probs, v,
                      preferred_element_type=policy.accum,
