@@ -162,13 +162,103 @@ def whisper_decode_step(params: Dict, tokens: jax.Array, enc_out: jax.Array,
                    precision=policy.precision)
 
 
+def _cached_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
+                         enc_out: jax.Array, kv_cache: Dict,
+                         cfg: WhisperConfig, policy: Policy):
+    """One decoder step with KV caching.
+
+    token [B] int32, pos scalar int32 → (logits [B,V], updated cache).
+    Self-attention K/V for the new position are written into fixed
+    [B, max_target, H, Dh] cache buffers (static shapes, `lax`-friendly);
+    cross-attention K/V are precomputed once per utterance.
+    """
+    dec = params["decoder"]
+    B = token.shape[0]
+    D = cfg.d_model
+    H = cfg.num_heads
+    Dh = D // H
+
+    x = (jnp.take(dec["token_embedding"], token, axis=0)
+         + dec["positions"][pos]).astype(policy.compute)      # [B, D]
+    x = x[:, None, :]                                          # [B, 1, D]
+
+    S_max = kv_cache["self_k"][0].shape[1]
+    pos_mask = (jnp.arange(S_max)[None, :] <= pos).astype(jnp.float32)  # [1,S]
+
+    new_cache = {"self_k": [], "self_v": []}
+    for li, blk in enumerate(dec["blocks"]):
+        h = layer_norm(blk["ln1"], x, policy=policy)
+        q = dense(blk["self_attn"]["q"], h, policy).reshape(B, 1, H, Dh)
+        k_new = dense(blk["self_attn"]["k"], h, policy).reshape(B, H, Dh)
+        v_new = dense(blk["self_attn"]["v"], h, policy).reshape(B, H, Dh)
+        ck = jax.lax.dynamic_update_index_in_dim(
+            kv_cache["self_k"][li], k_new, pos, axis=1)        # [B,S,H,Dh]
+        cv = jax.lax.dynamic_update_index_in_dim(
+            kv_cache["self_v"][li], v_new, pos, axis=1)
+        new_cache["self_k"].append(ck)
+        new_cache["self_v"].append(cv)
+        scores = jnp.einsum("bqhd,bshd->bhqs", q, ck,
+                            preferred_element_type=jnp.float32,
+                            precision=policy.precision) / np.sqrt(Dh)
+        scores = scores + (1.0 - pos_mask)[None, None, :, :] * -1e9
+        probs = jax.nn.softmax(scores, axis=-1).astype(policy.compute)
+        ctx = jnp.einsum("bhqs,bshd->bqhd", probs, cv,
+                         preferred_element_type=policy.accum,
+                         precision=policy.precision).astype(policy.compute)
+        x = x + dense(blk["self_attn"]["o"], ctx.reshape(B, 1, D), policy)
+
+        h = layer_norm(blk["ln_cross"], x, policy=policy)
+        q = dense(blk["cross_attn"]["q"], h, policy).reshape(B, 1, H, Dh)
+        ck_x = kv_cache["cross_k"][li]                          # [B,T,H,Dh]
+        cv_x = kv_cache["cross_v"][li]
+        scores = jnp.einsum("bqhd,bshd->bhqs", q, ck_x,
+                            preferred_element_type=jnp.float32,
+                            precision=policy.precision) / np.sqrt(Dh)
+        probs = jax.nn.softmax(scores, axis=-1).astype(policy.compute)
+        ctx = jnp.einsum("bhqs,bshd->bqhd", probs, cv_x,
+                         preferred_element_type=policy.accum,
+                         precision=policy.precision).astype(policy.compute)
+        x = x + dense(blk["cross_attn"]["o"], ctx.reshape(B, 1, D), policy)
+
+        h = layer_norm(blk["ln2"], x, policy=policy)
+        x = x + dense(blk["mlp_out"], gelu_exact(dense(blk["mlp_in"], h, policy)),
+                      policy)
+
+    x = layer_norm(params["decoder"]["final_ln"], x, policy=policy)[:, 0]
+    logits = jnp.dot(x, dec["token_embedding"].T.astype(policy.compute),
+                     preferred_element_type=jnp.float32,
+                     precision=policy.precision)
+    kv_cache = {**kv_cache, "self_k": new_cache["self_k"],
+                "self_v": new_cache["self_v"]}
+    return logits, kv_cache
+
+
+def init_kv_cache(params: Dict, enc_out: jax.Array, max_len: int,
+                  cfg: WhisperConfig, policy: Policy) -> Dict:
+    """Allocate self-attention cache buffers and precompute cross K/V."""
+    dec = params["decoder"]
+    B, T = enc_out.shape[0], enc_out.shape[1]
+    H, Dh = cfg.num_heads, cfg.d_model // cfg.num_heads
+    cache = {"self_k": [], "self_v": [], "cross_k": [], "cross_v": []}
+    for blk in dec["blocks"]:
+        cache["self_k"].append(
+            jnp.zeros((B, max_len, H, Dh), policy.compute))
+        cache["self_v"].append(
+            jnp.zeros((B, max_len, H, Dh), policy.compute))
+        cache["cross_k"].append(
+            dense(blk["cross_attn"]["k"], enc_out, policy).reshape(B, T, H, Dh))
+        cache["cross_v"].append(
+            dense(blk["cross_attn"]["v"], enc_out, policy).reshape(B, T, H, Dh))
+    return cache
+
+
 def greedy_decode(params: Dict, mel: jax.Array,
                   cfg: WhisperConfig = WhisperConfig(),
                   policy: Policy = DEFAULT_POLICY,
                   max_len: Optional[int] = None,
                   prompt_tokens: Optional[jax.Array] = None) -> jax.Array:
-    """Greedy transcript decoding with static shapes: a fori_loop over a
-    fixed [B, max_len] token buffer (post-EOS positions stay EOS)."""
+    """Greedy transcript decoding with KV caching: O(L) per-step cost via a
+    fori_loop over static [B, max_len] buffers (post-EOS stays EOS)."""
     max_len = max_len or cfg.max_target_positions
     enc_out = whisper_encode(params, mel, cfg, policy)
     B = mel.shape[0]
@@ -179,15 +269,28 @@ def greedy_decode(params: Dict, mel: jax.Array,
         P = prompt_tokens.shape[1]
         tokens = tokens.at[:, 1:1 + P].set(prompt_tokens)
         start = 1 + P
+    cache0 = init_kv_cache(params, enc_out, max_len, cfg, policy)
     done0 = jnp.zeros((B,), jnp.bool_)
 
     def body(i, carry):
-        tokens, done = carry
-        logits = whisper_decode_step(params, tokens, enc_out, cfg, policy)
-        nxt = jnp.argmax(logits[:, i - 1, :], axis=-1).astype(jnp.int32)
+        tokens, cache, done = carry
+        # feed token i-1, predict token i; cache position i-1 gets written
+        logits, cache = _cached_decoder_step(
+            params, tokens[:, i - 1], i - 1, enc_out, cache, cfg, policy)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.eos_token_id, nxt)
         done = jnp.logical_or(done, nxt == cfg.eos_token_id)
-        return tokens.at[:, i].set(nxt), done
+        return tokens.at[:, i].set(nxt), cache, done
 
-    tokens, _ = jax.lax.fori_loop(start, max_len, body, (tokens, done0))
+    # prompt positions must populate the cache before free-running decode
+    def prefill(i, carry):
+        tokens, cache, done = carry
+        _, cache = _cached_decoder_step(
+            params, tokens[:, i], i, enc_out, cache, cfg, policy)
+        return tokens, cache, done
+
+    tokens, cache, done = jax.lax.fori_loop(
+        0, start - 1, prefill, (tokens, cache0, done0))
+    tokens, _, _ = jax.lax.fori_loop(start, max_len, body,
+                                     (tokens, cache, done))
     return tokens

@@ -147,6 +147,36 @@ def test_greedy_decode_static_shapes():
     assert (np.asarray(tokens)[:, 0] == TINY.decoder_start_token_id).all()
 
 
+def test_kv_cached_decode_matches_full_prefix():
+    """The KV-cached greedy decoder must produce the same tokens as a
+    naive full-prefix greedy loop."""
+    from misinfo_tpu.models.whisper import whisper_encode
+
+    params = whisper_init(jax.random.PRNGKey(3), TINY)
+    rng = np.random.default_rng(4)
+    mel = jnp.asarray(rng.normal(size=(2, 32, TINY.num_mel_bins))
+                      .astype(np.float32))
+    max_len = 10
+
+    cached = np.asarray(greedy_decode(params, mel, TINY, F32,
+                                      max_len=max_len))
+
+    # naive reference: full-prefix forward per step
+    enc = whisper_encode(params, mel, TINY, F32)
+    tokens = np.full((2, max_len), TINY.eos_token_id, np.int32)
+    tokens[:, 0] = TINY.decoder_start_token_id
+    done = np.zeros(2, bool)
+    for i in range(1, max_len):
+        logits = np.asarray(whisper_decode_step(
+            params, jnp.asarray(tokens), enc, TINY, F32))
+        nxt = logits[:, i - 1, :].argmax(-1).astype(np.int32)
+        nxt = np.where(done, TINY.eos_token_id, nxt)
+        done |= nxt == TINY.eos_token_id
+        tokens[:, i] = nxt
+
+    np.testing.assert_array_equal(cached, tokens)
+
+
 def test_sinusoid_table_matches_hf():
     from transformers.models.whisper.modeling_whisper import WhisperPositionalEmbedding  # noqa
     # HF initializes encoder positions sinusoidally via _init_weights;
