@@ -22,6 +22,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
 SEQ_LEN = int(os.environ.get("BENCH_SEQ", "0"))  # 0 → config default (512)
+QUANT = os.environ.get("BENCH_QUANT", "none")    # "int8" → quantized serving
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
 
 
@@ -43,6 +44,9 @@ def main():
     det_cfg = DetectorConfig()
     policy = Policy(cfg.precision)  # bf16 serving mode
     params = detector_init(jax.random.PRNGKey(0), det_cfg)
+    if QUANT == "int8":
+        from misinfo_tpu.ops.quant import quantize_params
+        params = quantize_params(params)
 
     rng = np.random.default_rng(0)
     B, S, C = BATCH, SEQ_LEN or cfg.seq.roberta_max_len, cfg.seq.clip_max_len

@@ -69,6 +69,14 @@ class PrecisionConfig:
     param_dtype: str = "float32"       # master weights
     accum_dtype: str = "float32"       # matmul accumulation (MXU native)
     softmax_dtype: str = "float32"     # score softmaxes always f32
+    # Attention score materialization dtype. "auto" → bf16 in bf16 serving
+    # mode (halves the [B,H,S,S] HBM traffic — the profiled top cost at
+    # S=512, docs/PERF.md), f32 in parity mode. Softmax math stays f32
+    # inside the fusion either way.
+    score_dtype: str = "auto"
+    # "int8" quantizes the large dense kernels for serving (ops/quant.py,
+    # double-rate MXU path); "none" (default) keeps bf16 everywhere.
+    quant: str = "none"
 
     @staticmethod
     def highest() -> "PrecisionConfig":

@@ -82,6 +82,11 @@ class MisinfoForensics:
                 self.load_report = {"mode": "init", "error": str(e)}
         else:
             self.load_report = {"mode": "provided"}
+        if getattr(self.cfg.precision, "quant", "none") == "int8":
+            # int8 serving mode (ops/quant.py): large dense kernels become
+            # int8 + per-channel scales; dense() dispatches automatically.
+            from misinfo_tpu.ops.quant import quantize_params
+            params = quantize_params(params)
         if mesh is not None:
             from misinfo_tpu.parallel.sharding import shard_params
             params = shard_params(mesh, params)

@@ -61,20 +61,26 @@ def multi_head_attention(
         return dense(params["o"], ctx.reshape(B, S, D), policy)
 
     scale = 1.0 / jnp.sqrt(head_dim).astype(jnp.float32)
-    # [B, H, S, S_kv]
+    # [B, H, S, S_kv]. The materialized score/prob buffers are the hot HBM
+    # traffic at S=512 (docs/PERF.md); `policy.score` makes them bf16 in
+    # serving mode (MXU still accumulates f32 internally), f32 in parity
+    # mode. Softmax math upcasts to f32 inside the fusion either way.
+    sdt = policy.score
     scores = jnp.einsum("bshd,bthd->bhst", q, k,
-                        preferred_element_type=jnp.float32,
-                        precision=policy.precision) * scale
+                        preferred_element_type=sdt,
+                        precision=policy.precision) * jnp.asarray(scale, sdt)
     if mask is not None:
-        scores = scores + (1.0 - mask[:, None, None, :].astype(jnp.float32)) * _NEG_INF
+        scores = scores + ((1.0 - mask[:, None, None, :].astype(jnp.float32))
+                           * _NEG_INF).astype(sdt)
     if causal:
         idx = jnp.arange(S)
         cmask = (idx[:, None] >= jnp.arange(S_kv)[None, :]).astype(jnp.float32)
-        scores = scores + (1.0 - cmask)[None, None] * _NEG_INF
+        scores = scores + ((1.0 - cmask)[None, None] * _NEG_INF).astype(sdt)
     # NB: a deferred-normalization variant (bf16 unnormalized exp-scores,
     # divide after PV) was benchmarked at 597 vs 682 verdicts/s — XLA's
     # native softmax+matmul fusion wins; keep the straightforward form.
-    probs = jax.nn.softmax(scores, axis=-1).astype(policy.compute)
+    probs = jax.nn.softmax(scores.astype(jnp.float32),
+                           axis=-1).astype(policy.compute)
     ctx = jnp.einsum("bhst,bthd->bshd", probs, v,
                      preferred_element_type=policy.accum,
                      precision=policy.precision).astype(policy.compute)

@@ -33,6 +33,12 @@ class Policy:
         self.param = jnp.dtype(cfg.param_dtype)
         self.accum = jnp.dtype(cfg.accum_dtype)
         self.softmax = jnp.dtype(cfg.softmax_dtype)
+        if cfg.score_dtype == "auto":
+            self.score = (jnp.dtype(jnp.bfloat16)
+                          if self.compute == jnp.dtype(jnp.bfloat16)
+                          else jnp.dtype(jnp.float32))
+        else:
+            self.score = jnp.dtype(cfg.score_dtype)
         self.precision = (jax.lax.Precision.HIGHEST
                           if self.compute == jnp.dtype(jnp.float32)
                           else jax.lax.Precision.DEFAULT)
@@ -59,7 +65,14 @@ def dense_init(key, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def dense(params: Dict, x: jax.Array, policy: Policy = DEFAULT_POLICY) -> jax.Array:
-    """y = x @ W + b with bf16 inputs, f32 accumulation."""
+    """y = x @ W + b with bf16 inputs, f32 accumulation.
+
+    Params quantized by ops.quant.quantize_params (int8 serving mode)
+    carry `kernel_q` instead of `kernel` and ride the MXU's double-rate
+    int8 path."""
+    if "kernel_q" in params:
+        from misinfo_tpu.ops.quant import dense_int8
+        return dense_int8(params, x, policy.compute)
     w = params["kernel"].astype(policy.compute)
     y = jnp.dot(x.astype(policy.compute), w,
                 preferred_element_type=policy.accum,
