@@ -44,9 +44,11 @@ def main():
     det_cfg = DetectorConfig()
     policy = Policy(cfg.precision)  # bf16 serving mode
     params = detector_init(jax.random.PRNGKey(0), det_cfg)
-    if QUANT == "int8":
-        from misinfo_tpu.ops.quant import quantize_params
-        params = quantize_params(params)
+    from misinfo_tpu.ops.serving import optimize_for_serving
+    params = optimize_for_serving(
+        params, policy, quant=QUANT,
+        fuse=os.environ.get("BENCH_FUSE", "0") == "1",
+        cast=os.environ.get("BENCH_CAST", "1") == "1")
 
     rng = np.random.default_rng(0)
     B, S, C = BATCH, SEQ_LEN or cfg.seq.roberta_max_len, cfg.seq.clip_max_len

@@ -82,12 +82,17 @@ class MisinfoForensics:
                 self.load_report = {"mode": "init", "error": str(e)}
         else:
             self.load_report = {"mode": "provided"}
-        if getattr(self.cfg.precision, "quant", "none") == "int8":
-            # int8 serving mode (ops/quant.py): large dense kernels become
-            # int8 + per-channel scales; dense() dispatches automatically.
-            from misinfo_tpu.ops.quant import quantize_params
-            params = quantize_params(params)
-        if mesh is not None:
+        if mesh is None:
+            # single-chip serving: fuse QKV projections (exact math) and
+            # store big kernels in the serving dtype / int8 (ops/serving.py)
+            from misinfo_tpu.ops.serving import optimize_for_serving
+            params = optimize_for_serving(
+                params, self.policy,
+                quant=getattr(self.cfg.precision, "quant", "none"))
+        else:
+            if getattr(self.cfg.precision, "quant", "none") == "int8":
+                from misinfo_tpu.ops.quant import quantize_params
+                params = quantize_params(params)
             from misinfo_tpu.parallel.sharding import shard_params
             params = shard_params(mesh, params)
         self.params = params

@@ -50,9 +50,18 @@ def multi_head_attention(
     S_kv = kv.shape[1]
     head_dim = D // num_heads
 
-    q = dense(params["q"], x, policy).reshape(B, S, num_heads, head_dim)
-    k = dense(params["k"], kv, policy).reshape(B, S_kv, num_heads, head_dim)
-    v = dense(params["v"], kv, policy).reshape(B, S_kv, num_heads, head_dim)
+    if "qkv" in params:
+        # serving-fused projection (ops/serving.py): one [D,3D] matmul;
+        # exact same math as three separate projections. Only valid for
+        # self-attention (k/v would need the other operand otherwise).
+        assert kv is x, "fused qkv params require self-attention"
+        qkv = dense(params["qkv"], x, policy)
+        q, k, v = (t.reshape(B, S, num_heads, head_dim)
+                   for t in jnp.split(qkv, 3, axis=-1))
+    else:
+        q = dense(params["q"], x, policy).reshape(B, S, num_heads, head_dim)
+        k = dense(params["k"], kv, policy).reshape(B, S_kv, num_heads, head_dim)
+        v = dense(params["v"], kv, policy).reshape(B, S_kv, num_heads, head_dim)
 
     if use_pallas:
         from misinfo_tpu.ops.pallas_attention import fused_attention

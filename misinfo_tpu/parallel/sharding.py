@@ -40,12 +40,12 @@ def _spec_for_path(path, leaf) -> P:
     if "attn" in keys:
         which = keys[keys.index("attn") + 1] if keys.index("attn") + 1 < len(keys) else ""
         if keys[-1] == "kernel" and ndim == 2:
-            if which in ("q", "k", "v"):
+            if which in ("q", "k", "v", "qkv"):
                 return P(None, "model")
             if which == "o":
                 return P("model", None)
         if keys[-1] == "bias":
-            if which in ("q", "k", "v"):
+            if which in ("q", "k", "v", "qkv"):
                 return P("model")
             return P()
     if keys[-1] == "kernel" and ndim == 2:
