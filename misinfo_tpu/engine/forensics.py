@@ -70,16 +70,29 @@ class MisinfoForensics:
             self.cfg.paths.clip_tokenizer_dir,
             vocab_size=self.det_cfg.clip.vocab_size)
 
-        # detector params: init then overlay checkpoints (reference C10 cascade)
+        # detector params: init then overlay checkpoints. Cascade: native
+        # orbax dir (our trainers' output) → reference torch .pth cascade
+        # (C10) → fresh init.
         if params is None:
             params = detector_init(jax.random.PRNGKey(self.cfg.seed), self.det_cfg)
-            try:
-                from misinfo_tpu.checkpoints.torch_convert import (
-                    load_detector_from_reference_ckpts)
-                self.load_report = load_detector_from_reference_ckpts(
-                    params, self.cfg.paths)
-            except Exception as e:  # torch missing / unreadable ckpts → fresh init
-                self.load_report = {"mode": "init", "error": str(e)}
+            native = None
+            if self.cfg.paths.orbax_dir:
+                from misinfo_tpu.checkpoints.io import (
+                    load_checkpoint, load_metadata)
+                native = load_checkpoint(self.cfg.paths.orbax_dir, params)
+            if native is not None:
+                params = native
+                self.load_report = {
+                    "mode": "native", "path": self.cfg.paths.orbax_dir,
+                    **load_metadata(self.cfg.paths.orbax_dir)}
+            else:
+                try:
+                    from misinfo_tpu.checkpoints.torch_convert import (
+                        load_detector_from_reference_ckpts)
+                    self.load_report = load_detector_from_reference_ckpts(
+                        params, self.cfg.paths)
+                except Exception as e:  # torch missing / unreadable → fresh init
+                    self.load_report = {"mode": "init", "error": str(e)}
         else:
             self.load_report = {"mode": "provided"}
         if mesh is None:

@@ -63,6 +63,50 @@ def cast_big_kernels(tree, dtype=jnp.bfloat16,
     return tree
 
 
+def unfuse_qkv_params(tree):
+    """Inverse of fuse_qkv_params: {qkv,o} → {q,k,v,o}."""
+    if isinstance(tree, dict):
+        if "qkv" in tree and isinstance(tree["qkv"], dict) and "o" in tree:
+            qkv = tree["qkv"]
+            ks = jnp.split(qkv["kernel"], 3, axis=1)
+            out = {n: {"kernel": k} for n, k in zip(("q", "k", "v"), ks)}
+            if "bias" in qkv:
+                bs = jnp.split(qkv["bias"], 3)
+                for n, b in zip(("q", "k", "v"), bs):
+                    out[n]["bias"] = b
+            out["o"] = tree["o"]
+            return out
+        return {key: unfuse_qkv_params(v) for key, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(unfuse_qkv_params(v) for v in tree)
+    return tree
+
+
+def deoptimize_params(tree):
+    """Return a pytree in the canonical checkpoint layout (detector_init
+    structure, f32 kernels): unfuses QKV, upcasts bf16 kernels, and
+    dequantizes int8 kernels (lossy — quantization error is baked in).
+    Used before persisting params that passed through serving transforms."""
+    tree = unfuse_qkv_params(tree)
+
+    def walk(t):
+        if isinstance(t, dict):
+            if "kernel_q" in t:
+                out = {"kernel": (t["kernel_q"].astype(jnp.float32)
+                                  * t["w_scale"])}
+                if "bias" in t:
+                    out["bias"] = t["bias"]
+                return out
+            return {k: walk(v) for k, v in t.items()}
+        if isinstance(t, (list, tuple)):
+            return type(t)(walk(v) for v in t)
+        if getattr(t, "dtype", None) == jnp.bfloat16:
+            return t.astype(jnp.float32)
+        return t
+
+    return walk(tree)
+
+
 def optimize_for_serving(params, policy, quant: str = "none",
                          fuse: bool = False, cast: bool = True):
     """The engine's standard serving pipeline: optionally fuse QKV, then

@@ -23,6 +23,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-file", type=str,
                    help="JSONL of {text?, image?, video?} requests (batched path)")
     p.add_argument("--vault", type=str, default=None, help="Vault path override")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="Native checkpoint dir (as saved by the trainers; "
+                        "takes precedence over the torch .pth cascade)")
     p.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto",
                    help="Force a JAX backend (cpu is useful when the TPU is busy)")
     p.add_argument("--quiet", action="store_true")
@@ -48,6 +51,9 @@ def main(argv=None) -> int:
     if args.vault:
         cfg = cfg.replace(paths=cfg.paths.__class__(
             **{**cfg.paths.__dict__, "vault_path": args.vault}))
+    if args.checkpoint:
+        cfg = cfg.replace(paths=cfg.paths.__class__(
+            **{**cfg.paths.__dict__, "orbax_dir": args.checkpoint}))
 
     engine = MisinfoForensics(config=cfg)
 

@@ -115,9 +115,13 @@ def train_on_scores(score_vectors: np.ndarray, labels: np.ndarray,
 
     def ckpt(params, opt_state, epoch, metrics):
         from misinfo_tpu.checkpoints.io import save_checkpoint
+        from misinfo_tpu.ops.serving import deoptimize_params
         # full detector params saved (fusion + frozen branches synchronized),
-        # mirroring the reference's dual save (:259-267)
-        save_checkpoint(out_dir, params, opt_state,
+        # mirroring the reference's dual save (:259-267). deoptimize puts
+        # engine-derived params (bf16-cast / fused / int8) back into the
+        # canonical detector_init layout so any engine can reload the dir
+        # via ModelPaths.orbax_dir.
+        save_checkpoint(out_dir, deoptimize_params(params), opt_state,
                         {"epoch": epoch, **metrics, "trainer": "fusion_judge"})
 
     return run_training(params, opt_state, step, train_batches, eval_fn,

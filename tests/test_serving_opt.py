@@ -50,6 +50,53 @@ def test_cast_big_kernels_selective():
     assert out["emb"]["word"].dtype == jnp.float32
 
 
+def test_deoptimize_roundtrip():
+    """fuse→deoptimize restores the canonical layout and values; bf16 cast
+    and int8 quantization deoptimize to f32 within their rounding error."""
+    from misinfo_tpu.ops.quant import quantize_dense
+    from misinfo_tpu.ops.serving import deoptimize_params
+
+    p = {"attn": attention_init(jax.random.PRNGKey(2), 64, 4)}
+    rt = deoptimize_params(fuse_qkv_params(p))
+    for name in ("q", "k", "v", "o"):
+        np.testing.assert_allclose(rt["attn"][name]["kernel"],
+                                   p["attn"][name]["kernel"], atol=1e-7)
+        np.testing.assert_allclose(rt["attn"][name]["bias"],
+                                   p["attn"][name]["bias"], atol=1e-7)
+    big = {"kernel": jnp.asarray(
+        np.random.default_rng(0).normal(size=(64, 64)) * 0.02, jnp.float32)}
+    deq = deoptimize_params({"m": quantize_dense(big)})["m"]["kernel"]
+    assert deq.dtype == jnp.float32
+    assert float(jnp.max(jnp.abs(deq - big["kernel"]))) < 2e-3
+    casted = deoptimize_params({"m": {"kernel": big["kernel"].astype(jnp.bfloat16)}})
+    assert casted["m"]["kernel"].dtype == jnp.float32
+
+
+def test_engine_native_checkpoint_load(tmp_path):
+    """Train→serve loop: a checkpoint dir saved by the trainers loads into
+    a fresh engine via ModelPaths.orbax_dir (takes precedence over .pth)."""
+    from misinfo_tpu.checkpoints.io import save_checkpoint
+    from misinfo_tpu.core.config import ForensicsConfig
+    from misinfo_tpu.engine.forensics import MisinfoForensics
+    from misinfo_tpu.models.detector import DetectorConfig, detector_init
+
+    det_cfg = DetectorConfig.tiny()
+    trained = detector_init(jax.random.PRNGKey(7), det_cfg)
+    ckpt_dir = str(tmp_path / "native_ckpt")
+    save_checkpoint(ckpt_dir, trained, None, {"trainer": "test", "epoch": 3})
+
+    cfg = ForensicsConfig(verbose=False)
+    cfg = cfg.replace(paths=cfg.paths.__class__(
+        **{**cfg.paths.__dict__, "orbax_dir": ckpt_dir}))
+    eng = MisinfoForensics(config=cfg, det_cfg=det_cfg)
+    assert eng.load_report["mode"] == "native"
+    assert eng.load_report.get("epoch") == 3
+    # fusion MLP is small → untouched by serving transforms; must match
+    np.testing.assert_allclose(
+        np.asarray(eng.params["fusion"]["fc1"]["kernel"], np.float32),
+        np.asarray(trained["fusion"]["fc1"]["kernel"], np.float32))
+
+
 def test_optimize_for_serving_full_detector_scores_stable():
     """Tiny detector through the full signal program: optimized params must
     reproduce the unoptimized serving scores (same policy) closely."""
