@@ -23,6 +23,7 @@ ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
 SEQ_LEN = int(os.environ.get("BENCH_SEQ", "0"))  # 0 → config default (512)
 QUANT = os.environ.get("BENCH_QUANT", "none")    # "int8" → quantized serving
+VARIANT = os.environ.get("BENCH_VARIANT", "full")  # full|text_only|visual_only
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
 
 
@@ -65,7 +66,7 @@ def main():
         "vault_text_emb": jnp.asarray(rng.normal(size=(vault_rows, 512)).astype(np.float32)),
     }
 
-    fn = jax.jit(functools.partial(signals_program, variant="full",
+    fn = jax.jit(functools.partial(signals_program, variant=VARIANT,
                                    det_cfg=det_cfg, cfg=cfg, policy=policy,
                                    use_pallas=USE_PALLAS))
     # warmup / compile
@@ -88,8 +89,10 @@ def main():
         if ref:
             vs_baseline = throughput / ref
 
+    metric = ("analyze_throughput_full_modality" if VARIANT == "full"
+              else f"analyze_throughput_{VARIANT}")
     print(json.dumps({
-        "metric": "analyze_throughput_full_modality",
+        "metric": metric,
         "value": round(throughput, 2),
         "unit": "verdicts/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
