@@ -42,6 +42,10 @@ def main():
     import functools
 
     cfg = ForensicsConfig(verbose=False)
+    if os.environ.get("BENCH_GELU"):
+        import dataclasses
+        cfg = cfg.replace(precision=dataclasses.replace(
+            cfg.precision, gelu_mode=os.environ["BENCH_GELU"]))
     det_cfg = DetectorConfig()
     policy = Policy(cfg.precision)  # bf16 serving mode
     params = detector_init(jax.random.PRNGKey(0), det_cfg)

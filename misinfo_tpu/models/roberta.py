@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from misinfo_tpu.ops.common import (
     DEFAULT_POLICY, Policy, dense, dense_init, dropout as _dropout,
-    gelu_exact, layer_norm, layer_norm_init,
+    gelu, layer_norm, layer_norm_init,
 )
 from misinfo_tpu.ops.attention import attention_init, multi_head_attention
 
@@ -127,7 +127,7 @@ def roberta_encode(
             rng, k = jax.random.split(rng)
             attn_out = _dropout(k, attn_out, cfg.hidden_dropout, deterministic)
         x = layer_norm(layer["attn_ln"], x + attn_out, cfg.layer_norm_eps, policy)
-        mlp = gelu_exact(dense(layer["mlp_in"], x, policy))
+        mlp = gelu(dense(layer["mlp_in"], x, policy), policy)
         mlp = dense(layer["mlp_out"], mlp, policy)
         if not deterministic:
             rng, k = jax.random.split(rng)

@@ -39,6 +39,11 @@ class Policy:
                           else jnp.dtype(jnp.float32))
         else:
             self.score = jnp.dtype(cfg.score_dtype)
+        gm = getattr(cfg, "gelu_mode", "auto")
+        if gm == "auto":
+            gm = ("tanh" if self.compute == jnp.dtype(jnp.bfloat16)
+                  else "erf")
+        self.gelu_mode = gm
         self.precision = (jax.lax.Precision.HIGHEST
                           if self.compute == jnp.dtype(jnp.float32)
                           else jax.lax.Precision.DEFAULT)
@@ -110,6 +115,16 @@ def layer_norm(params: Dict, x: jax.Array, eps: float = 1e-5,
 def gelu_exact(x: jax.Array) -> jax.Array:
     """erf-based GELU (HF RoBERTa's 'gelu')."""
     return jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
+
+
+def gelu(x: jax.Array, policy: Policy = DEFAULT_POLICY) -> jax.Array:
+    """Policy-dispatched GELU: erf (HF-exact, default) or the tanh
+    approximation (max abs divergence ~3e-3 on activations — below bf16
+    serving noise) for PrecisionConfig(gelu_mode='tanh')."""
+    if policy.gelu_mode == "tanh":
+        return jax.nn.gelu(x.astype(jnp.float32),
+                           approximate=True).astype(x.dtype)
+    return gelu_exact(x)
 
 
 def quick_gelu(x: jax.Array) -> jax.Array:
