@@ -15,6 +15,7 @@ one engine (SURVEY.md §7 design move 2).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List, Optional, Sequence, Union
 
@@ -114,6 +115,7 @@ class MisinfoForensics:
         self.vault = TruthVault.load(self.cfg.paths.vault_path)
         self.vault_loaded = self.vault is not None
         self._vault_device = self._prepare_vault()
+        self._prep_pool = None  # lazy image-prep thread pool (_image_batch)
 
         self.programs = SignalPrograms(self.det_cfg, self.cfg, self.policy,
                                        use_pallas=use_pallas)
@@ -173,13 +175,28 @@ class MisinfoForensics:
 
     def _image_batch(self, images: List, bucket: int):
         size = self.cfg.seq.image_size
-        eff = [image_to_array(im, "effnet", size) if im is not None else None
-               for im in images]
-        clp = [image_to_array(im, "clip", size) if im is not None else None
-               for im in images]
+
+        def prep(im):
+            if im is None:
+                return None, None
+            from misinfo_tpu.preprocess.image import decode_rgb
+            arr = decode_rgb(im)  # decode once, resize twice
+            return (image_to_array(arr, "effnet", size),
+                    image_to_array(arr, "clip", size))
+
+        # decode+resize in parallel: cv2/PIL release the GIL, so this
+        # scales with host cores (single-core hosts degrade gracefully)
+        if len(images) > 1:
+            if self._prep_pool is None:
+                import concurrent.futures as cf
+                self._prep_pool = cf.ThreadPoolExecutor(
+                    max_workers=min(16, (os.cpu_count() or 1)))
+            pairs = list(self._prep_pool.map(prep, images))
+        else:
+            pairs = [prep(im) for im in images]
         pad = bucket - len(images)
-        eff += [None] * pad
-        clp += [None] * pad
+        eff = [p[0] for p in pairs] + [None] * pad
+        clp = [p[1] for p in pairs] + [None] * pad
         return batch_images(eff, size), batch_images(clp, size)
 
     def _run(self, variant: str, batch: Dict) -> SignalOutput:

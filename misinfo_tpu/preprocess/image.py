@@ -18,6 +18,8 @@ train_cifake_forensics.py:44,50) is covered by passing ``stats='clip'``.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 try:
@@ -25,6 +27,34 @@ try:
     _PIL = True
 except ImportError:  # pragma: no cover
     _PIL = False
+
+try:
+    import cv2
+    _CV2 = True
+except ImportError:  # pragma: no cover
+    cv2 = None
+    _CV2 = False
+
+# Host resize backend. PIL replicates torchvision/CLIPProcessor antialiased
+# filters exactly but costs ~8 ms/request on one core — it caps end-to-end
+# serving throughput far below the device program's (docs/PERF.md). cv2 is
+# ~10× faster with small pixel-level divergence (INTER_AREA downscale ≈
+# antialiased). "auto" → cv2 when importable. Pin "pil" for bit-exact
+# reference preprocessing (the parity harness feeds raw arrays and is
+# unaffected either way).
+_BACKEND = os.environ.get("MISINFO_TPU_IMAGE_BACKEND", "auto")
+
+
+def set_image_backend(name: str) -> None:
+    """'auto' | 'pil' | 'cv2' (module-wide; engine honors config)."""
+    global _BACKEND
+    if name not in ("auto", "pil", "cv2"):
+        raise ValueError(name)
+    _BACKEND = name
+
+
+def _use_cv2() -> bool:
+    return _CV2 if _BACKEND == "auto" else _BACKEND == "cv2"
 
 CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
@@ -60,6 +90,45 @@ def resize_center_crop(img: "Image.Image", size: int = 224) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
+def decode_rgb(image_or_path) -> np.ndarray:
+    """Decode once to uint8 HWC RGB (backend-aware). Feed the result to
+    image_to_array for each resize flavor to avoid double decoding."""
+    if _use_cv2():
+        return _to_rgb_array(image_or_path)
+    return np.asarray(load_image_rgb(image_or_path), dtype=np.uint8)
+
+
+def _to_rgb_array(image_or_path) -> np.ndarray:
+    """Decode to uint8 HWC RGB without PIL when the cv2 backend is active."""
+    if isinstance(image_or_path, np.ndarray):
+        a = image_or_path
+        if a.ndim == 2:
+            a = np.stack([a] * 3, axis=-1)
+        return np.ascontiguousarray(a[..., :3], dtype=np.uint8)
+    if _PIL and isinstance(image_or_path, Image.Image):
+        return np.asarray(image_or_path.convert("RGB"), dtype=np.uint8)
+    bgr = cv2.imread(str(image_or_path), cv2.IMREAD_COLOR)
+    if bgr is None:
+        raise FileNotFoundError(f"cannot decode image: {image_or_path}")
+    return np.ascontiguousarray(bgr[..., ::-1])
+
+
+def _cv2_squash(arr: np.ndarray, size: int) -> np.ndarray:
+    h, w = arr.shape[:2]
+    interp = cv2.INTER_AREA if (h > size or w > size) else cv2.INTER_LINEAR
+    return cv2.resize(arr, (size, size), interpolation=interp)
+
+
+def _cv2_center_crop(arr: np.ndarray, size: int) -> np.ndarray:
+    h, w = arr.shape[:2]
+    scale = size / min(w, h)
+    nw, nh = max(size, int(round(w * scale))), max(size, int(round(h * scale)))
+    interp = cv2.INTER_AREA if scale < 1.0 else cv2.INTER_CUBIC
+    r = cv2.resize(arr, (nw, nh), interpolation=interp)
+    left, top = (nw - size) // 2, (nh - size) // 2
+    return np.ascontiguousarray(r[top:top + size, left:left + size])
+
+
 def image_to_array(
     image_or_path,
     mode: str = "effnet",
@@ -67,12 +136,16 @@ def image_to_array(
 ) -> np.ndarray:
     """Decode+resize one image → uint8 [size,size,3] (normalization is
     done on-device by :func:`misinfo_tpu.ops.image_ops.normalize_images`)."""
+    if mode not in ("effnet", "clip"):
+        raise ValueError(mode)
+    if _use_cv2():
+        arr = _to_rgb_array(image_or_path)
+        return (_cv2_squash(arr, size) if mode == "effnet"
+                else _cv2_center_crop(arr, size))
     img = load_image_rgb(image_or_path)
     if mode == "effnet":
         return resize_squash(img, size)
-    if mode == "clip":
-        return resize_center_crop(img, size)
-    raise ValueError(mode)
+    return resize_center_crop(img, size)
 
 
 def batch_images(arrays, size: int = 224) -> np.ndarray:

@@ -1,0 +1,59 @@
+"""Host image frontend backends (preprocess/image.py): the cv2 fast path
+must stay pixel-close to the PIL reference path (which replicates
+torchvision/CLIPProcessor filters exactly) and must honor backend pinning.
+"""
+
+import numpy as np
+import pytest
+
+from misinfo_tpu.preprocess import image as I
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(autouse=True)
+def _restore_backend():
+    yield
+    I.set_image_backend("auto")
+
+
+def _rand_img(h, w, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 255, (h, w, 3)).astype(np.uint8)
+
+
+@pytest.mark.parametrize("mode", ["effnet", "clip"])
+@pytest.mark.parametrize("shape", [(480, 640), (120, 90), (224, 224)])
+def test_cv2_close_to_pil(mode, shape):
+    arr = _rand_img(*shape)
+    I.set_image_backend("pil")
+    ref = I.image_to_array(arr, mode).astype(np.int16)
+    I.set_image_backend("cv2")
+    fast = I.image_to_array(arr, mode).astype(np.int16)
+    assert ref.shape == fast.shape == (224, 224, 3)
+    # random noise is the worst case for filter differences; natural images
+    # land much closer. Bound the mean divergence, not the max.
+    mad = float(np.mean(np.abs(ref - fast)))
+    assert mad < 20.0, (mode, shape, mad)
+
+
+def test_backend_pinning_and_file_decode(tmp_path):
+    from PIL import Image
+
+    p = str(tmp_path / "x.jpg")
+    Image.fromarray(_rand_img(64, 48, 1)).save(p, quality=95)
+    I.set_image_backend("cv2")
+    a = I.image_to_array(p, "effnet")
+    I.set_image_backend("pil")
+    b = I.image_to_array(p, "effnet")
+    assert a.shape == b.shape == (224, 224, 3)
+    # JPEG decoders (libjpeg-turbo via both) must agree closely
+    assert float(np.mean(np.abs(a.astype(np.int16) - b.astype(np.int16)))) < 25.0
+    with pytest.raises(ValueError):
+        I.set_image_backend("nope")
+
+
+def test_missing_file_raises_cv2():
+    I.set_image_backend("cv2")
+    with pytest.raises(FileNotFoundError):
+        I.image_to_array("/does/not/exist.jpg", "effnet")

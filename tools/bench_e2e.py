@@ -49,6 +49,17 @@ def main():
         out = engine.analyze_batch(requests)
     dt = time.perf_counter() - t0
 
+    # host-only cost of the same batch (tokenize + decode/resize), no device
+    texts = [r["text"] for r in requests]
+    images = [r["image"] for r in requests]
+    engine._tokenize_batch(texts, BATCH)
+    engine._image_batch(images, BATCH)
+    t1 = time.perf_counter()
+    for _ in range(ITERS):
+        engine._tokenize_batch(texts, BATCH)
+        engine._image_batch(images, BATCH)
+    host_ms = (time.perf_counter() - t1) / ITERS * 1000.0
+
     throughput = BATCH * ITERS / dt
     summary = GLOBAL_TRACER.summary()
     device_frac = (summary.get("program_full_seconds", 0.0)
@@ -60,6 +71,11 @@ def main():
         "batch": BATCH,
         "p50_request_latency_ms": round(1000 * dt / (ITERS * BATCH), 3),
         "device_time_fraction": round(device_frac, 3),
+        # NB: through the axon tunnel every analyze_batch pays a full
+        # remote round trip; on a co-located TPU host the ceiling is
+        # max(host_prep, device_program) per batch.
+        "host_prep_ms_per_batch": round(host_ms, 2),
+        "host_prep_ceiling_verdicts_per_sec": round(BATCH / host_ms * 1000, 1),
     }))
 
 
