@@ -75,18 +75,35 @@ class BatchingEngine:
         return items
 
     def _loop(self) -> None:
-        while not self._stop.is_set():
-            items = self._drain()
-            if not items:
-                continue
-            requests = [r for r, _ in items]
-            futures = [f for _, f in items]
+        # depth-1 pipeline: while batch N executes on device, drain + prep
+        # + dispatch batch N+1, then finalize N (engine.analyze_batch_async)
+        pending = None  # (futures, finalize)
+
+        def _finish(p):
+            futures, finalize = p
             try:
-                results = self.engine.analyze_batch(requests,
-                                                    explanations=True)
-                for fut, res in zip(futures, results):
+                for fut, res in zip(futures, finalize()):
                     fut.set_result(res)
             except Exception as e:
                 for fut in futures:
                     if not fut.done():
                         fut.set_exception(e)
+
+        while not self._stop.is_set():
+            items = self._drain()
+            nxt = None
+            if items:
+                requests = [r for r, _ in items]
+                futures = [f for _, f in items]
+                try:
+                    finalize = self.engine.analyze_batch_async(
+                        requests, explanations=True)
+                    nxt = (futures, finalize)
+                except Exception as e:
+                    for fut in futures:
+                        fut.set_exception(e)
+            if pending is not None:
+                _finish(pending)
+            pending = nxt
+        if pending is not None:
+            _finish(pending)

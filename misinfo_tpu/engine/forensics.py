@@ -305,6 +305,28 @@ class MisinfoForensics:
 
     def __analyze_batch_body(self, requests: List[Dict],
                              explanations: bool = False) -> List[Dict]:
+        dispatches, results = self._dispatch_batch(requests)
+        return self._finalize_batch(dispatches, results, requests, explanations)
+
+    def analyze_batch_async(self, requests: List[Dict],
+                            explanations: bool = False):
+        """Pipelined form of analyze_batch: enqueues all device programs
+        WITHOUT synchronizing and returns a zero-arg `finalize()` that
+        blocks on completion and yields the report list. Lets a serving
+        loop prep batch N+1 while batch N executes (engine/batching.py);
+        matters doubly on remote-attached TPUs where each sync pays a full
+        round trip (docs/PERF.md)."""
+        dispatches, results = self._dispatch_batch(requests)
+
+        def finalize() -> List[Dict]:
+            return self._finalize_batch(dispatches, results, requests,
+                                        explanations)
+
+        return finalize
+
+    def _dispatch_batch(self, requests: List[Dict]):
+        """Group → prep → enqueue device programs (no host sync).
+        Video requests run inline (their frame loop is host-driven)."""
         groups: Dict[str, List[int]] = {}
         for i, r in enumerate(requests):
             if "video" in r:
@@ -320,6 +342,7 @@ class MisinfoForensics:
             groups.setdefault(v, []).append(i)
 
         results: List[Optional[Dict]] = [None] * len(requests)
+        dispatches = []
         for variant, idxs in groups.items():
             if variant.startswith("video"):
                 for i in idxs:
@@ -339,7 +362,17 @@ class MisinfoForensics:
                 eff, clp = self._image_batch([r.get("image") for r in reqs], bucket)
                 batch.update(image_effnet=jnp.asarray(eff),
                              image_clip=jnp.asarray(clp))
-            out = self._run(variant, batch)
+            batch.update(self._vault_device)
+            out = self.programs.get(variant)(self.params, batch)  # async
+            dispatches.append((variant, out, idxs))
+        return dispatches, results
+
+    def _finalize_batch(self, dispatches, results, requests: List[Dict],
+                        explanations: bool = False) -> List[Dict]:
+        from misinfo_tpu.utils.tracing import stage_timer
+        for variant, out, idxs in dispatches:
+            with stage_timer(f"program_{variant}", batch_size=len(idxs)):
+                out = jax.tree_util.tree_map(np.asarray, out)
             for row, i in enumerate(idxs):
                 results[i] = self._format_report(out, row, requests[i])
 

@@ -123,3 +123,25 @@ def test_batching_engine_concurrent(tmp_path):
     single = engine.analyze(text="claim number 0", verbose=False)
     assert results[0]["scores"]["misinfo_score"] == pytest.approx(
         single["scores"]["misinfo_score"], abs=1e-5)
+
+
+def test_analyze_batch_async_matches_sync():
+    """The pipelined dispatch/finalize split must be result-identical to
+    the synchronous path (same programs, same padding)."""
+    from misinfo_tpu.engine.forensics import MisinfoForensics
+
+    cfg = CFG.replace(seq=CFG.seq.__class__(roberta_max_len=32,
+                                            image_size=DET.clip.image_size))
+    engine = MisinfoForensics(config=cfg, det_cfg=DET,
+                              params=detector_init(jax.random.PRNGKey(0), DET))
+    reqs = [{"text": f"pipelined claim {i}"} for i in range(3)]
+    sync = engine.analyze_batch(reqs, explanations=True)
+    fin1 = engine.analyze_batch_async(reqs, explanations=True)
+    # dispatch a second batch before finalizing the first (pipeline overlap)
+    fin2 = engine.analyze_batch_async([{"text": "other"}])
+    async1, async2 = fin1(), fin2()
+    assert len(async1) == 3 and len(async2) == 1
+    for a, b in zip(sync, async1):
+        assert a["scores"]["misinfo_score"] == pytest.approx(
+            b["scores"]["misinfo_score"], abs=1e-6)
+        assert a["explanation"] == b["explanation"]
