@@ -20,7 +20,8 @@ import numpy as np
 
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
-USE_PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
+_p = os.environ.get("BENCH_PALLAS", "0")   # "1" ours | "flash" jax kernel
+USE_PALLAS = {"0": False, "1": True}.get(_p, _p)
 SEQ_LEN = int(os.environ.get("BENCH_SEQ", "0"))  # 0 → config default (512)
 QUANT = os.environ.get("BENCH_QUANT", "none")    # "int8" → quantized serving
 VARIANT = os.environ.get("BENCH_VARIANT", "full")  # full|text_only|visual_only

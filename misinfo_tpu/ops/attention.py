@@ -63,6 +63,21 @@ def multi_head_attention(
         k = dense(params["k"], kv, policy).reshape(B, S_kv, num_heads, head_dim)
         v = dense(params["v"], kv, policy).reshape(B, S_kv, num_heads, head_dim)
 
+    if use_pallas == "flash" and S >= 128 and S % 128 == 0 and S == S_kv:
+        # JAX's tuned TPU flash-attention (online softmax, no [S,S_kv]
+        # materialization). TPU-only; callers fall back to the XLA path on
+        # other backends (ops tested e2e — see docs/PERF.md).
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds, flash_attention)
+        seg = None
+        if mask is not None:
+            seg = SegmentIds(q=jnp.ones((B, S), jnp.int32),
+                             kv=mask.astype(jnp.int32))
+        ctx = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), segment_ids=seg, causal=causal,
+            sm_scale=1.0 / (head_dim ** 0.5)).transpose(0, 2, 1, 3)
+        return dense(params["o"], ctx.reshape(B, S, D), policy)
     if use_pallas:
         from misinfo_tpu.ops.pallas_attention import fused_attention
         pm = mask.astype(jnp.float32) if mask is not None else None
