@@ -142,6 +142,14 @@ class ForensicsConfig:
         key = os.getenv("GOOGLE_API_KEY")
         if key and cfg.gemini_api_key is None:
             cfg = dataclasses.replace(cfg, gemini_api_key=key)
+        # asset-path overrides for flagless surfaces (dashboard):
+        path_env = {"MISINFO_TPU_VAULT": "vault_path",
+                    "MISINFO_TPU_CHECKPOINT": "orbax_dir"}
+        updates = {field: os.getenv(var)
+                   for var, field in path_env.items() if os.getenv(var)}
+        if updates:
+            cfg = dataclasses.replace(
+                cfg, paths=dataclasses.replace(cfg.paths, **updates))
         return cfg
 
     def replace(self, **kw) -> "ForensicsConfig":
