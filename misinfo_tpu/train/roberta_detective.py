@@ -80,7 +80,9 @@ def train(csv_path: str, out_dir: str = "roberta_detective_best",
           head: str = "misinfo_head", freeze_backbone: bool = False,
           precision: str = "bfloat16", log=print):
     det_cfg = det_cfg or DetectorConfig()
-    policy = Policy(PrecisionConfig(compute_dtype=precision))
+    # training keeps HF-exact erf GELU even in bf16 (the tanh swap is a
+    # serving-only optimization, core/config.py PrecisionConfig.gelu_mode)
+    policy = Policy(PrecisionConfig(compute_dtype=precision, gelu_mode="erf"))
     if params is None:
         params = detector_init(jax.random.PRNGKey(0), det_cfg)
 
