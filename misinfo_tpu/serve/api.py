@@ -1,0 +1,167 @@
+"""Minimal production REST API (stdlib-only, no gradio dependency).
+
+The reference's only network surface is the Gradio dashboard
+(forensics_dashboard.py) with one global, strictly serial engine
+(:91-94). This server exposes the same analysis over plain HTTP and rides
+the pipelined micro-batching engine, so N concurrent clients cost ~one
+fused program launch per batching window.
+
+    python -m misinfo_tpu.serve.api --port 8080 --device cpu
+    curl -X POST localhost:8080/analyze -d '{"text": "some claim"}'
+
+Endpoints:
+  GET  /healthz        → {status, device, vault, checkpoint mode}
+  POST /analyze        → report dict for one {text?, image_path?|image_b64?,
+                         video_path?} request
+  POST /analyze_batch  → list of report dicts for a JSON list of requests
+
+Images arrive as server-local paths or base64 bytes (``image_b64``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+
+def _decode_request_image(req: Dict):
+    """Return a request dict with image_b64 materialized to a numpy image."""
+    out = {k: v for k, v in req.items() if v}
+    b64 = out.pop("image_b64", None)
+    if b64:
+        import numpy as np
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(base64.b64decode(b64)))
+        out["image"] = np.asarray(img.convert("RGB"), dtype=np.uint8)
+    elif "image_path" in out:
+        out["image"] = out.pop("image_path")
+    if "video_path" in out:
+        out["video"] = out.pop("video_path")
+    return out
+
+
+class ForensicsAPI:
+    """Holds the engine + batching server; handler delegates here."""
+
+    def __init__(self, engine=None, config=None):
+        from misinfo_tpu.engine.batching import BatchingEngine
+        from misinfo_tpu.engine.forensics import MisinfoForensics
+
+        self.engine = engine or MisinfoForensics(config=config)
+        self.batcher = BatchingEngine(self.engine)
+
+    def health(self) -> Dict:
+        import jax
+
+        return {
+            "status": "ok",
+            "device": str(jax.devices()[0]),
+            "vault_loaded": self.engine.vault_loaded,
+            "checkpoint_mode": self.engine.load_report.get("mode"),
+        }
+
+    def analyze(self, req: Dict) -> Dict:
+        return self.batcher.submit(_decode_request_image(req)).result()
+
+    def analyze_batch(self, reqs) -> list:
+        futures = [self.batcher.submit(_decode_request_image(r))
+                   for r in reqs]
+        return [f.result() for f in futures]
+
+    def close(self) -> None:
+        self.batcher.close()
+
+
+def _make_handler(api: ForensicsAPI):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload) -> None:
+            body = json.dumps(payload, ensure_ascii=False).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            if self.path == "/healthz":
+                self._send(200, api.health())
+            else:
+                self._send(404, {"error": "unknown endpoint"})
+
+        def do_POST(self):  # noqa: N802
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/analyze":
+                    self._send(200, api.analyze(payload))
+                elif self.path == "/analyze_batch":
+                    self._send(200, api.analyze_batch(payload))
+                else:
+                    self._send(404, {"error": "unknown endpoint"})
+            except ValueError as e:          # bad request (e.g. no modality)
+                self._send(400, {"error": str(e)})
+            except Exception as e:           # noqa: BLE001
+                self._send(500, {"error": str(e)})
+
+        def log_message(self, fmt, *args):   # quiet by default
+            pass
+
+    return Handler
+
+
+def serve(api: ForensicsAPI, port: int = 8080,
+          host: str = "127.0.0.1") -> ThreadingHTTPServer:
+    """Start the HTTP server on a background thread; returns the server
+    (call .shutdown() to stop). Port 0 picks an ephemeral port."""
+    httpd = ThreadingHTTPServer((host, port), _make_handler(api))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True,
+                         name="misinfo-api")
+    t.start()
+    return httpd
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Misinformation Forensics REST API")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--vault", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto")
+    args = p.parse_args(argv)
+
+    if args.device != "auto":
+        import jax
+        jax.config.update("jax_platforms",
+                          "cpu" if args.device == "cpu" else "tpu,axon")
+
+    from misinfo_tpu.core.config import ForensicsConfig
+
+    cfg = ForensicsConfig.from_env(verbose=False)
+    updates = {}
+    if args.vault:
+        updates["vault_path"] = args.vault
+    if args.checkpoint:
+        updates["orbax_dir"] = args.checkpoint
+    if updates:
+        import dataclasses
+        cfg = cfg.replace(paths=dataclasses.replace(cfg.paths, **updates))
+
+    api = ForensicsAPI(config=cfg)
+    httpd = serve(api, args.port, args.host)
+    print(f"misinfo_tpu API listening on {args.host}:{httpd.server_address[1]}")
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+        api.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,88 @@
+"""REST API server (serve/api.py): endpoints, batching, image_b64 decode,
+error mapping. Uses a tiny-engine instance and an ephemeral port."""
+
+import base64
+import io
+import json
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from misinfo_tpu.core.config import ForensicsConfig
+from misinfo_tpu.engine.forensics import MisinfoForensics
+from misinfo_tpu.models.detector import DetectorConfig, detector_init
+from misinfo_tpu.serve.api import ForensicsAPI, serve
+
+DET = DetectorConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def api_server():
+    cfg = ForensicsConfig(verbose=False)
+    cfg = cfg.replace(seq=cfg.seq.__class__(roberta_max_len=32,
+                                            image_size=DET.clip.image_size))
+    engine = MisinfoForensics(config=cfg, det_cfg=DET,
+                              params=detector_init(jax.random.PRNGKey(0), DET))
+    api = ForensicsAPI(engine=engine)
+    httpd = serve(api, port=0)
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+    api.close()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(url, data=json.dumps(payload).encode(),
+                                 headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(api_server):
+    with urllib.request.urlopen(api_server + "/healthz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert body["checkpoint_mode"] == "provided"
+
+
+def test_analyze_text(api_server):
+    code, body = _post(api_server + "/analyze", {"text": "api test claim"})
+    assert code == 200
+    assert body["verdict_text"] in ("REAL", "FAKE")
+    assert set(body["scores"]) >= {"ai_score", "misinfo_score",
+                                   "fake_probability"}
+
+
+def test_analyze_image_b64(api_server):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.random.default_rng(0).integers(
+        0, 255, (64, 64, 3)).astype(np.uint8)).save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    code, body = _post(api_server + "/analyze",
+                       {"text": "caption", "image_b64": b64})
+    assert code == 200
+    assert "clip_similarity" in body["scores"]
+    assert body["scores"]["deepfake_score"] >= 0.0
+
+
+def test_analyze_batch_endpoint(api_server):
+    code, body = _post(api_server + "/analyze_batch",
+                       [{"text": "a"}, {"text": "b"}])
+    assert code == 200 and len(body) == 2
+
+
+def test_bad_request_maps_to_error(api_server):
+    code, body = _post(api_server + "/analyze", {})
+    assert code in (400, 500)
+    assert "error" in body
+
+
+def test_unknown_endpoint(api_server):
+    code, body = _post(api_server + "/nope", {"x": 1})
+    assert code == 404
