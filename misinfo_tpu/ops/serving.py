@@ -86,8 +86,9 @@ def deoptimize_params(tree):
     """Return a pytree in the canonical checkpoint layout (detector_init
     structure, f32 kernels): unfuses QKV, upcasts bf16 kernels, and
     dequantizes int8 kernels (lossy — quantization error is baked in).
-    Used before persisting params that passed through serving transforms."""
-    tree = unfuse_qkv_params(tree)
+    Used before persisting params that passed through serving transforms.
+    Dequantization runs BEFORE unfusing (a fused int8 dict carries
+    `kernel_q`, which unfuse expects as `kernel`)."""
 
     def walk(t):
         if isinstance(t, dict):
@@ -104,7 +105,7 @@ def deoptimize_params(tree):
             return t.astype(jnp.float32)
         return t
 
-    return walk(tree)
+    return unfuse_qkv_params(walk(tree))
 
 
 def optimize_for_serving(params, policy, quant: str = "none",

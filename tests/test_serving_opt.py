@@ -70,6 +70,15 @@ def test_deoptimize_roundtrip():
     assert float(jnp.max(jnp.abs(deq - big["kernel"]))) < 2e-3
     casted = deoptimize_params({"m": {"kernel": big["kernel"].astype(jnp.bfloat16)}})
     assert casted["m"]["kernel"].dtype == jnp.float32
+    # fused + quantized combo must dequantize before unfusing
+    fq = fuse_qkv_params(p)
+    fq["attn"]["qkv"] = quantize_dense({
+        "kernel": fq["attn"]["qkv"]["kernel"],
+        "bias": fq["attn"]["qkv"]["bias"]})
+    rt2 = deoptimize_params(fq)
+    assert set(rt2["attn"]) == {"q", "k", "v", "o"}
+    np.testing.assert_allclose(rt2["attn"]["q"]["kernel"],
+                               p["attn"]["q"]["kernel"], atol=2e-3)
 
 
 def test_engine_native_checkpoint_load(tmp_path):
