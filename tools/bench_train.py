@@ -37,13 +37,18 @@ def main():
     from misinfo_tpu.core.config import PrecisionConfig
     from misinfo_tpu.models.detector import DetectorConfig, detector_init
     from misinfo_tpu.ops.common import Policy
-    from misinfo_tpu.train.optim import OptimConfig, make_optimizer
+    from misinfo_tpu.train.optim import OptimConfig, branch_mask, make_optimizer
     from misinfo_tpu.train.steps import make_text_head_step
 
     det_cfg = DetectorConfig()
     policy = Policy(PrecisionConfig(gelu_mode="erf"))  # training numerics
     params = detector_init(jax.random.PRNGKey(0), det_cfg)
-    tx = make_optimizer(OptimConfig(total_steps=1000))
+    # same freeze mask as the real trainer (clip/effnet branches carry no
+    # grads in this recipe; masking skips their optimizer-moment traffic)
+    tx = make_optimizer(
+        OptimConfig(total_steps=1000),
+        trainable_mask=branch_mask(params, ["roberta", "ai_head",
+                                            "misinfo_head"]))
     opt_state = tx.init(params)
     step = make_text_head_step(tx, det_cfg, policy)
 
