@@ -87,6 +87,9 @@ def train(cifake_root: str, out_dir: str = "efficientnet_cifake_best",
     policy = Policy(PrecisionConfig(compute_dtype=precision))
     if params is None:
         params = detector_init(jax.random.PRNGKey(0), det_cfg)
+    else:
+        # own the caller's params: the train step donates its input buffers
+        params = jax.tree_util.tree_map(jnp.array, params)
     if items is None:
         items = load_cifake_paths(cifake_root, per_label)
     train_items, val_items = split_train_val(items, 0.2, seed=42)

@@ -118,6 +118,9 @@ def train(train_csv: str, val_csv: Optional[str] = None,
     policy = Policy(PrecisionConfig(compute_dtype=precision))
     if params is None:
         params = detector_init(jax.random.PRNGKey(0), det_cfg)
+    else:
+        # own the caller's params: the train step donates its input buffers
+        params = jax.tree_util.tree_map(jnp.array, params)
     tok = load_clip_tokenizer(None, det_cfg.clip.vocab_size)
     clip_len = det_cfg.clip.max_text_len
     img_size = det_cfg.clip.image_size

@@ -80,6 +80,9 @@ def train_on_scores(score_vectors: np.ndarray, labels: np.ndarray,
                     params: Dict, out_dir: str = "forensics_master_final",
                     epochs: int = 10, batch_size: int = 16, lr: float = 1e-3,
                     log=print):
+    # own the params: training steps donate their input buffers (in-place
+    # AdamW), and the caller's pytree is often a live engine's params
+    params = jax.tree_util.tree_map(jnp.array, params)
     n = len(labels)
     n_val = max(1, int(0.2 * n))
     rng = np.random.default_rng(42)

@@ -85,6 +85,9 @@ def train(csv_path: str, out_dir: str = "roberta_detective_best",
     policy = Policy(PrecisionConfig(compute_dtype=precision, gelu_mode="erf"))
     if params is None:
         params = detector_init(jax.random.PRNGKey(0), det_cfg)
+    else:
+        # own the caller's params: the train step donates its input buffers
+        params = jax.tree_util.tree_map(jnp.array, params)
 
     samples = load_csv_samples(csv_path, max_samples=max_samples)
     train_s, val_s = split_train_val(samples, 0.2, seed=42)

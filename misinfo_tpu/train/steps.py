@@ -48,7 +48,9 @@ def make_text_head_step(tx, det_cfg: DetectorConfig, policy: Policy,
         loss = cross_entropy(logits, batch["labels"])
         return loss, binary_accuracy(logits, batch["labels"])
 
-    @jax.jit
+    # donate params/opt_state: XLA applies the AdamW update in place,
+    # saving a full copy of the train-state HBM traffic per step
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, rng)
@@ -72,7 +74,9 @@ def make_effnet_step(tx, policy: Policy, stats: str = "clip"):
         loss = cross_entropy(logits, batch["labels"])
         return loss, (binary_accuracy(logits, batch["labels"]), bn_state)
 
-    @jax.jit
+    # donate params/opt_state: XLA applies the AdamW update in place,
+    # saving a full copy of the train-state HBM traffic per step
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):
         (loss, (acc, bn_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch, rng)
@@ -100,7 +104,9 @@ def make_clip_step(tx, det_cfg: DetectorConfig, policy: Policy):
         sims = jnp.sum(l2_normalize(ie) * l2_normalize(te), axis=-1)
         return loss, jnp.mean(sims)
 
-    @jax.jit
+    # donate params/opt_state: XLA applies the AdamW update in place,
+    # saving a full copy of the train-state HBM traffic per step
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):
         (loss, mean_sim), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch)
@@ -123,7 +129,9 @@ def make_fusion_step(tx):
         loss = cross_entropy(logits, batch["labels"])
         return loss, binary_accuracy(logits, batch["labels"])
 
-    @jax.jit
+    # donate params/opt_state: XLA applies the AdamW update in place,
+    # saving a full copy of the train-state HBM traffic per step
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, rng):
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, rng)
