@@ -25,6 +25,7 @@ USE_PALLAS = {"0": False, "1": True}.get(_p, _p)
 SEQ_LEN = int(os.environ.get("BENCH_SEQ", "0"))  # 0 → config default (512)
 QUANT = os.environ.get("BENCH_QUANT", "none")    # "int8" → quantized serving
 VARIANT = os.environ.get("BENCH_VARIANT", "full")  # full|text_only|visual_only
+VAULT_ROWS = int(os.environ.get("BENCH_VAULT", "2176"))  # reference ~2170
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
 
 
@@ -58,7 +59,7 @@ def main():
 
     rng = np.random.default_rng(0)
     B, S, C = BATCH, SEQ_LEN or cfg.seq.roberta_max_len, cfg.seq.clip_max_len
-    vault_rows = 2176
+    vault_rows = VAULT_ROWS
     batch = {
         "roberta_ids": jnp.asarray(rng.integers(3, 50000, (B, S)), jnp.int32),
         "roberta_mask": jnp.ones((B, S), jnp.int32),

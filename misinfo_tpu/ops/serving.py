@@ -30,7 +30,13 @@ def _is_attn_params(d: Dict) -> bool:
 
 
 def fuse_qkv_params(tree):
-    """Rewrite every attention param dict {q,k,v,o} → {qkv,o}."""
+    """Rewrite every attention param dict {q,k,v,o} → {qkv,o}.
+
+    SELF-ATTENTION ONLY: a fused dict is invalid for cross-attention
+    (k/v project the other operand; ops.attention asserts this). Safe on
+    the detector pytree (all towers are self-attention); do NOT apply to
+    Whisper decoder params, whose cross-attention blocks share the same
+    {q,k,v,o} shape."""
     if isinstance(tree, dict):
         if _is_attn_params(tree):
             q, k, v = tree["q"], tree["k"], tree["v"]
