@@ -21,6 +21,37 @@ import jax
 import jax.numpy as jnp
 
 
+# above this row count, route top-k through the two-stage chunked form
+CHUNKED_TOPK_MIN_ROWS = 1 << 16
+_CHUNK = 1024  # lane-aligned chunk width for stage 1
+
+
+def topk_chunked(sims: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact two-stage top-k over the last axis: per-chunk top-k (many
+    short parallel sorts) then re-top-k over the n_chunks·k candidates.
+    XLA lowers a monolithic `lax.top_k` over N≈1M columns to one huge
+    per-row sort; chunking the same work is dramatically faster and is
+    exact (any global top-k element is a top-k element of its chunk)."""
+    B, N = sims.shape
+    pad = (-N) % _CHUNK
+    if pad:
+        # -2.0 sits below any cosine similarity, matching the invalid-row fill
+        sims = jnp.pad(sims, ((0, 0), (0, pad)), constant_values=-2.0)
+    n_chunks = sims.shape[1] // _CHUNK
+    s = sims.reshape(B, n_chunks, _CHUNK)
+    loc_sims, loc_idx = jax.lax.top_k(s, k)                    # [B, nC, k]
+    loc_idx = loc_idx + (jnp.arange(n_chunks) * _CHUNK)[None, :, None]
+    top_s, pos = jax.lax.top_k(loc_sims.reshape(B, n_chunks * k), k)
+    top_i = jnp.take_along_axis(loc_idx.reshape(B, n_chunks * k), pos, axis=1)
+    return top_s, top_i
+
+
+def _topk(sims: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    if sims.shape[1] >= CHUNKED_TOPK_MIN_ROWS:
+        return topk_chunked(sims, k)
+    return jax.lax.top_k(sims, k)
+
+
 class VaultResult(NamedTuple):
     top_sims: jax.Array          # [B, K] f32
     top_idx: jax.Array           # [B, K] int32
@@ -46,7 +77,7 @@ def vault_search(
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)  # [B, N]
     sims = jnp.where(row_valid[None, :], sims, -2.0)
-    top_sims, top_idx = jax.lax.top_k(sims, top_k)
+    top_sims, top_idx = _topk(sims, top_k)
 
     max_sim = top_sims[:, 0]
     gate = max_sim > reuse_threshold

@@ -158,3 +158,19 @@ def test_sharded_search_equivalence():
     np.testing.assert_allclose(np.asarray(top_sims), np.asarray(ref.top_sims),
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(top_idx), np.asarray(ref.top_idx))
+
+
+def test_topk_chunked_exact_vs_lax():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from misinfo_tpu.vault.search import topk_chunked
+
+    rng = np.random.default_rng(0)
+    for n in (70_000, 65_536, 70_001):   # padded and exact-multiple cases
+        sims = jnp.asarray(rng.normal(size=(3, n)).astype(np.float32))
+        ref_s, ref_i = jax.lax.top_k(sims, 5)
+        got_s, got_i = topk_chunked(sims, 5)
+        np.testing.assert_array_equal(np.asarray(ref_s), np.asarray(got_s))
+        np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
