@@ -60,6 +60,44 @@ def main():
     rng = np.random.default_rng(0)
     B, S, C = BATCH, SEQ_LEN or cfg.seq.roberta_max_len, cfg.seq.clip_max_len
     vault_rows = VAULT_ROWS
+
+    if VARIANT == "text_packed":
+        # ragged text traffic packed into shared rows (preprocess/packing.py):
+        # lengths uniform in [32, S); throughput counts REQUESTS, not rows.
+        from misinfo_tpu.engine.signals import packed_text_program
+        from misinfo_tpu.preprocess.packing import pack_token_rows
+        lens = rng.integers(32, S, (B,))
+        seqs = [rng.integers(3, 50000, (l,)).astype(np.int32) for l in lens]
+        p = pack_token_rows(seqs, S, det_cfg.roberta.pad_token_id, n_slots=B)
+        batch = {k: jnp.asarray(v) for k, v in {
+            "roberta_ids": p.ids, "roberta_mask": p.mask,
+            "roberta_pos": p.position_ids, "roberta_seg": p.segment_ids,
+            "cls_rows": p.cls_rows, "cls_cols": p.cls_cols}.items()}
+        fn = jax.jit(functools.partial(
+            packed_text_program, det_cfg=det_cfg, cfg=cfg, policy=policy,
+            use_pallas=USE_PALLAS))
+        out = fn(params, batch)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn(params, batch)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        throughput = B * ITERS / dt
+        vs = None
+        if os.path.exists(BASELINE_FILE):
+            with open(BASELINE_FILE) as f:
+                ref = json.load(f).get("reference_cpu_verdicts_per_sec")
+            vs = round(throughput / ref, 2) if ref else None
+        print(json.dumps({
+            "metric": "analyze_throughput_text_packed",
+            "value": round(throughput, 2), "unit": "verdicts/sec/chip",
+            "vs_baseline": vs, "batch": B,
+            "packed_rows": int(p.ids.shape[0]), "row_len": S,
+            "p50_batch_latency_ms": round(dt / ITERS * 1000.0, 2),
+            "device": str(jax.devices()[0]),
+        }))
+        return
     batch = {
         "roberta_ids": jnp.asarray(rng.integers(3, 50000, (B, S)), jnp.int32),
         "roberta_mask": jnp.ones((B, S), jnp.int32),

@@ -117,6 +117,10 @@ class ServingConfig:
     batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
     max_wait_ms: float = 5.0           # micro-batching window
     donate_buffers: bool = True
+    # Sequence packing for text-only traffic: pack ragged requests into
+    # shared rows with block-diagonal attention (preprocess/packing.py).
+    # RoBERTa FLOPs then scale with total tokens, not requests × bucket.
+    pack_text: bool = False
 
 
 @dataclass(frozen=True)
@@ -150,6 +154,9 @@ class ForensicsConfig:
         if updates:
             cfg = dataclasses.replace(
                 cfg, paths=dataclasses.replace(cfg.paths, **updates))
+        if os.getenv("MISINFO_TPU_PACK_TEXT") in ("1", "true", "on"):
+            cfg = dataclasses.replace(
+                cfg, serving=dataclasses.replace(cfg.serving, pack_text=True))
         return cfg
 
     def replace(self, **kw) -> "ForensicsConfig":

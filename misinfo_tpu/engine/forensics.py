@@ -173,6 +173,36 @@ class MisinfoForensics:
         cl_ids, cl_mask = self.clip_tokenizer.batch(padded, cl_len)
         return rb_ids, rb_mask, cl_ids, cl_mask
 
+    def _pack_text_batch(self, texts: List[str], n_slots: int) -> Dict:
+        """Packed text-only batch (preprocess/packing.py): rows hold several
+        ragged requests each; jit signatures stay bucketed via row-length
+        buckets × row-count buckets × CLS-slot buckets."""
+        from misinfo_tpu.preprocess.packing import (
+            pack_token_rows, packed_row_bucket, trim_padded)
+        rb_max = min(self.cfg.seq.roberta_max_len,
+                     self.det_cfg.roberta.max_position_embeddings - 2)
+        ids, mask = self.roberta_tokenizer.batch(texts, rb_max)
+        seqs = trim_padded(ids, mask)
+        longest = max((len(s) for s in seqs), default=1)
+        row_len = next((b for b in self._TEXT_BUCKETS
+                        if longest <= b <= rb_max), rb_max)
+        packed = pack_token_rows(seqs, row_len,
+                                 self.det_cfg.roberta.pad_token_id,
+                                 n_slots=n_slots)
+        rows = packed_row_bucket(packed.ids.shape[0],
+                                 self.cfg.serving.batch_buckets)
+        packed = pack_token_rows(seqs, row_len,
+                                 self.det_cfg.roberta.pad_token_id,
+                                 n_slots=n_slots, min_rows=rows)
+        return {
+            "roberta_ids": jnp.asarray(packed.ids),
+            "roberta_mask": jnp.asarray(packed.mask),
+            "roberta_pos": jnp.asarray(packed.position_ids),
+            "roberta_seg": jnp.asarray(packed.segment_ids),
+            "cls_rows": jnp.asarray(packed.cls_rows),
+            "cls_cols": jnp.asarray(packed.cls_cols),
+        }
+
     def _image_batch(self, images: List, bucket: int):
         size = self.cfg.seq.image_size
 
@@ -350,6 +380,12 @@ class MisinfoForensics:
                 continue
             reqs = [requests[i] for i in idxs]
             bucket = _bucket(len(reqs), self.cfg.serving.batch_buckets)
+            if variant == "text_only" and self.cfg.serving.pack_text:
+                batch = self._pack_text_batch(
+                    [r.get("text", "") for r in reqs], bucket)
+                out = self.programs.get("text_packed")(self.params, batch)
+                dispatches.append((variant, out, idxs))
+                continue
             batch: Dict = {}
             if variant in ("full", "text_only"):
                 texts = [r.get("text", "") for r in reqs]

@@ -155,6 +155,39 @@ def signals_program(
     raise ValueError(f"unknown variant {variant!r}")
 
 
+def packed_text_program(
+    params: Dict,
+    batch: Dict[str, jax.Array],
+    *,
+    det_cfg: DetectorConfig,
+    cfg: ForensicsConfig,
+    policy: Policy,
+    use_pallas: bool = False,
+) -> SignalOutput:
+    """text_only variant over a PACKED token matrix (preprocess/packing.py):
+    multiple ragged requests per row, block-diagonal attention, per-segment
+    positions, CLS scores gathered at (cls_rows, cls_cols). Verdict
+    semantics identical to `text_only` (reference misinfo_forensics.py:
+    883-889: fake_prob = misinfo_score)."""
+    from misinfo_tpu.models.roberta import head_apply, roberta_encode
+
+    hidden = roberta_encode(
+        params["roberta"], batch["roberta_ids"], batch["roberta_mask"],
+        det_cfg.roberta, policy, use_pallas=use_pallas,
+        position_ids=batch["roberta_pos"], segment_ids=batch["roberta_seg"])
+    pooled = hidden[batch["cls_rows"], batch["cls_cols"]]          # [N, D]
+    ai = softmax_f32(head_apply(params["ai_head"], pooled, policy=policy))[:, 1]
+    mis = softmax_f32(head_apply(params["misinfo_head"], pooled,
+                                 policy=policy))[:, 1]
+    verdict, conf, fake_p, real_p = _verdict_from_prob(mis)
+    N = pooled.shape[0]
+    zeros = jnp.zeros((N,), jnp.float32)
+    K = cfg.seq.vault_top_k
+    return SignalOutput(ai, mis, zeros, zeros, zeros, zeros,
+                        verdict, conf, fake_p, real_p,
+                        jnp.zeros((N, K)), jnp.full((N, K), -1, jnp.int32))
+
+
 def video_program(
     params: Dict,
     batch: Dict[str, jax.Array],
@@ -237,6 +270,10 @@ class SignalPrograms:
                 has_text = variant == "video_text"
                 fn = functools.partial(
                     video_program, has_text=has_text, det_cfg=self.det_cfg,
+                    cfg=self.cfg, policy=self.policy, use_pallas=self.use_pallas)
+            elif variant == "text_packed":
+                fn = functools.partial(
+                    packed_text_program, det_cfg=self.det_cfg,
                     cfg=self.cfg, policy=self.policy, use_pallas=self.use_pallas)
             else:
                 fn = functools.partial(

@@ -106,10 +106,19 @@ def roberta_encode(
     rng=None,
     deterministic: bool = True,
     use_pallas: bool = False,
+    position_ids: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """→ last_hidden_state [B, S, D] (compute dtype)."""
+    """→ last_hidden_state [B, S, D] (compute dtype).
+
+    ``position_ids``/``segment_ids`` support sequence packing: multiple
+    requests share a row, positions restart per segment, and attention is
+    block-diagonal (ops/attention.py). Host-side packing lives in
+    preprocess/packing.py; scores are bitwise-independent of co-packed
+    neighbours (tests/test_packing.py)."""
     emb = params["embeddings"]
-    pos_ids = _position_ids(input_ids, cfg.pad_token_id)
+    pos_ids = (position_ids if position_ids is not None
+               else _position_ids(input_ids, cfg.pad_token_id))
     x = (jnp.take(emb["word"], input_ids, axis=0)
          + jnp.take(emb["position"], pos_ids, axis=0)
          + emb["token_type"][0])
@@ -121,7 +130,9 @@ def roberta_encode(
 
     for layer in params["layers"]:
         attn_out = multi_head_attention(
-            layer["attn"], x, cfg.num_heads, mask=attention_mask,
+            layer["attn"], x, cfg.num_heads,
+            mask=None if segment_ids is not None else attention_mask,
+            segment_ids=segment_ids,
             policy=policy, use_pallas=use_pallas)
         if not deterministic:
             rng, k = jax.random.split(rng)

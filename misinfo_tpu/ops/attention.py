@@ -43,8 +43,16 @@ def multi_head_attention(
     kv: Optional[jax.Array] = None,     # [B, S_kv, D] for cross-attention
     policy: Policy = DEFAULT_POLICY,
     use_pallas: bool = False,
+    segment_ids: Optional[jax.Array] = None,  # [B, S] int32, 0 = padding
 ) -> jax.Array:
-    """Standard scaled-dot-product MHA, bf16 matmuls + f32 softmax."""
+    """Standard scaled-dot-product MHA, bf16 matmuls + f32 softmax.
+
+    ``segment_ids`` enables sequence packing (block-diagonal attention):
+    token i may attend to token j only when they belong to the same nonzero
+    segment. Packing multiple ragged requests into one row keeps the MXU
+    fed without paying bucket padding (engine text path, preprocess/packing).
+    Mutually exclusive with ``mask``/``kv`` — packing is self-attention only.
+    """
     B, S, D = x.shape
     kv = x if kv is None else kv
     S_kv = kv.shape[1]
@@ -70,7 +78,10 @@ def multi_head_attention(
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             SegmentIds, flash_attention)
         seg = None
-        if mask is not None:
+        if segment_ids is not None:
+            sids = segment_ids.astype(jnp.int32)
+            seg = SegmentIds(q=sids, kv=sids)
+        elif mask is not None:
             seg = SegmentIds(q=jnp.ones((B, S), jnp.int32),
                              kv=mask.astype(jnp.int32))
         ctx = flash_attention(
@@ -78,7 +89,7 @@ def multi_head_attention(
             v.transpose(0, 2, 1, 3), segment_ids=seg, causal=causal,
             sm_scale=1.0 / (head_dim ** 0.5)).transpose(0, 2, 1, 3)
         return dense(params["o"], ctx.reshape(B, S, D), policy)
-    if use_pallas:
+    if use_pallas and segment_ids is None:
         from misinfo_tpu.ops.pallas_attention import fused_attention
         pm = mask.astype(jnp.float32) if mask is not None else None
         ctx = fused_attention(q, k, v, mask=pm, causal=causal)
@@ -93,7 +104,13 @@ def multi_head_attention(
     scores = jnp.einsum("bshd,bthd->bhst", q, k,
                         preferred_element_type=sdt,
                         precision=policy.precision) * jnp.asarray(scale, sdt)
-    if mask is not None:
+    if segment_ids is not None:
+        assert mask is None and kv is x, "segment packing is self-attn only"
+        same = (segment_ids[:, :, None] == segment_ids[:, None, :])
+        allowed = same & (segment_ids[:, None, :] > 0)     # [B, S, S_kv]
+        scores = scores + ((~allowed[:, None]).astype(jnp.float32)
+                           * _NEG_INF).astype(sdt)
+    elif mask is not None:
         scores = scores + ((1.0 - mask[:, None, None, :].astype(jnp.float32))
                            * _NEG_INF).astype(sdt)
     if causal:

@@ -1,0 +1,138 @@
+"""Sequence packing (preprocess/packing.py + segment attention): packed
+scores must be independent of co-packed neighbours and bit-close to the
+unpacked path (f32 parity mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from misinfo_tpu.core.config import ForensicsConfig, PrecisionConfig
+from misinfo_tpu.models.detector import DetectorConfig, detector_init
+from misinfo_tpu.models.roberta import (
+    RobertaConfig, dual_head_logits, head_apply, roberta_encode,
+    roberta_init, head_init)
+from misinfo_tpu.ops.common import Policy, F32_POLICY
+from misinfo_tpu.preprocess.packing import (
+    PackedTextBatch, pack_token_rows, packed_row_bucket, trim_padded)
+
+
+def _seqs(rng, lens, vocab=1000):
+    return [rng.integers(3, vocab, (l,)).astype(np.int32) for l in lens]
+
+
+def test_pack_token_rows_placement():
+    rng = np.random.default_rng(0)
+    lens = [5, 3, 7, 2, 6, 1]
+    seqs = _seqs(rng, lens)
+    p = pack_token_rows(seqs, row_len=8, pad_id=1)
+    assert p.ids.shape[1] == 8
+    for i, s in enumerate(seqs):
+        r, c = int(p.cls_rows[i]), int(p.cls_cols[i])
+        np.testing.assert_array_equal(p.ids[r, c:c + len(s)], s)
+        # contiguous single segment per request
+        seg = p.segment_ids[r, c]
+        assert seg > 0
+        assert (p.segment_ids[r, c:c + len(s)] == seg).all()
+        # RoBERTa position rule restarts per segment: pad+1, pad+2, ...
+        np.testing.assert_array_equal(
+            p.position_ids[r, c:c + len(s)], 1 + 1 + np.arange(len(s)))
+    # padding slots carry segment 0 and pad ids
+    assert ((p.segment_ids == 0) == (p.mask == 0)).all()
+    assert (p.ids[p.mask == 0] == 1).all()
+
+
+def test_pack_token_rows_distinct_segments_and_buckets():
+    rng = np.random.default_rng(1)
+    seqs = _seqs(rng, [4, 4, 4])
+    p = pack_token_rows(seqs, row_len=12, pad_id=1, n_slots=8, min_rows=4)
+    assert p.ids.shape[0] == 4 and len(p.cls_rows) == 8
+    # three requests in one 12-token row → three distinct segment ids
+    r = int(p.cls_rows[0])
+    segs = {int(p.segment_ids[int(p.cls_rows[i]), int(p.cls_cols[i])])
+            for i in range(3)}
+    assert len(segs) == 3
+    with pytest.raises(ValueError):
+        pack_token_rows(_seqs(rng, [13]), row_len=12, pad_id=1)
+    assert packed_row_bucket(3, (1, 2, 4, 8)) == 4
+    assert packed_row_bucket(99, (1, 2, 4, 8)) == 8
+
+
+def test_trim_padded_roundtrip():
+    ids = np.array([[5, 6, 1, 1], [7, 8, 9, 1]], np.int32)
+    mask = np.array([[1, 1, 0, 0], [1, 1, 1, 0]], np.int32)
+    seqs = trim_padded(ids, mask)
+    np.testing.assert_array_equal(seqs[0], [5, 6])
+    np.testing.assert_array_equal(seqs[1], [7, 8, 9])
+
+
+def test_packed_scores_match_unpacked():
+    """Block-diagonal attention + per-segment positions + CLS gather must
+    reproduce the unpacked per-row scores exactly (f32 HIGHEST)."""
+    cfg = RobertaConfig.tiny()
+    key = jax.random.PRNGKey(0)
+    params = roberta_init(key, cfg)
+    ai = head_init(jax.random.PRNGKey(1), cfg)
+    mis = head_init(jax.random.PRNGKey(2), cfg)
+    policy = F32_POLICY
+
+    rng = np.random.default_rng(2)
+    lens = [9, 4, 13, 2, 7]
+    seqs = _seqs(rng, lens, vocab=cfg.vocab_size)
+
+    # unpacked reference: one row per request, padded to 16
+    L = 16
+    ids = np.full((len(seqs), L), cfg.pad_token_id, np.int32)
+    mask = np.zeros((len(seqs), L), np.int32)
+    for i, s in enumerate(seqs):
+        ids[i, : len(s)] = s
+        mask[i, : len(s)] = 1
+    ai_ref, mis_ref = dual_head_logits(
+        params, ai, mis, jnp.asarray(ids), jnp.asarray(mask), cfg, policy)
+
+    packed = pack_token_rows(seqs, row_len=L, pad_id=cfg.pad_token_id)
+    assert packed.ids.shape[0] < len(seqs)  # actually packed
+    hidden = roberta_encode(
+        params, jnp.asarray(packed.ids), jnp.asarray(packed.mask), cfg,
+        policy, position_ids=jnp.asarray(packed.position_ids),
+        segment_ids=jnp.asarray(packed.segment_ids))
+    pooled = hidden[jnp.asarray(packed.cls_rows), jnp.asarray(packed.cls_cols)]
+    ai_p = head_apply(ai, pooled, policy=policy)
+    mis_p = head_apply(mis, pooled, policy=policy)
+
+    np.testing.assert_allclose(np.asarray(ai_p), np.asarray(ai_ref),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(mis_p), np.asarray(mis_ref),
+                               rtol=0, atol=2e-5)
+
+
+def test_engine_pack_text_parity(tmp_path):
+    """Engine-level: pack_text=True returns the same reports as the
+    unpacked bucketed path."""
+    from misinfo_tpu.engine.forensics import MisinfoForensics
+
+    det_cfg = DetectorConfig.tiny()
+    base = ForensicsConfig(verbose=False).replace(
+        precision=PrecisionConfig.highest())
+    base = base.replace(
+        paths=base.paths.__class__(vault_path=str(tmp_path / "missing.npz")),
+        seq=base.seq.__class__(roberta_max_len=32, image_size=64))
+    params = detector_init(jax.random.PRNGKey(0), det_cfg)
+
+    texts = ["breaking news shocking claim about the election",
+             "short", "a somewhat longer caption with more words in it",
+             "x", "fake news spreads faster than true news online"]
+    reqs = [{"text": t} for t in texts]
+
+    eng = MisinfoForensics(config=base, det_cfg=det_cfg, params=params)
+    plain = eng.analyze_batch(reqs)
+
+    packed_cfg = base.replace(
+        serving=base.serving.__class__(pack_text=True))
+    eng_p = MisinfoForensics(config=packed_cfg, det_cfg=det_cfg, params=params)
+    packed = eng_p.analyze_batch(reqs)
+
+    for a, b in zip(plain, packed):
+        assert a["verdict"] == b["verdict"]
+        for k in ("ai_score", "misinfo_score", "fake_probability"):
+            assert abs(a["scores"][k] - b["scores"][k]) < 1e-4, k
