@@ -15,6 +15,7 @@ matmul over the `data` mesh axis and all-gathers per-shard top-k candidates
 
 from __future__ import annotations
 
+import os
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -24,6 +25,13 @@ import jax.numpy as jnp
 # above this row count, route top-k through the two-stage chunked form
 CHUNKED_TOPK_MIN_ROWS = 1 << 16
 _CHUNK = 1024  # lane-aligned chunk width for stage 1
+
+# Top-k implementation for large vaults: "chunked" (two-stage exact,
+# default), "mono" (one lax.top_k — the slow per-row sort), "iterative"
+# (k passes of max+mask, sort-free, exact), "approx" (TPU ApproxTopK
+# custom call at recall_target=1.0 — exact per the XLA contract, CPU
+# falls back to sort). Benchmarked in tools/bench_topk.py.
+TOPK_MODE = os.environ.get("MISINFO_TPU_TOPK", "chunked")
 
 
 def topk_chunked(sims: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
@@ -46,8 +54,38 @@ def topk_chunked(sims: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     return top_s, top_i
 
 
-def _topk(sims: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
-    if sims.shape[1] >= CHUNKED_TOPK_MIN_ROWS:
+def topk_iterative(sims: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact sort-free top-k: k passes of (argmax → record → mask). Costs
+    k reads + k writes of the sims matrix instead of a per-row sort; ties
+    resolve to the lowest index, matching lax.top_k."""
+    B, N = sims.shape
+    col = jnp.arange(N)[None, :]
+    vals, idxs = [], []
+    cur = sims
+    for _ in range(k):
+        i = jnp.argmax(cur, axis=1)                          # [B]
+        vals.append(jnp.max(cur, axis=1))
+        idxs.append(i.astype(jnp.int32))
+        cur = jnp.where(col == i[:, None], -jnp.inf, cur)
+    return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
+
+
+def topk_approx(sims: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """TPU ApproxTopK custom call. recall_target=1.0 requests exact results
+    (XLA sizes the partial reduce for full recall); other backends fall back
+    to a sort-based implementation."""
+    vals, idx = jax.lax.approx_max_k(sims, k, recall_target=1.0)
+    return vals, idx.astype(jnp.int32)
+
+
+def _topk(sims: jax.Array, k: int,
+          mode: Optional[str] = None) -> Tuple[jax.Array, jax.Array]:
+    mode = mode or TOPK_MODE
+    if mode == "iterative":
+        return topk_iterative(sims, k)
+    if mode == "approx":
+        return topk_approx(sims, k)
+    if mode == "chunked" and sims.shape[1] >= CHUNKED_TOPK_MIN_ROWS:
         return topk_chunked(sims, k)
     return jax.lax.top_k(sims, k)
 

@@ -174,3 +174,35 @@ def test_topk_chunked_exact_vs_lax():
         got_s, got_i = topk_chunked(sims, 5)
         np.testing.assert_array_equal(np.asarray(ref_s), np.asarray(got_s))
         np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
+
+
+def test_topk_modes_exact_vs_lax():
+    """iterative and approx(recall=1.0) modes must agree with lax.top_k
+    (values exactly; indices exactly for distinct values)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from misinfo_tpu.vault.search import topk_approx, topk_iterative
+
+    rng = np.random.default_rng(3)
+    sims = jnp.asarray(rng.normal(size=(4, 9000)).astype(np.float32))
+    ref_s, ref_i = jax.lax.top_k(sims, 5)
+    for fn in (topk_iterative, topk_approx):
+        got_s, got_i = fn(sims, 5)
+        np.testing.assert_array_equal(np.asarray(ref_s), np.asarray(got_s))
+        np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
+
+
+def test_topk_iterative_tie_breaks_low_index():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from misinfo_tpu.vault.search import topk_iterative
+
+    sims = jnp.asarray(np.array([[1.0, 3.0, 3.0, 2.0, 0.5]], np.float32))
+    ref_s, ref_i = jax.lax.top_k(sims, 3)
+    got_s, got_i = topk_iterative(sims, 3)
+    np.testing.assert_array_equal(np.asarray(ref_s), np.asarray(got_s))
+    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
