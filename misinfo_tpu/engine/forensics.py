@@ -380,14 +380,20 @@ class MisinfoForensics:
                 continue
             reqs = [requests[i] for i in idxs]
             bucket = _bucket(len(reqs), self.cfg.serving.batch_buckets)
-            if variant == "text_only" and self.cfg.serving.pack_text:
-                batch = self._pack_text_batch(
-                    [r.get("text", "") for r in reqs], bucket)
-                out = self.programs.get("text_packed")(self.params, batch)
-                dispatches.append((variant, out, idxs))
-                continue
+            pack = (self.cfg.serving.pack_text
+                    and variant in ("full", "text_only"))
             batch: Dict = {}
-            if variant in ("full", "text_only"):
+            if pack:
+                texts = [r.get("text", "") for r in reqs]
+                batch.update(self._pack_text_batch(texts, bucket))
+                if variant == "full":   # CLIP rows stay per-request (77 tok)
+                    cl_len = min(self.cfg.seq.clip_max_len,
+                                 self.det_cfg.clip.max_text_len)
+                    cl_ids, cl_mask = self.clip_tokenizer.batch(
+                        texts + [""] * (bucket - len(texts)), cl_len)
+                    batch.update(clip_ids=jnp.asarray(cl_ids),
+                                 clip_mask=jnp.asarray(cl_mask))
+            elif variant in ("full", "text_only"):
                 texts = [r.get("text", "") for r in reqs]
                 rb_ids, rb_mask, cl_ids, cl_mask = self._tokenize_batch(texts, bucket)
                 batch.update(roberta_ids=jnp.asarray(rb_ids),

@@ -60,10 +60,23 @@ class SignalOutput(NamedTuple):
 
 
 def _text_branch(params, batch, det_cfg, policy, use_pallas):
-    ai_logits, mis_logits = dual_head_logits(
-        params["roberta"], params["ai_head"], params["misinfo_head"],
-        batch["roberta_ids"], batch["roberta_mask"],
-        det_cfg.roberta, policy, use_pallas=use_pallas)
+    if "roberta_seg" in batch:
+        # packed rows (preprocess/packing.py): block-diagonal attention,
+        # per-segment positions, CLS scores gathered per request
+        from misinfo_tpu.models.roberta import head_apply, roberta_encode
+        hidden = roberta_encode(
+            params["roberta"], batch["roberta_ids"], batch["roberta_mask"],
+            det_cfg.roberta, policy, use_pallas=use_pallas,
+            position_ids=batch["roberta_pos"],
+            segment_ids=batch["roberta_seg"])
+        pooled = hidden[batch["cls_rows"], batch["cls_cols"]]      # [N, D]
+        ai_logits = head_apply(params["ai_head"], pooled, policy=policy)
+        mis_logits = head_apply(params["misinfo_head"], pooled, policy=policy)
+    else:
+        ai_logits, mis_logits = dual_head_logits(
+            params["roberta"], params["ai_head"], params["misinfo_head"],
+            batch["roberta_ids"], batch["roberta_mask"],
+            det_cfg.roberta, policy, use_pallas=use_pallas)
     ai_score = softmax_f32(ai_logits)[:, 1]
     misinfo_score = softmax_f32(mis_logits)[:, 1]
     return ai_score, misinfo_score
@@ -115,7 +128,8 @@ def signals_program(
     policy: Policy,
     use_pallas: bool = False,
 ) -> SignalOutput:
-    B = (batch["roberta_ids"].shape[0] if "roberta_ids" in batch
+    B = (batch["cls_rows"].shape[0] if "cls_rows" in batch  # packed: N requests
+         else batch["roberta_ids"].shape[0] if "roberta_ids" in batch
          else batch["image_clip"].shape[0])
     zeros = jnp.zeros((B,), jnp.float32)
     K = cfg.seq.vault_top_k
@@ -168,24 +182,12 @@ def packed_text_program(
     multiple ragged requests per row, block-diagonal attention, per-segment
     positions, CLS scores gathered at (cls_rows, cls_cols). Verdict
     semantics identical to `text_only` (reference misinfo_forensics.py:
-    883-889: fake_prob = misinfo_score)."""
-    from misinfo_tpu.models.roberta import head_apply, roberta_encode
-
-    hidden = roberta_encode(
-        params["roberta"], batch["roberta_ids"], batch["roberta_mask"],
-        det_cfg.roberta, policy, use_pallas=use_pallas,
-        position_ids=batch["roberta_pos"], segment_ids=batch["roberta_seg"])
-    pooled = hidden[batch["cls_rows"], batch["cls_cols"]]          # [N, D]
-    ai = softmax_f32(head_apply(params["ai_head"], pooled, policy=policy))[:, 1]
-    mis = softmax_f32(head_apply(params["misinfo_head"], pooled,
-                                 policy=policy))[:, 1]
-    verdict, conf, fake_p, real_p = _verdict_from_prob(mis)
-    N = pooled.shape[0]
-    zeros = jnp.zeros((N,), jnp.float32)
-    K = cfg.seq.vault_top_k
-    return SignalOutput(ai, mis, zeros, zeros, zeros, zeros,
-                        verdict, conf, fake_p, real_p,
-                        jnp.zeros((N, K)), jnp.full((N, K), -1, jnp.int32))
+    883-889: fake_prob = misinfo_score). The packed keys in ``batch`` route
+    `_text_branch` onto the packed path, so `full` batches may carry them
+    too (engine pack_text handles both)."""
+    return signals_program(params, batch, variant="text_only",
+                           det_cfg=det_cfg, cfg=cfg, policy=policy,
+                           use_pallas=use_pallas)
 
 
 def video_program(

@@ -123,6 +123,12 @@ def test_engine_pack_text_parity(tmp_path):
              "short", "a somewhat longer caption with more words in it",
              "x", "fake news spreads faster than true news online"]
     reqs = [{"text": t} for t in texts]
+    # a couple of full-modality requests exercise the packed `full` path
+    from PIL import Image
+    img_rng = np.random.default_rng(7)
+    for t in ("caption packed with an image", "another full request"):
+        reqs.append({"text": t, "image": Image.fromarray(
+            img_rng.integers(0, 255, (64, 64, 3), dtype=np.uint8), "RGB")})
 
     eng = MisinfoForensics(config=base, det_cfg=det_cfg, params=params)
     plain = eng.analyze_batch(reqs)
@@ -134,5 +140,6 @@ def test_engine_pack_text_parity(tmp_path):
 
     for a, b in zip(plain, packed):
         assert a["verdict"] == b["verdict"]
-        for k in ("ai_score", "misinfo_score", "fake_probability"):
+        for k in ("ai_score", "misinfo_score", "fake_probability",
+                  "deepfake_score", "clip_similarity"):
             assert abs(a["scores"][k] - b["scores"][k]) < 1e-4, k
