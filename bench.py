@@ -25,6 +25,7 @@ USE_PALLAS = {"0": False, "1": True}.get(_p, _p)
 SEQ_LEN = int(os.environ.get("BENCH_SEQ", "0"))  # 0 → config default (512)
 QUANT = os.environ.get("BENCH_QUANT", "none")    # "int8" → quantized serving
 VARIANT = os.environ.get("BENCH_VARIANT", "full")  # full|text_only|visual_only
+PACK = os.environ.get("BENCH_PACK", "0") == "1"    # pack ragged text rows
 VAULT_ROWS = int(os.environ.get("BENCH_VAULT", "2176"))  # reference ~2170
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
 
@@ -110,6 +111,22 @@ def main():
         "vault_text_emb": jnp.asarray(rng.normal(size=(vault_rows, 512)).astype(np.float32)),
     }
 
+    if PACK:
+        # ragged text (lengths U[32,S)) packed into shared rows; images and
+        # CLIP tokens stay per-request. Mirrors the engine's pack_text path.
+        from misinfo_tpu.preprocess.packing import pack_token_rows
+        lens = rng.integers(32, S, (B,))
+        seqs = [rng.integers(3, 50000, (l,)).astype(np.int32) for l in lens]
+        p = pack_token_rows(seqs, S, det_cfg.roberta.pad_token_id, n_slots=B)
+        for k in ("roberta_ids", "roberta_mask"):
+            del batch[k]
+        batch.update(roberta_ids=jnp.asarray(p.ids),
+                     roberta_mask=jnp.asarray(p.mask),
+                     roberta_pos=jnp.asarray(p.position_ids),
+                     roberta_seg=jnp.asarray(p.segment_ids),
+                     cls_rows=jnp.asarray(p.cls_rows),
+                     cls_cols=jnp.asarray(p.cls_cols))
+
     fn = jax.jit(functools.partial(signals_program, variant=VARIANT,
                                    det_cfg=det_cfg, cfg=cfg, policy=policy,
                                    use_pallas=USE_PALLAS))
@@ -135,6 +152,8 @@ def main():
 
     metric = ("analyze_throughput_full_modality" if VARIANT == "full"
               else f"analyze_throughput_{VARIANT}")
+    if PACK:
+        metric += "_packed"
     print(json.dumps({
         "metric": metric,
         "value": round(throughput, 2),
