@@ -168,6 +168,46 @@ class MisinfoDataset:
                     [self._load_video(self.samples[i].video_path) for i in chunk])
             yield batch
 
+    def packed_batches(self, n_rows: int, n_slots: int,
+                       shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        """Text-only batches packed to a static [n_rows, roberta_len] shape
+        with up to n_slots requests (preprocess/packing.StreamPacker); for
+        the packed text-head train step. Tokenization runs in chunks to
+        amortize the tokenizer's batch call."""
+        from misinfo_tpu.preprocess.packing import StreamPacker, trim_padded
+
+        pad_id = 1  # RoBERTa <pad>
+        packer = StreamPacker(self.roberta_len, pad_id, n_rows, n_slots)
+        idx = np.arange(len(self.samples))
+        if shuffle:
+            self.rng.shuffle(idx)
+
+        def emit(out):
+            packed, metas = out
+            labels = np.zeros(n_slots, np.int32)
+            valid = np.zeros(n_slots, np.float32)
+            labels[: len(metas)] = metas
+            valid[: len(metas)] = 1.0
+            return {"input_ids": packed.ids,
+                    "attention_mask": packed.mask,
+                    "position_ids": packed.position_ids,
+                    "segment_ids": packed.segment_ids,
+                    "cls_rows": packed.cls_rows, "cls_cols": packed.cls_cols,
+                    "labels": labels, "slot_valid": valid}
+
+        CHUNK = 64
+        for start in range(0, len(idx), CHUNK):
+            chunk = idx[start:start + CHUNK]
+            texts = [self.samples[i].text or "" for i in chunk]
+            ids, mask = self.rt.batch(texts, self.roberta_len)
+            for seq, i in zip(trim_padded(ids, mask), chunk):
+                out = packer.add(seq, int(self.samples[i].label))
+                if out is not None:
+                    yield emit(out)
+        tail = packer.flush()
+        if tail is not None:
+            yield emit(tail)
+
 
 def prefetch(batch_iter, depth: int = 2):
     """Background-thread prefetcher: overlaps host-side augmentation /

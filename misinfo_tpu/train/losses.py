@@ -59,3 +59,20 @@ def fixed_threshold_accuracy(sims: jax.Array, labels: jax.Array,
 def binary_accuracy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     preds = jnp.argmax(logits, axis=-1)
     return jnp.mean((preds == labels).astype(jnp.float32))
+
+
+def weighted_cross_entropy(logits: jax.Array, labels: jax.Array,
+                           weights: jax.Array) -> jax.Array:
+    """CE averaged over weighted rows (packed-slot validity masking)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    w = weights.astype(jnp.float32)
+    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def weighted_accuracy(logits: jax.Array, labels: jax.Array,
+                      weights: jax.Array) -> jax.Array:
+    preds = jnp.argmax(logits, axis=-1)
+    w = weights.astype(jnp.float32)
+    hits = (preds == labels).astype(jnp.float32) * w
+    return jnp.sum(hits) / jnp.maximum(jnp.sum(w), 1.0)

@@ -78,7 +78,7 @@ def train(csv_path: str, out_dir: str = "roberta_detective_best",
           max_len: int = 256, det_cfg: Optional[DetectorConfig] = None,
           params: Optional[Dict] = None, max_samples: Optional[int] = None,
           head: str = "misinfo_head", freeze_backbone: bool = False,
-          precision: str = "bfloat16", log=print):
+          precision: str = "bfloat16", pack: bool = False, log=print):
     det_cfg = det_cfg or DetectorConfig()
     # training keeps HF-exact erf GELU even in bf16 (the tanh swap is a
     # serving-only optimization, core/config.py PrecisionConfig.gelu_mode)
@@ -110,13 +110,26 @@ def train(csv_path: str, out_dir: str = "roberta_detective_best",
                     total_steps=steps_per_epoch * epochs, clip_norm=1.0),
         trainable_mask=branch_mask(params, trainable))
     opt_state = tx.init(params)
-    step = make_text_head_step(tx, det_cfg, policy, head=head)
+    if pack:
+        # perf mode: ragged sequences packed into batch_size rows of
+        # max_len under segment attention (steps scale with token sum;
+        # batch composition differs from the reference recipe, so the
+        # cosine schedule length stays the unpacked upper bound)
+        from misinfo_tpu.train.steps import make_packed_text_head_step
+        step = make_packed_text_head_step(tx, det_cfg, policy, head=head)
+    else:
+        step = make_text_head_step(tx, det_cfg, policy, head=head)
 
     def train_batches():
         from misinfo_tpu.train.datasets import prefetch
-        gen = ({k: jnp.asarray(v) for k, v in b.items()
-                if k in ("input_ids", "attention_mask", "labels")}
-               for b in train_ds.batches(batch_size, drop_remainder=True))
+        if pack:
+            gen = ({k: jnp.asarray(v) for k, v in b.items()}
+                   for b in train_ds.packed_batches(
+                       n_rows=batch_size, n_slots=batch_size * 4))
+        else:
+            gen = ({k: jnp.asarray(v) for k, v in b.items()
+                    if k in ("input_ids", "attention_mask", "labels")}
+                   for b in train_ds.batches(batch_size, drop_remainder=True))
         yield from prefetch(gen)
 
     def val_batches():
@@ -144,9 +157,11 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=2e-5)
     p.add_argument("--max-len", type=int, default=256)
     p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--pack", action="store_true",
+                   help="sequence-packed batches (perf mode; see docs/PERF.md)")
     args = p.parse_args(argv)
     train(args.csv, args.out, args.epochs, args.batch_size, args.lr,
-          args.max_len, max_samples=args.max_samples)
+          args.max_len, max_samples=args.max_samples, pack=args.pack)
 
 
 if __name__ == "__main__":

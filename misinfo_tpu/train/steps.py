@@ -60,6 +60,41 @@ def make_text_head_step(tx, det_cfg: DetectorConfig, policy: Policy,
     return step
 
 
+def make_packed_text_head_step(tx, det_cfg: DetectorConfig, policy: Policy,
+                               head: str = "misinfo_head"):
+    """Text-head step over PACKED batches (preprocess/packing.StreamPacker):
+    ragged sequences share rows under block-diagonal segment attention, so
+    step FLOPs track the token sum. Loss/accuracy weight by `slot_valid`
+    (unfilled CLS slots contribute nothing). Opt-in via the trainers'
+    ``pack=True`` — batch composition differs from the reference recipe, so
+    it is a perf mode, not the parity default."""
+    from misinfo_tpu.models.roberta import head_apply, roberta_encode
+    from misinfo_tpu.train.losses import (weighted_accuracy,
+                                          weighted_cross_entropy)
+
+    def loss_fn(params, batch, rng):
+        hidden = roberta_encode(
+            params["roberta"], batch["input_ids"], batch["attention_mask"],
+            det_cfg.roberta, policy, rng=rng, deterministic=False,
+            position_ids=batch["position_ids"],
+            segment_ids=batch["segment_ids"])
+        pooled = hidden[batch["cls_rows"], batch["cls_cols"]]
+        logits = head_apply(params[head], pooled, policy=policy,
+                            dropout_rate=det_cfg.roberta.head_dropout)
+        w = batch["slot_valid"]
+        loss = weighted_cross_entropy(logits, batch["labels"], w)
+        return loss, weighted_accuracy(logits, batch["labels"], w)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch, rng):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng)
+        params, opt_state = _apply_updates(params, grads, opt_state, tx)
+        return params, opt_state, {"loss": loss, "accuracy": acc}
+
+    return step
+
+
 def make_effnet_step(tx, policy: Policy, stats: str = "clip"):
     """CIFAKE EfficientNet step (C17, reference train_cifake_forensics.py):
     CE on 2-class logits; BN runs in batch-stats mode and the running stats

@@ -26,12 +26,15 @@ import jax.numpy as jnp
 CHUNKED_TOPK_MIN_ROWS = 1 << 16
 _CHUNK = 1024  # lane-aligned chunk width for stage 1
 
-# Top-k implementation for large vaults: "chunked" (two-stage exact,
-# default), "mono" (one lax.top_k — the slow per-row sort), "iterative"
-# (k passes of max+mask, sort-free, exact), "approx" (TPU ApproxTopK
-# custom call at recall_target=1.0 — exact per the XLA contract, CPU
-# falls back to sort). Benchmarked in tools/bench_topk.py.
-TOPK_MODE = os.environ.get("MISINFO_TPU_TOPK", "chunked")
+# Top-k implementation for large vaults: "auto" (default — iterative
+# above CHUNKED_TOPK_MIN_ROWS, lax.top_k below), "iterative" (k passes of
+# max+mask, sort-free, exact), "chunked" (two-stage exact), "mono" (one
+# lax.top_k — a giant per-row sort), "approx" (TPU ApproxTopK custom call
+# at recall_target=1.0 — exact per the XLA contract; CPU falls back to
+# sort). Program-level at 1M rows (tools/bench_topk.py + BENCH_VAULT):
+# iterative 40.5 ms/batch, chunked 56.1, approx 92.3, mono 99.4 — the
+# masked re-max passes fuse with the sims buffer where sorts cannot.
+TOPK_MODE = os.environ.get("MISINFO_TPU_TOPK", "auto")
 
 
 def topk_chunked(sims: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
@@ -81,6 +84,9 @@ def topk_approx(sims: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
 def _topk(sims: jax.Array, k: int,
           mode: Optional[str] = None) -> Tuple[jax.Array, jax.Array]:
     mode = mode or TOPK_MODE
+    if mode == "auto":
+        mode = ("iterative" if sims.shape[1] >= CHUNKED_TOPK_MIN_ROWS
+                else "mono")
     if mode == "iterative":
         return topk_iterative(sims, k)
     if mode == "approx":

@@ -143,3 +143,102 @@ def test_engine_pack_text_parity(tmp_path):
         for k in ("ai_score", "misinfo_score", "fake_probability",
                   "deepfake_score", "clip_similarity"):
             assert abs(a["scores"][k] - b["scores"][k]) < 1e-4, k
+
+
+def test_stream_packer_invariants():
+    from misinfo_tpu.preprocess.packing import StreamPacker
+
+    rng = np.random.default_rng(5)
+    packer = StreamPacker(row_len=16, pad_id=1, n_rows=2, n_slots=4)
+    seqs = _seqs(rng, [10, 9, 5, 3, 3, 3, 12, 2])
+    batches = []
+    for i, s in enumerate(seqs):
+        out = packer.add(s, meta=i)
+        if out is not None:
+            batches.append(out)
+    tail = packer.flush()
+    if tail:
+        batches.append(tail)
+
+    seen = []
+    for packed, metas in batches:
+        assert packed.ids.shape == (2, 16)
+        assert len(packed.cls_rows) == 4
+        assert len(metas) <= 4
+        for slot, meta in enumerate(metas):
+            r, c = int(packed.cls_rows[slot]), int(packed.cls_cols[slot])
+            s = seqs[meta]
+            np.testing.assert_array_equal(packed.ids[r, c:c + len(s)], s)
+            seen.append(meta)
+    assert sorted(seen) == list(range(len(seqs)))  # each sample exactly once
+
+
+def test_packed_train_step_runs_and_learns(tmp_path):
+    """Packed text-head training: loss finite, params move, invalid slots
+    contribute nothing (loss identical when garbage fills invalid slots)."""
+    from misinfo_tpu.train.optim import OptimConfig, branch_mask, make_optimizer
+    from misinfo_tpu.train.steps import make_packed_text_head_step
+    from misinfo_tpu.preprocess.packing import StreamPacker
+
+    det_cfg = DetectorConfig.tiny()
+    cfg = det_cfg.roberta
+    params = detector_init(jax.random.PRNGKey(0), det_cfg)
+    tx = make_optimizer(OptimConfig(lr=1e-3, total_steps=4),
+                        trainable_mask=branch_mask(
+                            params, ["roberta", "misinfo_head"]))
+    opt_state = tx.init(params)
+    step = make_packed_text_head_step(tx, det_cfg, F32_POLICY)
+
+    rng = np.random.default_rng(9)
+    packer = StreamPacker(row_len=16, pad_id=cfg.pad_token_id,
+                          n_rows=2, n_slots=4)
+    for s in _seqs(rng, [7, 6, 5], vocab=cfg.vocab_size):
+        packer.add(s, meta=int(rng.integers(0, 2)))
+    packed, metas = packer.flush()
+    labels = np.zeros(4, np.int32)
+    labels[: len(metas)] = metas
+    valid = np.zeros(4, np.float32)
+    valid[: len(metas)] = 1.0
+    batch = {k: jnp.asarray(v) for k, v in {
+        "input_ids": packed.ids, "attention_mask": packed.mask,
+        "position_ids": packed.position_ids,
+        "segment_ids": packed.segment_ids,
+        "cls_rows": packed.cls_rows, "cls_cols": packed.cls_cols,
+        "labels": labels, "slot_valid": valid}.items()}
+
+    p0 = params["misinfo_head"]["fc1"]["kernel"]
+    params2, opt_state, m = step(
+        jax.tree_util.tree_map(jnp.array, params),
+        opt_state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    assert not np.allclose(np.asarray(p0),
+                           np.asarray(params2["misinfo_head"]["fc1"]["kernel"]))
+
+    # garbage labels on invalid slots must not change the loss
+    batch2 = dict(batch)
+    lab2 = np.array(labels)
+    lab2[len(metas):] = 1
+    batch2["labels"] = jnp.asarray(lab2)
+    tx2 = make_optimizer(OptimConfig(lr=1e-3, total_steps=4))
+    step2 = make_packed_text_head_step(tx2, det_cfg, F32_POLICY)
+    _, _, m1 = step2(jax.tree_util.tree_map(jnp.array, params),
+                     tx2.init(params), batch, jax.random.PRNGKey(1))
+    _, _, m2 = step2(jax.tree_util.tree_map(jnp.array, params),
+                     tx2.init(params), batch2, jax.random.PRNGKey(1))
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-6
+
+
+def test_trainer_pack_flag(tmp_path):
+    """roberta_detective trainer end-to-end with pack=True on a tiny CSV."""
+    import pandas as pd
+    from misinfo_tpu.train.roberta_detective import train
+
+    texts = ["fake story %d with several words" % i for i in range(12)]
+    df = pd.DataFrame({"text": texts, "label": [i % 2 for i in range(12)]})
+    csv = str(tmp_path / "t.csv")
+    df.to_csv(csv, index=False)
+    det_cfg = DetectorConfig.tiny()
+    res = train(csv, out_dir=str(tmp_path / "out"), epochs=1, batch_size=2,
+                max_len=32, det_cfg=det_cfg, pack=True,
+                precision="float32", log=lambda *a, **k: None)
+    assert np.isfinite(res.best_metric)
