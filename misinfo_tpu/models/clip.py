@@ -78,14 +78,22 @@ def _block_init(key, width: int, mlp: int) -> Dict:
 
 def _encoder_apply(blocks, x, num_heads, *, mask=None, causal=False,
                    eps=1e-5, policy=DEFAULT_POLICY, use_pallas=False):
+    # use_pallas="ffn": fused dense→quick_gelu→dense (ops/pallas_ffn.py)
+    ffn_fused = use_pallas == "ffn"
+    attn_pallas = False if ffn_fused else use_pallas
     for blk in blocks:
         h = layer_norm(blk["ln1"], x, eps, policy)
         h = multi_head_attention(blk["attn"], h, num_heads, mask=mask,
                                  causal=causal, policy=policy,
-                                 use_pallas=use_pallas)
+                                 use_pallas=attn_pallas)
         x = x + h
         h = layer_norm(blk["ln2"], x, eps, policy)
-        h = dense(blk["mlp_out"], quick_gelu(dense(blk["mlp_in"], h, policy)), policy)
+        if ffn_fused and "kernel" in blk["mlp_in"]:
+            from misinfo_tpu.ops.pallas_ffn import ffn_apply
+            h = ffn_apply(blk["mlp_in"], blk["mlp_out"], h,
+                          policy=policy, mode="quick")
+        else:
+            h = dense(blk["mlp_out"], quick_gelu(dense(blk["mlp_in"], h, policy)), policy)
         x = x + h
     return x
 

@@ -128,18 +128,27 @@ def roberta_encode(
         x = _dropout(k, x, cfg.hidden_dropout, deterministic)
     x = x.astype(policy.compute)
 
+    # use_pallas="ffn" fuses each layer's dense→GELU→dense into one Pallas
+    # kernel (ops/pallas_ffn.py); attention stays on the XLA path there.
+    ffn_fused = use_pallas == "ffn"
+    attn_pallas = False if ffn_fused else use_pallas
     for layer in params["layers"]:
         attn_out = multi_head_attention(
             layer["attn"], x, cfg.num_heads,
             mask=None if segment_ids is not None else attention_mask,
             segment_ids=segment_ids,
-            policy=policy, use_pallas=use_pallas)
+            policy=policy, use_pallas=attn_pallas)
         if not deterministic:
             rng, k = jax.random.split(rng)
             attn_out = _dropout(k, attn_out, cfg.hidden_dropout, deterministic)
         x = layer_norm(layer["attn_ln"], x + attn_out, cfg.layer_norm_eps, policy)
-        mlp = gelu(dense(layer["mlp_in"], x, policy), policy)
-        mlp = dense(layer["mlp_out"], mlp, policy)
+        if ffn_fused and "kernel" in layer["mlp_in"]:
+            from misinfo_tpu.ops.pallas_ffn import ffn_apply
+            mlp = ffn_apply(layer["mlp_in"], layer["mlp_out"], x,
+                            policy=policy, mode=policy.gelu_mode)
+        else:
+            mlp = gelu(dense(layer["mlp_in"], x, policy), policy)
+            mlp = dense(layer["mlp_out"], mlp, policy)
         if not deterministic:
             rng, k = jax.random.split(rng)
             mlp = _dropout(k, mlp, cfg.hidden_dropout, deterministic)
