@@ -121,6 +121,11 @@ class ServingConfig:
     # shared rows with block-diagonal attention (preprocess/packing.py).
     # RoBERTa FLOPs then scale with total tokens, not requests × bucket.
     pack_text: bool = False
+    # IVF vault search (vault/ivf.py): sub-linear probed-cluster kNN for
+    # vaults far beyond the reference's 2,170 rows. Exact search stays the
+    # default; nprobe trades recall for speed.
+    vault_ivf: bool = False
+    ivf_nprobe: int = 8
 
 
 @dataclass(frozen=True)
@@ -157,6 +162,12 @@ class ForensicsConfig:
         if os.getenv("MISINFO_TPU_PACK_TEXT") in ("1", "true", "on"):
             cfg = dataclasses.replace(
                 cfg, serving=dataclasses.replace(cfg.serving, pack_text=True))
+        if os.getenv("MISINFO_TPU_VAULT_IVF") in ("1", "true", "on"):
+            nprobe = int(os.getenv("MISINFO_TPU_IVF_NPROBE",
+                                   str(cfg.serving.ivf_nprobe)))
+            cfg = dataclasses.replace(
+                cfg, serving=dataclasses.replace(
+                    cfg.serving, vault_ivf=True, ivf_nprobe=nprobe))
         return cfg
 
     def replace(self, **kw) -> "ForensicsConfig":

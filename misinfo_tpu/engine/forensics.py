@@ -152,6 +152,19 @@ class MisinfoForensics:
             out["vault_text_emb"] = jnp.asarray(self.vault.text_embeddings)
         else:
             out["vault_text_emb"] = jnp.zeros_like(out["vault_emb"])
+        if self.cfg.serving.vault_ivf:
+            # sub-linear probed-cluster search (vault/ivf.py); the k-means
+            # index is cached in a sidecar next to the vault file
+            from misinfo_tpu.vault.ivf import IVFIndex, build_ivf
+            sidecar = self.cfg.paths.vault_path + ".ivf.npz"
+            index = IVFIndex.load(sidecar)
+            if index is None or index.n_rows != self.vault.embeddings.shape[0]:
+                index = build_ivf(self.vault.embeddings, self.vault.row_valid)
+                try:
+                    index.save(sidecar)
+                except Exception:
+                    pass  # read-only vault dir — rebuild next start
+            out.update(index.device_arrays())
         return out
 
     _TEXT_BUCKETS = (64, 128, 256, 512)

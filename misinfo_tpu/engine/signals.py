@@ -90,13 +90,16 @@ def _visual_branch(params, batch, det_cfg, cfg, policy, use_pallas,
     deepfake_score = softmax_f32(logits)[:, 1]
     image_emb = l2_normalize(clip_image_features(
         params["clip"], img_clip, det_cfg.clip, policy, use_pallas))
+    ivf = ({k: batch[k] for k in ("ivf_centroids", "ivf_lists", "ivf_spill")}
+           if "ivf_centroids" in batch else None)
     vr = vault_search(
         image_emb, batch["vault_emb"], batch["vault_valid"],
         top_k=cfg.seq.vault_top_k,
         reuse_threshold=cfg.thresholds.vault_reuse,
         caption_text_emb=caption_text_emb,
         vault_text_emb=batch.get("vault_text_emb"),
-        has_caption=has_caption)
+        has_caption=has_caption,
+        ivf=ivf, nprobe=cfg.serving.ivf_nprobe)
     return deepfake_score, image_emb, vr
 
 

@@ -1,0 +1,206 @@
+"""IVF (inverted-file) index for production-scale Truth Vaults.
+
+The exact kNN path (vault/search.py) reads every vault row per query batch
+— one [B,512]×[512,N] matmul. That is the right call at the reference's
+2,170 articles (misinfo_forensics.py:443-449) and stays cheap to ~1M rows,
+but the read scales linearly with N (≈2 GB at 1M rows f32). This module
+adds the standard sub-linear alternative, built TPU-first:
+
+  * **build**: spherical k-means over the normalized vault embeddings —
+    assignment runs as chunked on-device matmuls (MXU), centroid updates
+    as `segment_sum`; cluster membership is materialized as a dense,
+    lane-padded [C, L] row-id table plus a spill list for rows past the
+    per-cluster cap, so every row lives in exactly one probe-able slot
+    (no duplicates, nothing silently dropped).
+  * **search**: runs INSIDE the fused signal program — query×centroid
+    matmul → `top_k` probe selection → gather of the probed clusters'
+    rows → exact f32 similarities on the gathered candidates. Per-batch
+    HBM traffic is O(B · nprobe · L · D) instead of O(N · D).
+
+Accuracy contract: results are exact whenever the true neighbor's cluster
+is probed; with `nprobe == n_clusters` the search provably equals brute
+force (asserted in tests/test_vault.py). The vault's 0.85 reuse gate
+(misinfo_forensics.py:462-464) targets near-duplicates, whose cluster is
+the query's top centroid almost surely — the regime where IVF recall is
+strongest. Opt-in via `ServingConfig.vault_ivf` / `MISINFO_TPU_VAULT_IVF=1`
+(`MISINFO_TPU_IVF_NPROBE` tunes recall↔speed); exact search stays the
+default.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_LANE = 128
+_SUB = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class IVFIndex(NamedTuple):
+    """Host-side index arrays (device transfer happens in the engine)."""
+
+    centroids: np.ndarray   # [C, D] f32, L2-normalized
+    lists: np.ndarray       # [C, L] int32 vault row ids, -1 = empty slot
+    spill: np.ndarray       # [S] int32 rows past their cluster's cap (always probed)
+    nprobe: int             # default probe count chosen at build time
+    n_rows: int             # padded vault row count the index was built for
+
+    @property
+    def n_clusters(self) -> int:
+        return self.centroids.shape[0]
+
+    def device_arrays(self) -> Dict[str, jax.Array]:
+        """Keys the engine merges into program batches (prefix `ivf_`)."""
+        return {
+            "ivf_centroids": jnp.asarray(self.centroids),
+            "ivf_lists": jnp.asarray(self.lists),
+            "ivf_spill": jnp.asarray(self.spill),
+        }
+
+    # ------------------------------------------------------------- I/O
+
+    def save(self, path: str) -> None:
+        np.savez(path, centroids=self.centroids, lists=self.lists,
+                 spill=self.spill, nprobe=np.int32(self.nprobe),
+                 n_rows=np.int32(self.n_rows))
+
+    @classmethod
+    def load(cls, path: str) -> Optional["IVFIndex"]:
+        try:
+            data = np.load(path)
+            return cls(data["centroids"], data["lists"], data["spill"],
+                       int(data["nprobe"]), int(data["n_rows"]))
+        except Exception:
+            return None
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters",))
+def _assign_chunk(chunk: jax.Array, centroids: jax.Array, n_clusters: int):
+    """One k-means assignment + accumulation step on device."""
+    sims = jnp.dot(chunk, centroids.T, preferred_element_type=jnp.float32)
+    assign = jnp.argmax(sims, axis=1)
+    sums = jax.ops.segment_sum(chunk, assign, num_segments=n_clusters)
+    counts = jax.ops.segment_sum(jnp.ones((chunk.shape[0],), jnp.float32),
+                                 assign, num_segments=n_clusters)
+    return assign.astype(jnp.int32), sums, counts
+
+
+def build_ivf(
+    embeddings: np.ndarray,      # [N, D] L2-normalized (pad rows are zero)
+    row_valid: np.ndarray,       # [N] bool
+    *,
+    n_clusters: Optional[int] = None,
+    iters: int = 8,
+    cap_factor: float = 2.0,
+    nprobe: Optional[int] = None,
+    seed: int = 0,
+    chunk_rows: int = 16384,
+) -> IVFIndex:
+    """Spherical k-means + dense list table. Offline; assignment matmuls
+    run on the default JAX backend (MXU on TPU, CPU in tests)."""
+    emb = np.asarray(embeddings, np.float32)
+    valid_idx = np.flatnonzero(np.asarray(row_valid))
+    n_valid = len(valid_idx)
+    if n_clusters is None:
+        # ≈4·√N keeps lists ~√N/4 long; lane-align for the centroid matmul
+        n_clusters = max(_LANE, _round_up(int(4 * np.sqrt(max(n_valid, 1))),
+                                          _LANE))
+    n_clusters = min(n_clusters, max(_SUB, _round_up(n_valid, _SUB)))
+    rng = np.random.default_rng(seed)
+    init = valid_idx[rng.choice(n_valid, size=min(n_clusters, n_valid),
+                                replace=False)]
+    centroids = emb[init]
+    if len(init) < n_clusters:  # tiny vaults: duplicate-pad the centroid set
+        reps = rng.choice(len(init), size=n_clusters - len(init))
+        centroids = np.concatenate([centroids, centroids[reps]], axis=0)
+
+    v_emb = emb[valid_idx]
+    assign = np.zeros((n_valid,), np.int32)
+    for _ in range(max(iters, 1)):
+        sums = np.zeros((n_clusters, emb.shape[1]), np.float32)
+        counts = np.zeros((n_clusters,), np.float32)
+        cj = jnp.asarray(centroids)
+        for lo in range(0, n_valid, chunk_rows):
+            a, s, c = _assign_chunk(jnp.asarray(v_emb[lo:lo + chunk_rows]),
+                                    cj, n_clusters)
+            assign[lo:lo + chunk_rows] = np.asarray(a)
+            sums += np.asarray(s)
+            counts += np.asarray(c)
+        new = sums / np.maximum(counts[:, None], 1.0)
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        # empty clusters keep their previous centroid (spherical k-means)
+        centroids = np.where(norms > 1e-6, new / np.maximum(norms, 1e-12),
+                             centroids)
+
+    # dense [C, L] list table + spill
+    counts_i = np.bincount(assign, minlength=n_clusters)
+    mean = max(1.0, n_valid / n_clusters)
+    cap = _round_up(int(np.ceil(cap_factor * mean)), _SUB)
+    lists = np.full((n_clusters, cap), -1, np.int32)
+    fill = np.zeros((n_clusters,), np.int32)
+    spill = []
+    order = np.argsort(assign, kind="stable")
+    for j in order:
+        c = assign[j]
+        row = int(valid_idx[j])
+        if fill[c] < cap:
+            lists[c, fill[c]] = row
+            fill[c] += 1
+        else:
+            spill.append(row)
+    spill_arr = np.asarray(spill, np.int32)
+    if spill_arr.size % _SUB:
+        spill_arr = np.concatenate(
+            [spill_arr, np.full((_SUB - spill_arr.size % _SUB,), -1, np.int32)])
+    if nprobe is None:
+        nprobe = max(1, min(n_clusters, 8))
+    return IVFIndex(centroids.astype(np.float32), lists, spill_arr, nprobe,
+                    emb.shape[0])
+
+
+def ivf_topk(
+    query: jax.Array,        # [B, D] L2-normalized f32
+    vault_emb: jax.Array,    # [N, D]
+    row_valid: jax.Array,    # [N] bool
+    centroids: jax.Array,    # [C, D]
+    lists: jax.Array,        # [C, L] int32
+    spill: jax.Array,        # [S] int32
+    *,
+    top_k: int,
+    nprobe: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Probed-cluster exact-rescore top-k; jittable, all on device."""
+    B = query.shape[0]
+    C = centroids.shape[0]
+    nprobe = min(nprobe, C)
+    csims = jnp.dot(query, centroids.T, preferred_element_type=jnp.float32)
+    _, probe = jax.lax.top_k(csims, nprobe)                  # [B, P]
+    cand = lists[probe].reshape(B, -1)                       # [B, P·L]
+    if spill.shape[0]:
+        cand = jnp.concatenate(
+            [cand, jnp.broadcast_to(spill[None, :], (B, spill.shape[0]))],
+            axis=1)
+    safe = jnp.maximum(cand, 0)
+    rows = vault_emb[safe]                                   # [B, M, D]
+    sims = jnp.einsum("bd,bmd->bm", query, rows,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    ok = (cand >= 0) & row_valid[safe]
+    sims = jnp.where(ok, sims, -2.0)
+    k = min(top_k, sims.shape[1])
+    top_s, pos = jax.lax.top_k(sims, k)
+    top_i = jnp.take_along_axis(cand, pos, axis=1)
+    if k < top_k:  # degenerate tiny index: pad to the requested k
+        pad = top_k - k
+        top_s = jnp.concatenate([top_s, jnp.full((B, pad), -2.0)], axis=1)
+        top_i = jnp.concatenate([top_i, jnp.full((B, pad), -1, top_i.dtype)],
+                                axis=1)
+    return top_s, top_i.astype(jnp.int32)

@@ -113,15 +113,28 @@ def vault_search(
     caption_text_emb: Optional[jax.Array] = None,  # [B, D] normalized
     vault_text_emb: Optional[jax.Array] = None,    # [N, D] normalized
     has_caption: Optional[jax.Array] = None,       # [B] bool
+    ivf: Optional[Dict[str, jax.Array]] = None,    # ivf.py device arrays
+    nprobe: int = 8,
 ) -> VaultResult:
-    """Batched vault search; everything stays on device."""
-    # always full-f32: a bf16-pass dot's ~4e-3 error could flip the 0.85
-    # reuse gate; one [B,512]×[512,N] matmul at HIGHEST is cheap
-    sims = jnp.dot(query_image_emb, vault_emb.T,
-                   preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)  # [B, N]
-    sims = jnp.where(row_valid[None, :], sims, -2.0)
-    top_sims, top_idx = _topk(sims, top_k)
+    """Batched vault search; everything stays on device.
+
+    With ``ivf`` (vault/ivf.py arrays), only the probed clusters' rows are
+    scored — sub-linear in vault size, exact when the true neighbor's
+    cluster is probed. Default is the exact full matmul."""
+    if ivf is not None:
+        from misinfo_tpu.vault.ivf import ivf_topk
+        top_sims, top_idx = ivf_topk(
+            query_image_emb, vault_emb, row_valid,
+            ivf["ivf_centroids"], ivf["ivf_lists"], ivf["ivf_spill"],
+            top_k=top_k, nprobe=nprobe)
+    else:
+        # always full-f32: a bf16-pass dot's ~4e-3 error could flip the 0.85
+        # reuse gate; one [B,512]×[512,N] matmul at HIGHEST is cheap
+        sims = jnp.dot(query_image_emb, vault_emb.T,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # [B, N]
+        sims = jnp.where(row_valid[None, :], sims, -2.0)
+        top_sims, top_idx = _topk(sims, top_k)
 
     max_sim = top_sims[:, 0]
     gate = max_sim > reuse_threshold

@@ -206,3 +206,125 @@ def test_topk_iterative_tie_breaks_low_index():
     got_s, got_i = topk_iterative(sims, 3)
     np.testing.assert_array_equal(np.asarray(ref_s), np.asarray(got_s))
     np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
+
+
+# ------------------------------------------------------------------ IVF
+
+
+def _ivf_setup(n=300, d=32, seed=5, **build_kw):
+    from misinfo_tpu.vault.ivf import build_ivf
+
+    v = _mk_vault(n, d, seed=seed)
+    idx = build_ivf(v.embeddings, v.row_valid, n_clusters=16, seed=0,
+                    **build_kw)
+    return v, idx
+
+
+def test_ivf_full_probe_equals_brute_force():
+    """nprobe == n_clusters covers every row → provably exact."""
+    from misinfo_tpu.vault.ivf import ivf_topk
+
+    v, idx = _ivf_setup()
+    rng = np.random.default_rng(9)
+    q = rng.normal(size=(4, 32)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    qj = jnp.asarray(q)
+
+    exact = vault_search(qj, jnp.asarray(v.embeddings),
+                         jnp.asarray(v.row_valid), top_k=5)
+    s, i = ivf_topk(qj, jnp.asarray(v.embeddings), jnp.asarray(v.row_valid),
+                    jnp.asarray(idx.centroids), jnp.asarray(idx.lists),
+                    jnp.asarray(idx.spill), top_k=5, nprobe=idx.n_clusters)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(exact.top_sims),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(exact.top_idx))
+
+
+def test_ivf_every_row_probeable_exactly_once():
+    v, idx = _ivf_setup(cap_factor=1.0)  # small cap → spill exercised
+    members = idx.lists[idx.lists >= 0].tolist() + idx.spill[idx.spill >= 0].tolist()
+    assert sorted(members) == list(range(v.num_articles))
+
+
+def test_ivf_near_duplicate_recall():
+    """The 0.85-reuse-gate regime: near-duplicate queries find their row."""
+    from misinfo_tpu.vault.ivf import ivf_topk
+
+    v, idx = _ivf_setup(n=400)
+    rng = np.random.default_rng(11)
+    rows = rng.choice(v.num_articles, size=16, replace=False)
+    q = v.embeddings[rows] + 0.02 * rng.normal(size=(16, 32)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    s, i = ivf_topk(jnp.asarray(q), jnp.asarray(v.embeddings),
+                    jnp.asarray(v.row_valid), jnp.asarray(idx.centroids),
+                    jnp.asarray(idx.lists), jnp.asarray(idx.spill),
+                    top_k=5, nprobe=idx.nprobe)
+    hit = (np.asarray(i)[:, 0] == rows)
+    assert hit.mean() >= 0.95, f"near-duplicate recall {hit.mean():.2f}"
+
+
+def test_ivf_sidecar_roundtrip(tmp_path):
+    from misinfo_tpu.vault.ivf import IVFIndex
+
+    _, idx = _ivf_setup()
+    p = str(tmp_path / "v.ivf.npz")
+    idx.save(p)
+    back = IVFIndex.load(p)
+    assert back is not None and back.n_rows == idx.n_rows
+    np.testing.assert_array_equal(back.lists, idx.lists)
+    np.testing.assert_allclose(back.centroids, idx.centroids)
+
+
+def test_vault_search_ivf_path_gate_semantics():
+    """vault_search(ivf=...) keeps the 0.85 gate + title-text gather."""
+    v, idx = _ivf_setup()
+    dev = {f"ivf_{k}": jnp.asarray(getattr(idx, k))
+           for k in ("centroids", "lists", "spill")}
+    q = jnp.asarray(v.embeddings[3:4])  # exact duplicate of row 3 → sim 1.0
+    cap = jnp.asarray(v.text_embeddings[7:8])
+    r = vault_search(q, jnp.asarray(v.embeddings), jnp.asarray(v.row_valid),
+                     top_k=5, caption_text_emb=cap,
+                     vault_text_emb=jnp.asarray(v.text_embeddings),
+                     has_caption=jnp.ones((1,), jnp.bool_),
+                     ivf=dev, nprobe=idx.nprobe)
+    assert int(r.top_idx[0, 0]) == 3
+    assert float(r.vault_discrepancy[0]) > 0.99
+    expect = float(np.dot(v.text_embeddings[7], v.text_embeddings[3]))
+    np.testing.assert_allclose(float(r.text_similarity[0]), expect, atol=1e-5)
+
+
+def test_engine_ivf_end_to_end(tmp_path):
+    """Engine with MISINFO_TPU_VAULT_IVF: vault matches flow through the
+    fused program; sidecar index is written next to the vault."""
+    import os
+    from misinfo_tpu.core.config import ForensicsConfig
+    from misinfo_tpu.engine.forensics import MisinfoForensics
+    from misinfo_tpu.models.detector import DetectorConfig
+
+    det = DetectorConfig.tiny()
+    d = det.clip.projection_dim
+    rng = np.random.default_rng(2)
+    emb = rng.normal(size=(40, d)).astype(np.float32)
+    meta = [{"title": f"t{i}", "url": "u", "date": "d"} for i in range(40)]
+    vp = str(tmp_path / "vault.npz")
+    TruthVault(emb, meta, emb.copy()).save(vp)
+
+    import dataclasses
+    cfg = ForensicsConfig.from_env(verbose=False)
+    cfg = cfg.replace(
+        paths=dataclasses.replace(cfg.paths, vault_path=vp),
+        serving=dataclasses.replace(cfg.serving, vault_ivf=True,
+                                    ivf_nprobe=4),
+        seq=cfg.seq.__class__(roberta_max_len=32, image_size=64))
+    eng = MisinfoForensics(config=cfg, det_cfg=det)
+    assert eng.vault_loaded
+    assert "ivf_centroids" in eng._vault_device
+    assert os.path.exists(vp + ".ivf.npz")
+
+    from PIL import Image
+    img = tmp_path / "q.png"
+    Image.fromarray(
+        (rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(img)
+    rep = eng.analyze(text="headline", image_path=str(img), verbose=False)
+    assert "vault_discrepancy" in rep["scores"]
+    assert isinstance(rep["vault_matches"], list)
