@@ -58,3 +58,19 @@ def shard_batch(mesh: Mesh, tree):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def parse_mesh_spec(spec: str) -> MeshConfig:
+    """Parse a CLI mesh spec: ``"data=8"``, ``"data=4,model=2"``, or a bare
+    device count (data-parallel only). Used by the trainers' ``--mesh``."""
+    spec = spec.strip()
+    if spec.isdigit():
+        return MeshConfig(data=int(spec), model=1)
+    kv = {}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        k = k.strip()
+        if k not in ("data", "model") or not v.strip().lstrip("-").isdigit():
+            raise ValueError(f"bad mesh spec {spec!r}; use 'data=N[,model=M]'")
+        kv[k] = int(v)
+    return MeshConfig(data=kv.get("data", -1), model=kv.get("model", 1))

@@ -26,7 +26,8 @@ def train(csv_path: str, out_dir: str = "ai_head_best",
           welfake_checkpoint: Optional[str] = None,
           epochs: int = 3, batch_size: int = 16, lr: float = 1e-3,
           det_cfg: Optional[DetectorConfig] = None,
-          max_samples: Optional[int] = None, log=print):
+          max_samples: Optional[int] = None,
+          mesh_spec: Optional[str] = None, log=print):
     det_cfg = det_cfg or DetectorConfig()
     params = detector_init(jax.random.PRNGKey(0), det_cfg)
     if welfake_checkpoint:
@@ -40,7 +41,7 @@ def train(csv_path: str, out_dir: str = "ai_head_best",
     return _train_text(csv_path, out_dir, epochs, batch_size, lr,
                        max_len=256, det_cfg=det_cfg, params=params,
                        max_samples=max_samples, head="ai_head",
-                       freeze_backbone=True, log=log)
+                       freeze_backbone=True, mesh_spec=mesh_spec, log=log)
 
 
 def main(argv=None):
@@ -54,9 +55,12 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--mesh", default=None,
+                   help="device mesh, e.g. 'data=8' or 'data=4,model=2'")
     args = p.parse_args(argv)
     train(args.csv, args.out, args.base_checkpoint, args.epochs,
-          args.batch_size, args.lr, max_samples=args.max_samples)
+          args.batch_size, args.lr, max_samples=args.max_samples,
+          mesh_spec=args.mesh)
 
 
 if __name__ == "__main__":

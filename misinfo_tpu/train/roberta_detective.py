@@ -78,7 +78,8 @@ def train(csv_path: str, out_dir: str = "roberta_detective_best",
           max_len: int = 256, det_cfg: Optional[DetectorConfig] = None,
           params: Optional[Dict] = None, max_samples: Optional[int] = None,
           head: str = "misinfo_head", freeze_backbone: bool = False,
-          precision: str = "bfloat16", pack: bool = False, log=print):
+          precision: str = "bfloat16", pack: bool = False,
+          mesh_spec: Optional[str] = None, log=print):
     det_cfg = det_cfg or DetectorConfig()
     # training keeps HF-exact erf GELU even in bf16 (the tanh swap is a
     # serving-only optimization, core/config.py PrecisionConfig.gelu_mode)
@@ -88,6 +89,20 @@ def train(csv_path: str, out_dir: str = "roberta_detective_best",
     else:
         # own the caller's params: the train step donates its input buffers
         params = jax.tree_util.tree_map(jnp.array, params)
+
+    # multi-chip training (SURVEY.md §2.5 consequence): '--mesh data=N'
+    # batch-shards minibatches (DP; GSPMD psums grads over ICI), an optional
+    # model=M adds Megatron TP on the towers (parallel/sharding.py)
+    mesh = None
+    if mesh_spec:
+        from misinfo_tpu.core.mesh import make_mesh, parse_mesh_spec
+        from misinfo_tpu.parallel.sharding import shard_params
+        mesh = make_mesh(parse_mesh_spec(mesh_spec))
+        n_data = mesh.shape["data"]
+        if batch_size % n_data:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by data axis {n_data}")
+        params = shard_params(mesh, params)
 
     samples = load_csv_samples(csv_path, max_samples=max_samples)
     train_s, val_s = split_train_val(samples, 0.2, seed=42)
@@ -120,15 +135,20 @@ def train(csv_path: str, out_dir: str = "roberta_detective_best",
     else:
         step = make_text_head_step(tx, det_cfg, policy, head=head)
 
+    def _place(b: Dict) -> Dict:
+        if mesh is None:
+            return {k: jnp.asarray(v) for k, v in b.items()}
+        from misinfo_tpu.core.mesh import shard_batch
+        return shard_batch(mesh, {k: np.asarray(v) for k, v in b.items()})
+
     def train_batches():
         from misinfo_tpu.train.datasets import prefetch
         if pack:
-            gen = ({k: jnp.asarray(v) for k, v in b.items()}
-                   for b in train_ds.packed_batches(
+            gen = (_place(b) for b in train_ds.packed_batches(
                        n_rows=batch_size, n_slots=batch_size * 4))
         else:
-            gen = ({k: jnp.asarray(v) for k, v in b.items()
-                    if k in ("input_ids", "attention_mask", "labels")}
+            gen = (_place({k: v for k, v in b.items()
+                           if k in ("input_ids", "attention_mask", "labels")})
                    for b in train_ds.batches(batch_size, drop_remainder=True))
         yield from prefetch(gen)
 
@@ -159,9 +179,25 @@ def main(argv=None):
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--pack", action="store_true",
                    help="sequence-packed batches (perf mode; see docs/PERF.md)")
+    p.add_argument("--mesh", default=None,
+                   help="device mesh for multi-chip training, e.g. "
+                        "'data=8' or 'data=4,model=2'")
+    p.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto",
+                   help="platform override; cpu + --mesh uses virtual "
+                        "devices (validation without a TPU slice)")
     args = p.parse_args(argv)
+    if args.device != "auto":
+        jax.config.update("jax_platforms",
+                          "cpu" if args.device == "cpu" else "tpu,axon")
+        if args.device == "cpu" and args.mesh:
+            from misinfo_tpu.core.mesh import parse_mesh_spec
+            mc = parse_mesh_spec(args.mesh)
+            need = max(mc.data, 1) * max(mc.model, 1)
+            if need > 1:
+                jax.config.update("jax_num_cpu_devices", need)
     train(args.csv, args.out, args.epochs, args.batch_size, args.lr,
-          args.max_len, max_samples=args.max_samples, pack=args.pack)
+          args.max_len, max_samples=args.max_samples, pack=args.pack,
+          mesh_spec=args.mesh)
 
 
 if __name__ == "__main__":

@@ -89,3 +89,43 @@ def test_graft_dryrun_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(4)
+
+
+@pytest.mark.parametrize("spec", ["data=8", "data=4,model=2"])
+def test_trainer_mesh_flag_end_to_end(tmp_path, spec):
+    """`--mesh` DP/TP training on the virtual 8-device mesh: the C15
+    trainer runs a real epoch with sharded params/batches and writes an
+    engine-loadable checkpoint."""
+    import pandas as pd
+
+    from misinfo_tpu.models.detector import DetectorConfig
+    from misinfo_tpu.train.roberta_detective import train
+
+    rng = np.random.default_rng(0)
+    rows = [{"text": f"sample headline {i} " * (1 + i % 3),
+             "label": int(rng.integers(0, 2))} for i in range(40)]
+    csv = tmp_path / "train.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    out = str(tmp_path / "ckpt")
+    res = train(str(csv), out, epochs=1, batch_size=8, max_len=16,
+                det_cfg=DetectorConfig.tiny(), precision="float32",
+                mesh_spec=spec, log=lambda *a, **k: None)
+    assert np.isfinite(res.best_metric)
+
+    from misinfo_tpu.checkpoints.io import load_checkpoint
+    from misinfo_tpu.models.detector import detector_init
+    tpl = detector_init(jax.random.PRNGKey(0), DetectorConfig.tiny())
+    loaded = load_checkpoint(out, tpl)
+    assert loaded is not None
+
+
+def test_parse_mesh_spec():
+    from misinfo_tpu.core.mesh import parse_mesh_spec
+
+    assert parse_mesh_spec("data=8").data == 8
+    c = parse_mesh_spec("data=4,model=2")
+    assert (c.data, c.model) == (4, 2)
+    assert parse_mesh_spec("8").data == 8
+    with pytest.raises(ValueError):
+        parse_mesh_spec("pipeline=2")
