@@ -120,7 +120,9 @@ class ServingConfig:
     # Sequence packing for text-only traffic: pack ragged requests into
     # shared rows with block-diagonal attention (preprocess/packing.py).
     # RoBERTa FLOPs then scale with total tokens, not requests × bucket.
-    pack_text: bool = False
+    # True = always pack; "auto" = pack only when the packed row count
+    # strictly beats the bucketed dense layout in padded tokens.
+    pack_text: object = False   # False | True | "auto"
     # IVF vault search (vault/ivf.py): sub-linear probed-cluster kNN for
     # vaults far beyond the reference's 2,170 rows. Exact search stays the
     # default; nprobe trades recall for speed.
@@ -159,9 +161,11 @@ class ForensicsConfig:
         if updates:
             cfg = dataclasses.replace(
                 cfg, paths=dataclasses.replace(cfg.paths, **updates))
-        if os.getenv("MISINFO_TPU_PACK_TEXT") in ("1", "true", "on"):
+        _pt = os.getenv("MISINFO_TPU_PACK_TEXT")
+        if _pt in ("1", "true", "on", "auto"):
             cfg = dataclasses.replace(
-                cfg, serving=dataclasses.replace(cfg.serving, pack_text=True))
+                cfg, serving=dataclasses.replace(
+                    cfg.serving, pack_text="auto" if _pt == "auto" else True))
         if os.getenv("MISINFO_TPU_VAULT_IVF") in ("1", "true", "on"):
             nprobe = int(os.getenv("MISINFO_TPU_IVF_NPROBE",
                                    str(cfg.serving.ivf_nprobe)))

@@ -186,12 +186,10 @@ class MisinfoForensics:
         cl_ids, cl_mask = self.clip_tokenizer.batch(padded, cl_len)
         return rb_ids, rb_mask, cl_ids, cl_mask
 
-    def _pack_text_batch(self, texts: List[str], n_slots: int) -> Dict:
-        """Packed text-only batch (preprocess/packing.py): rows hold several
-        ragged requests each; jit signatures stay bucketed via row-length
-        buckets × row-count buckets × CLS-slot buckets."""
-        from misinfo_tpu.preprocess.packing import (
-            pack_token_rows, packed_row_bucket, trim_padded)
+    def _text_pack_plan(self, texts: List[str]):
+        """Tokenize once and pick the packed row length; shared by the
+        packing path and the auto-pack decision."""
+        from misinfo_tpu.preprocess.packing import trim_padded
         rb_max = min(self.cfg.seq.roberta_max_len,
                      self.det_cfg.roberta.max_position_embeddings - 2)
         ids, mask = self.roberta_tokenizer.batch(texts, rb_max)
@@ -199,11 +197,25 @@ class MisinfoForensics:
         longest = max((len(s) for s in seqs), default=1)
         row_len = next((b for b in self._TEXT_BUCKETS
                         if longest <= b <= rb_max), rb_max)
+        return seqs, row_len
+
+    def _packed_rows_bucketed(self, seqs, row_len: int, n_slots: int) -> int:
+        from misinfo_tpu.preprocess.packing import (
+            pack_token_rows, packed_row_bucket)
         packed = pack_token_rows(seqs, row_len,
                                  self.det_cfg.roberta.pad_token_id,
                                  n_slots=n_slots)
-        rows = packed_row_bucket(packed.ids.shape[0],
+        return packed_row_bucket(packed.ids.shape[0],
                                  self.cfg.serving.batch_buckets)
+
+    def _pack_text_batch(self, texts: List[str], n_slots: int,
+                         plan=None) -> Dict:
+        """Packed text-only batch (preprocess/packing.py): rows hold several
+        ragged requests each; jit signatures stay bucketed via row-length
+        buckets × row-count buckets × CLS-slot buckets."""
+        from misinfo_tpu.preprocess.packing import pack_token_rows
+        seqs, row_len = plan if plan is not None else self._text_pack_plan(texts)
+        rows = self._packed_rows_bucketed(seqs, row_len, n_slots)
         packed = pack_token_rows(seqs, row_len,
                                  self.det_cfg.roberta.pad_token_id,
                                  n_slots=n_slots, min_rows=rows)
@@ -393,12 +405,22 @@ class MisinfoForensics:
                 continue
             reqs = [requests[i] for i in idxs]
             bucket = _bucket(len(reqs), self.cfg.serving.batch_buckets)
-            pack = (self.cfg.serving.pack_text
-                    and variant in ("full", "text_only"))
+            pack_mode = self.cfg.serving.pack_text
+            pack = pack_mode is True and variant in ("full", "text_only")
+            plan = None
+            if pack_mode == "auto" and variant in ("full", "text_only"):
+                # pack only when it strictly beats the dense bucketed layout
+                # in padded tokens (same row length either way, so the test
+                # is the bucketed packed row count vs the request bucket,
+                # with a 25% margin for the packed program's gather overhead)
+                texts = [r.get("text", "") for r in reqs]
+                plan = self._text_pack_plan(texts)
+                rows = self._packed_rows_bucketed(plan[0], plan[1], bucket)
+                pack = rows * 4 <= bucket * 3
             batch: Dict = {}
             if pack:
                 texts = [r.get("text", "") for r in reqs]
-                batch.update(self._pack_text_batch(texts, bucket))
+                batch.update(self._pack_text_batch(texts, bucket, plan=plan))
                 if variant == "full":   # CLIP rows stay per-request (77 tok)
                     cl_len = min(self.cfg.seq.clip_max_len,
                                  self.det_cfg.clip.max_text_len)

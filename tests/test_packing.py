@@ -242,3 +242,46 @@ def test_trainer_pack_flag(tmp_path):
                 max_len=32, det_cfg=det_cfg, pack=True,
                 precision="float32", log=lambda *a, **k: None)
     assert np.isfinite(res.best_metric)
+
+
+def test_engine_auto_pack_decision(tmp_path, monkeypatch):
+    """pack_text='auto': ragged traffic routes through packing, uniform
+    max-length traffic stays dense; reports match the dense engine."""
+    from misinfo_tpu.engine.forensics import MisinfoForensics
+
+    det_cfg = DetectorConfig.tiny()
+    base = ForensicsConfig(verbose=False).replace(
+        precision=PrecisionConfig.highest())
+    base = base.replace(
+        paths=base.paths.__class__(vault_path=str(tmp_path / "missing.npz")),
+        seq=base.seq.__class__(roberta_max_len=32, image_size=64),
+        serving=base.serving.__class__(pack_text="auto"))
+    params = detector_init(jax.random.PRNGKey(0), det_cfg)
+    eng = MisinfoForensics(config=base, det_cfg=det_cfg, params=params)
+
+    calls = []
+    orig = MisinfoForensics._pack_text_batch
+    monkeypatch.setattr(MisinfoForensics, "_pack_text_batch",
+                        lambda self, *a, **k: calls.append(1) or orig(self, *a, **k))
+
+    ragged = [{"text": t} for t in
+              ["one", "two words here", "x",
+               "a much longer sentence with many repeated words " * 2,
+               "short", "tiny", "yet another thing", "ok"]]
+    out_auto = eng.analyze_batch(ragged)
+    assert calls, "ragged batch should have taken the packed path"
+
+    # uniform near-max-length traffic: packing can't beat the dense bucket
+    calls.clear()
+    long_word = "word " * 40   # tokenizes past the 32-token cap → full rows
+    uniform = [{"text": long_word} for _ in range(8)]
+    eng.analyze_batch(uniform)
+    assert not calls, "uniform max-length batch should stay dense"
+
+    # scores agree with a dense-only engine
+    dense_cfg = base.replace(serving=base.serving.__class__(pack_text=False))
+    eng_d = MisinfoForensics(config=dense_cfg, det_cfg=det_cfg, params=params)
+    out_dense = eng_d.analyze_batch(ragged)
+    for a, b in zip(out_auto, out_dense):
+        assert a["verdict"] == b["verdict"]
+        assert abs(a["scores"]["misinfo_score"] - b["scores"]["misinfo_score"]) < 1e-4
