@@ -115,6 +115,9 @@ class ServingConfig:
     """Batched engine knobs: request queue → padded batch → pjit."""
 
     batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
+    # video requests batch too (V videos → one [V·max_frames]-frame
+    # program); smaller buckets because each video carries ≤12 frames
+    video_batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
     max_wait_ms: float = 5.0           # micro-batching window
     donate_buffers: bool = True
     # Sequence packing for text-only traffic: pack ragged requests into

@@ -400,8 +400,14 @@ class MisinfoForensics:
         dispatches = []
         for variant, idxs in groups.items():
             if variant.startswith("video"):
-                for i in idxs:
-                    results[i] = self._analyze_video_request(requests[i])
+                # videos batch too: V videos → one [V·F]-frame program
+                vb = self.cfg.serving.video_batch_buckets
+                for lo in range(0, len(idxs), vb[-1]):
+                    chunk = idxs[lo:lo + vb[-1]]
+                    out = self._analyze_video_group(
+                        [requests[i] for i in chunk], variant)
+                    for row, i in enumerate(chunk):
+                        results[i] = self._format_report(out, row, requests[i])
                 continue
             reqs = [requests[i] for i in idxs]
             bucket = _bucket(len(reqs), self.cfg.serving.batch_buckets)
@@ -462,30 +468,51 @@ class MisinfoForensics:
                 r.setdefault("explanation", "")
         return results
 
-    def _analyze_video_request(self, req: Dict) -> Dict:
+    def _analyze_video_group(self, reqs: List[Dict], variant: str) -> "SignalOutput":
+        """V video requests → ONE [V·F]-frame program launch. Frame
+        sampling/decoding runs per video on host threads; padded videos
+        carry all-invalid frame masks (their rows are discarded)."""
         from misinfo_tpu.preprocess.video import sample_video_frames
-        frames, valid = sample_video_frames(
-            req["video"], self.cfg.video.max_frames,
-            self.cfg.video.stride_seconds, self.cfg.video.fps_fallback)
-        text = req.get("text")
-        variant = "video_text" if text else "video"
+        F = self.cfg.video.max_frames
+        V = _bucket(len(reqs), self.cfg.serving.video_batch_buckets)
         size = self.cfg.seq.image_size
-        pad = [None] * (self.cfg.video.max_frames - len(frames))
+
+        def sample(req):
+            if req is None:
+                return [], np.zeros((F,), np.bool_)
+            return sample_video_frames(req["video"], F,
+                                       self.cfg.video.stride_seconds,
+                                       self.cfg.video.fps_fallback)
+
+        padded_reqs = list(reqs) + [None] * (V - len(reqs))
+        if len(padded_reqs) > 1:
+            if self._prep_pool is None:
+                import concurrent.futures as cf
+                self._prep_pool = cf.ThreadPoolExecutor(
+                    max_workers=min(16, (os.cpu_count() or 1)))
+            sampled = list(self._prep_pool.map(sample, padded_reqs))
+        else:
+            sampled = [sample(r) for r in padded_reqs]
+
+        eff_frames, clip_frames, valids = [], [], []
+        for frames, valid in sampled:
+            pad = [None] * (F - len(frames))
+            eff_frames += [image_to_array(f, "effnet", size) for f in frames] + pad
+            clip_frames += [image_to_array(f, "clip", size) for f in frames] + pad
+            valids.append(np.asarray(valid, np.bool_))
         batch: Dict = {
-            "image_effnet": jnp.asarray(batch_images(
-                [image_to_array(f, "effnet", size) for f in frames] + pad, size)),
-            "image_clip": jnp.asarray(batch_images(
-                [image_to_array(f, "clip", size) for f in frames] + pad, size)),
-            "frame_valid": jnp.asarray(valid),
+            "image_effnet": jnp.asarray(batch_images(eff_frames, size)),
+            "image_clip": jnp.asarray(batch_images(clip_frames, size)),
+            "frame_valid": jnp.asarray(np.stack(valids)),   # [V, F]
         }
-        if text:
-            rb_ids, rb_mask, cl_ids, cl_mask = self._tokenize_batch([text], 1)
+        if variant == "video_text":
+            texts = [r.get("text", "") if r else "" for r in padded_reqs]
+            rb_ids, rb_mask, cl_ids, cl_mask = self._tokenize_batch(texts, V)
             batch.update(roberta_ids=jnp.asarray(rb_ids),
                          roberta_mask=jnp.asarray(rb_mask),
                          clip_ids=jnp.asarray(cl_ids),
                          clip_mask=jnp.asarray(cl_mask))
-        out = self._run(variant, batch)
-        return self._format_report(out, 0, req)
+        return self._run(variant, batch)
 
     # ------------------------------------------------------- formatting
 

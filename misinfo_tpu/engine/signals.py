@@ -204,49 +204,49 @@ def video_program(
     use_pallas: bool = False,
 ) -> SignalOutput:
     """Video forensics: frames stacked on the batch axis (SURVEY.md §7
-    design move 3). Inputs carry `frame_valid` [F] masking padded frames.
-    Aggregation matches reference analyze_video (misinfo_forensics.py:
-    563-573): mean deepfake, mean clip-sim, MAX vault discrepancy (that
-    frame's matches win); then the standard verdict gating.
+    design move 3), generalized to V videos per launch. `frame_valid` is
+    [F] (single video, legacy shape) or [V, F]; images are [V·F, H, W, 3]
+    and text tensors [V, S]. Per-video aggregation matches reference
+    analyze_video (misinfo_forensics.py:563-573): mean deepfake, mean
+    clip-sim, MAX vault discrepancy (that frame's matches win); then the
+    standard verdict gating. Outputs are [V].
     """
-    fv = batch["frame_valid"].astype(jnp.float32)          # [F]
-    n = jnp.maximum(jnp.sum(fv), 1.0)
+    fv_in = batch["frame_valid"]
+    fv = (fv_in[None, :] if fv_in.ndim == 1 else fv_in).astype(jnp.float32)
+    V, F = fv.shape
+    n = jnp.maximum(jnp.sum(fv, axis=1), 1.0)               # [V]
 
     if has_text:
         ai, mis = _text_branch(params, batch, det_cfg, policy, use_pallas)
-        ai, mis = ai[:1], mis[:1]
+        ai, mis = ai[:V], mis[:V]
         cap_emb = l2_normalize(clip_text_features(
             params["clip"], batch["clip_ids"], batch["clip_mask"],
-            det_cfg.clip, policy, use_pallas))              # [1, D]
+            det_cfg.clip, policy, use_pallas))[:V]          # [V, D]
+        cap_per_frame = jnp.repeat(cap_emb, F, axis=0)      # [V·F, D]
     else:
-        ai = mis = jnp.zeros((1,), jnp.float32)
-        cap_emb = None
+        ai = mis = jnp.zeros((V,), jnp.float32)
+        cap_emb = cap_per_frame = None
 
-    F = batch["image_clip"].shape[0]
     deep, img_emb, vr = _visual_branch(
         params, batch, det_cfg, cfg, policy, use_pallas,
-        caption_text_emb=(jnp.broadcast_to(cap_emb, (F, cap_emb.shape[1]))
-                          if cap_emb is not None else None),
-        has_caption=(jnp.ones((F,), jnp.bool_) if has_text else None))
+        caption_text_emb=cap_per_frame,
+        has_caption=(jnp.ones((V * F,), jnp.bool_) if has_text else None))
 
-    deep_mean = jnp.sum(deep * fv) / n
+    deep_mean = jnp.sum(deep.reshape(V, F) * fv, axis=1) / n
     if cap_emb is not None:
-        sims = jnp.sum(img_emb * cap_emb, axis=-1)          # [F]
-        clip_mean = jnp.sum(sims * fv) / n
+        sims = jnp.sum(img_emb * cap_per_frame, axis=-1).reshape(V, F)
+        clip_mean = jnp.sum(sims * fv, axis=1) / n
     else:
-        clip_mean = jnp.zeros(())
+        clip_mean = jnp.zeros((V,), jnp.float32)
 
-    vd = jnp.where(fv > 0, vr.vault_discrepancy, -1.0)
-    best_f = jnp.argmax(vd)
-    vault_disc = jnp.maximum(vr.vault_discrepancy[best_f], 0.0)
-    text_sim = vr.text_similarity[best_f]
-    top_sims = vr.top_sims[best_f][None]
-    top_idx = vr.top_idx[best_f][None]
-
-    deep_mean = deep_mean[None]
-    clip_mean = clip_mean[None]
-    vault_disc = vault_disc[None]
-    text_sim = text_sim[None]
+    vd = jnp.where(fv > 0, vr.vault_discrepancy.reshape(V, F), -1.0)
+    best_f = jnp.argmax(vd, axis=1)                         # [V]
+    rows = jnp.arange(V)
+    vault_disc = jnp.maximum(vd[rows, best_f], 0.0)
+    text_sim = vr.text_similarity.reshape(V, F)[rows, best_f]
+    K = vr.top_sims.shape[-1]
+    top_sims = vr.top_sims.reshape(V, F, K)[rows, best_f]
+    top_idx = vr.top_idx.reshape(V, F, K)[rows, best_f]
 
     if has_text:
         scores_vec = jnp.stack([ai, mis, deep_mean, clip_mean, vault_disc], axis=1)

@@ -96,3 +96,48 @@ def test_metrics_module_matches_sklearn():
     assert rep["accuracy"] == pytest.approx(sk["accuracy"], abs=1e-9)
     assert rep["REAL"]["f1"] == pytest.approx(sk["0"]["f1-score"], abs=1e-9)
     assert rep["FAKE"]["recall"] == pytest.approx(sk["1"]["recall"], abs=1e-9)
+
+
+@pytest.fixture(scope="module")
+def video_path2(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("video2")
+    path = str(tmp / "clip2.mp4")
+    w, h, fps = 96, 64, 10.0
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    if not writer.isOpened():
+        pytest.skip("no mp4 encoder available")
+    rng = np.random.default_rng(7)
+    for i in range(25):
+        writer.write(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+    writer.release()
+    return path
+
+
+def test_batched_videos_match_single_requests(video_path, video_path2,
+                                              tmp_path):
+    """V videos in one analyze_batch run through ONE program launch and
+    return the same reports as per-request analyze() calls."""
+    from misinfo_tpu.core.config import ForensicsConfig, PrecisionConfig
+    from misinfo_tpu.engine.forensics import MisinfoForensics
+    from misinfo_tpu.models.detector import DetectorConfig, detector_init
+
+    det_cfg = DetectorConfig.tiny()
+    cfg = ForensicsConfig(verbose=False).replace(
+        precision=PrecisionConfig.highest())
+    cfg = cfg.replace(
+        paths=cfg.paths.__class__(vault_path=str(tmp_path / "missing.npz")),
+        seq=cfg.seq.__class__(roberta_max_len=32, image_size=64))
+    params = detector_init(jax.random.PRNGKey(0), det_cfg)
+    eng = MisinfoForensics(config=cfg, det_cfg=det_cfg, params=params)
+
+    reqs = [{"video": video_path, "text": "first clip caption"},
+            {"video": video_path2, "text": "second clip different words"},
+            {"video": video_path2}]        # no-text variant in the same call
+    batched = eng.analyze_batch(reqs)
+    singles = [eng.analyze(text=r.get("text"), video_path=r["video"],
+                           verbose=False) for r in reqs]
+    for b, s in zip(batched, singles):
+        assert b["verdict"] == s["verdict"]
+        for k in ("deepfake_score", "clip_similarity", "misinfo_score",
+                  "fake_probability", "vault_discrepancy"):
+            assert abs(b["scores"][k] - s["scores"][k]) < 1e-4, k
