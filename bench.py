@@ -27,6 +27,7 @@ QUANT = os.environ.get("BENCH_QUANT", "none")    # "int8" → quantized serving
 VARIANT = os.environ.get("BENCH_VARIANT", "full")  # full|text_only|visual_only
 PACK = os.environ.get("BENCH_PACK", "0") == "1"    # pack ragged text rows
 VAULT_ROWS = int(os.environ.get("BENCH_VAULT", "2176"))  # reference ~2170
+IVF = os.environ.get("BENCH_IVF", "0") == "1"  # probed-cluster vault search
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
 
 
@@ -99,6 +100,10 @@ def main():
             "device": str(jax.devices()[0]),
         }))
         return
+    vault_np = rng.normal(size=(vault_rows, 512)).astype(np.float32)
+    if IVF:  # engine vaults are pre-normalized; IVF assumes that too
+        vault_np /= np.maximum(
+            np.linalg.norm(vault_np, axis=1, keepdims=True), 1e-12)
     batch = {
         "roberta_ids": jnp.asarray(rng.integers(3, 50000, (B, S)), jnp.int32),
         "roberta_mask": jnp.ones((B, S), jnp.int32),
@@ -106,10 +111,26 @@ def main():
         "clip_mask": jnp.ones((B, C), jnp.int32),
         "image_effnet": jnp.asarray(rng.integers(0, 255, (B, 224, 224, 3)), jnp.uint8),
         "image_clip": jnp.asarray(rng.integers(0, 255, (B, 224, 224, 3)), jnp.uint8),
-        "vault_emb": jnp.asarray(rng.normal(size=(vault_rows, 512)).astype(np.float32)),
+        "vault_emb": jnp.asarray(vault_np),
         "vault_valid": jnp.ones((vault_rows,), jnp.bool_),
         "vault_text_emb": jnp.asarray(rng.normal(size=(vault_rows, 512)).astype(np.float32)),
     }
+
+    if IVF:
+        # sub-linear vault search (vault/ivf.py): normalize the synthetic
+        # vault (the engine's vaults are pre-normalized) and build the index
+        import dataclasses
+        from misinfo_tpu.vault.ivf import build_ivf
+        nprobe = int(os.environ.get("BENCH_IVF_NPROBE", "8"))
+        cfg = cfg.replace(serving=dataclasses.replace(
+            cfg.serving, vault_ivf=True, ivf_nprobe=nprobe))
+        tb = time.perf_counter()
+        index = build_ivf(vault_np, np.ones((vault_rows,), bool), iters=4)
+        ivf_info = {"ivf_clusters": index.n_clusters, "ivf_nprobe": nprobe,
+                    "ivf_list_len": int(index.lists.shape[1]),
+                    "ivf_spill": int(index.spill.shape[0]),
+                    "ivf_build_s": round(time.perf_counter() - tb, 1)}
+        batch.update(index.device_arrays())
 
     if PACK:
         # ragged text (lengths U[32,S)) packed into shared rows; images and
@@ -154,6 +175,8 @@ def main():
               else f"analyze_throughput_{VARIANT}")
     if PACK:
         metric += "_packed"
+    if IVF:
+        metric += "_ivf"
     print(json.dumps({
         "metric": metric,
         "value": round(throughput, 2),
@@ -162,6 +185,7 @@ def main():
         "batch": B,
         "p50_batch_latency_ms": round(p50_latency_ms, 2),
         "device": str(jax.devices()[0]),
+        **(ivf_info if IVF else {}),
     }))
 
 

@@ -73,4 +73,10 @@ def parse_mesh_spec(spec: str) -> MeshConfig:
         if k not in ("data", "model") or not v.strip().lstrip("-").isdigit():
             raise ValueError(f"bad mesh spec {spec!r}; use 'data=N[,model=M]'")
         kv[k] = int(v)
+        # only data=-1 ('all remaining devices') is a legal non-positive
+        # value; anything else is a typo that make_mesh would silently
+        # reinterpret as 'all devices'
+        if kv[k] < 1 and not (k == "data" and kv[k] == -1):
+            raise ValueError(f"bad mesh spec {spec!r}: {k}={kv[k]} "
+                             "(use positive counts, or data=-1 for all)")
     return MeshConfig(data=kv.get("data", -1), model=kv.get("model", 1))

@@ -152,13 +152,18 @@ class MisinfoForensics:
             out["vault_text_emb"] = jnp.asarray(self.vault.text_embeddings)
         else:
             out["vault_text_emb"] = jnp.zeros_like(out["vault_emb"])
-        if self.cfg.serving.vault_ivf:
+        if self.cfg.serving.vault_ivf and self.vault.num_articles > 0:
             # sub-linear probed-cluster search (vault/ivf.py); the k-means
-            # index is cached in a sidecar next to the vault file
-            from misinfo_tpu.vault.ivf import IVFIndex, build_ivf
+            # index is cached in a sidecar next to the vault file and
+            # invalidated by a content digest (shape alone misses edits
+            # within a 128-row pad bucket)
+            from misinfo_tpu.vault.ivf import IVFIndex, build_ivf, vault_digest
             sidecar = self.cfg.paths.vault_path + ".ivf.npz"
             index = IVFIndex.load(sidecar)
-            if index is None or index.n_rows != self.vault.embeddings.shape[0]:
+            if (index is None
+                    or index.n_rows != self.vault.embeddings.shape[0]
+                    or index.digest != vault_digest(self.vault.embeddings,
+                                                    self.vault.row_valid)):
                 index = build_ivf(self.vault.embeddings, self.vault.row_valid)
                 try:
                     index.save(sidecar)
@@ -212,10 +217,15 @@ class MisinfoForensics:
                          plan=None) -> Dict:
         """Packed text-only batch (preprocess/packing.py): rows hold several
         ragged requests each; jit signatures stay bucketed via row-length
-        buckets × row-count buckets × CLS-slot buckets."""
+        buckets × row-count buckets × CLS-slot buckets. ``plan`` is the
+        auto-pack decision's (seqs, row_len, bucketed rows) — reused so the
+        tokenize + trial pack are not repeated."""
         from misinfo_tpu.preprocess.packing import pack_token_rows
-        seqs, row_len = plan if plan is not None else self._text_pack_plan(texts)
-        rows = self._packed_rows_bucketed(seqs, row_len, n_slots)
+        if plan is not None:
+            seqs, row_len, rows = plan
+        else:
+            seqs, row_len = self._text_pack_plan(texts)
+            rows = self._packed_rows_bucketed(seqs, row_len, n_slots)
         packed = pack_token_rows(seqs, row_len,
                                  self.det_cfg.roberta.pad_token_id,
                                  n_slots=n_slots, min_rows=rows)
@@ -418,10 +428,13 @@ class MisinfoForensics:
                 # pack only when it strictly beats the dense bucketed layout
                 # in padded tokens (same row length either way, so the test
                 # is the bucketed packed row count vs the request bucket,
-                # with a 25% margin for the packed program's gather overhead)
+                # with a 25% margin for the packed program's gather
+                # overhead). The plan (tokenized seqs + trial row count)
+                # is reused by whichever layout wins — no re-tokenization.
                 texts = [r.get("text", "") for r in reqs]
-                plan = self._text_pack_plan(texts)
-                rows = self._packed_rows_bucketed(plan[0], plan[1], bucket)
+                seqs, row_len = self._text_pack_plan(texts)
+                rows = self._packed_rows_bucketed(seqs, row_len, bucket)
+                plan = (seqs, row_len, rows)
                 pack = rows * 4 <= bucket * 3
             batch: Dict = {}
             if pack:
@@ -436,7 +449,19 @@ class MisinfoForensics:
                                  clip_mask=jnp.asarray(cl_mask))
             elif variant in ("full", "text_only"):
                 texts = [r.get("text", "") for r in reqs]
-                rb_ids, rb_mask, cl_ids, cl_mask = self._tokenize_batch(texts, bucket)
+                if plan is not None:     # auto decided dense: reuse tokens
+                    from misinfo_tpu.preprocess.packing import (
+                        dense_rows_from_seqs)
+                    rb_ids, rb_mask = dense_rows_from_seqs(
+                        plan[0], bucket, plan[1],
+                        self.det_cfg.roberta.pad_token_id)
+                    cl_len = min(self.cfg.seq.clip_max_len,
+                                 self.det_cfg.clip.max_text_len)
+                    cl_ids, cl_mask = self.clip_tokenizer.batch(
+                        texts + [""] * (bucket - len(texts)), cl_len)
+                else:
+                    rb_ids, rb_mask, cl_ids, cl_mask = self._tokenize_batch(
+                        texts, bucket)
                 batch.update(roberta_ids=jnp.asarray(rb_ids),
                              roberta_mask=jnp.asarray(rb_mask),
                              clip_ids=jnp.asarray(cl_ids),

@@ -57,7 +57,7 @@ def _act(h32: jax.Array, compute_dtype, mode: str) -> jax.Array:
 
 
 def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc_ref, *,
-                mode: str, n_chunks: int):
+                mode: str, n_chunks: int, precision):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -66,15 +66,20 @@ def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc_ref, *,
 
     h32 = jax.lax.dot_general(
         x_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b1_ref[...]
+        preferred_element_type=jnp.float32,
+        precision=precision) + b1_ref[...]
     g = _act(h32, x_ref.dtype, mode)
     acc_ref[...] += jax.lax.dot_general(
         g, w2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32, precision=precision)
 
     @pl.when(j == n_chunks - 1)
     def _():
         o_ref[...] = (acc_ref[...] + b2_ref[...]).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 def _pick(total: int, target: int, align: int) -> int:
@@ -86,13 +91,16 @@ def _pick(total: int, target: int, align: int) -> int:
     return total
 
 
-@functools.partial(jax.jit, static_argnames=("mode",))
+@functools.partial(jax.jit, static_argnames=("mode", "precision"))
 def fused_ffn(x: jax.Array, w1: jax.Array, b1: jax.Array,
-              w2: jax.Array, b2: jax.Array, *, mode: str = "tanh") -> jax.Array:
+              w2: jax.Array, b2: jax.Array, *, mode: str = "tanh",
+              precision=None) -> jax.Array:
     """x [..., K] @ w1 [K, N] (+b1) → act → @ w2 [N, K2] (+b2) → [..., K2].
 
-    All operands should already be in the compute dtype (the `ffn_apply`
-    wrapper handles policy casts)."""
+    All operands should already be in the compute dtype; `precision` must
+    carry the policy's contraction precision (HIGHEST in f32 parity mode —
+    the MXU's default f32 math is bf16-pass, CLAUDE.md). The `ffn_apply`
+    wrapper handles both."""
     orig_shape = x.shape
     K = orig_shape[-1]
     N = w1.shape[1]
@@ -103,17 +111,18 @@ def fused_ffn(x: jax.Array, w1: jax.Array, b1: jax.Array,
     x2 = x.reshape(M, K)
 
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
-    tm = _pick(M, _TM, sublane) if M % sublane == 0 else M
-    # pad the row axis so the grid tiles it exactly
-    if M % tm:
-        pad = tm - M % tm
-        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
-    Mp = x2.shape[0]
+    # row tile: sublane-aligned, capped at _TM; pad the row axis up to a
+    # tile multiple (padded rows compute act(b1)·W2 garbage, sliced off)
+    tm = min(_TM, _round_up(M, sublane))
+    Mp = _round_up(M, tm)
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
     jc = _pick(N, _JC, 128)
     n_chunks = N // jc
 
     out = pl.pallas_call(
-        functools.partial(_ffn_kernel, mode=mode, n_chunks=n_chunks),
+        functools.partial(_ffn_kernel, mode=mode, n_chunks=n_chunks,
+                          precision=precision),
         grid=(Mp // tm, n_chunks),
         in_specs=[
             pl.BlockSpec((tm, K), lambda i, j: (i, 0),
@@ -153,4 +162,4 @@ def ffn_apply(p_in: Dict, p_out: Dict, x: jax.Array, *,
         p_in["bias"].astype(jnp.float32),
         p_out["kernel"].astype(policy.compute),
         p_out["bias"].astype(jnp.float32),
-        mode=mode)
+        mode=mode, precision=policy.precision)

@@ -192,3 +192,18 @@ def packed_row_bucket(n_rows: int, buckets: Sequence[int]) -> int:
         if n_rows <= b:
             return b
     return buckets[-1]
+
+
+def dense_rows_from_seqs(seqs: Sequence[np.ndarray], n_rows: int,
+                         row_len: int, pad_id: int):
+    """Unpacked [n_rows, row_len] ids/mask from trimmed sequences — lets the
+    auto-pack path reuse its tokenization when the decision lands on the
+    dense layout (rows beyond len(seqs) are all-padding; their scores are
+    discarded by the caller)."""
+    ids = np.full((n_rows, row_len), pad_id, np.int32)
+    mask = np.zeros((n_rows, row_len), np.int32)
+    for i, s in enumerate(seqs[:n_rows]):
+        L = min(len(s), row_len)
+        ids[i, :L] = s[:L]
+        mask[i, :L] = 1
+    return ids, mask

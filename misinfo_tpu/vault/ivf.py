@@ -52,6 +52,7 @@ class IVFIndex(NamedTuple):
     spill: np.ndarray       # [S] int32 rows past their cluster's cap (always probed)
     nprobe: int             # default probe count chosen at build time
     n_rows: int             # padded vault row count the index was built for
+    digest: str             # sha1 of the valid embedding rows (staleness check)
 
     @property
     def n_clusters(self) -> int:
@@ -70,27 +71,66 @@ class IVFIndex(NamedTuple):
     def save(self, path: str) -> None:
         np.savez(path, centroids=self.centroids, lists=self.lists,
                  spill=self.spill, nprobe=np.int32(self.nprobe),
-                 n_rows=np.int32(self.n_rows))
+                 n_rows=np.int32(self.n_rows), digest=self.digest)
 
     @classmethod
     def load(cls, path: str) -> Optional["IVFIndex"]:
         try:
             data = np.load(path)
             return cls(data["centroids"], data["lists"], data["spill"],
-                       int(data["nprobe"]), int(data["n_rows"]))
+                       int(data["nprobe"]), int(data["n_rows"]),
+                       str(data["digest"]))
         except Exception:
             return None
 
 
+def vault_digest(embeddings: np.ndarray, row_valid: np.ndarray) -> str:
+    """Content digest of the valid rows — detects vault edits that keep the
+    same padded shape (appends within a 128-row pad bucket, in-place row
+    changes). ~0.5 GB/s, run once per engine start; far cheaper than a
+    silently stale index or an unconditional k-means rebuild."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(np.asarray(embeddings, np.float32)[np.asarray(row_valid)].tobytes())
+    return h.hexdigest()
+
+
 @functools.partial(jax.jit, static_argnames=("n_clusters",))
-def _assign_chunk(chunk: jax.Array, centroids: jax.Array, n_clusters: int):
-    """One k-means assignment + accumulation step on device."""
-    sims = jnp.dot(chunk, centroids.T, preferred_element_type=jnp.float32)
-    assign = jnp.argmax(sims, axis=1)
-    sums = jax.ops.segment_sum(chunk, assign, num_segments=n_clusters)
-    counts = jax.ops.segment_sum(jnp.ones((chunk.shape[0],), jnp.float32),
-                                 assign, num_segments=n_clusters)
-    return assign.astype(jnp.int32), sums, counts
+def _kmeans_stats(v3: jax.Array, valid3: jax.Array, centroids: jax.Array,
+                  n_clusters: int):
+    """One full Lloyd pass on device: scan over row chunks, accumulate
+    per-cluster sums/counts. Only the [C, D] stats leave the device —
+    per-chunk host round-trips would dominate on remote-attached TPUs."""
+
+    def body(carry, xs):
+        sums, counts = carry
+        rows, ok = xs
+        sims = jnp.dot(rows, centroids.T, preferred_element_type=jnp.float32)
+        a = jnp.argmax(sims, axis=1)
+        a = jnp.where(ok, a, n_clusters)         # pad rows → dropped segment
+        sums += jax.ops.segment_sum(rows, a, num_segments=n_clusters + 1)[:-1]
+        counts += jax.ops.segment_sum(ok.astype(jnp.float32), a,
+                                      num_segments=n_clusters + 1)[:-1]
+        return (sums, counts), None
+
+    init = (jnp.zeros((n_clusters, v3.shape[-1]), jnp.float32),
+            jnp.zeros((n_clusters,), jnp.float32))
+    (sums, counts), _ = jax.lax.scan(body, init, (v3, valid3))
+    return sums, counts
+
+
+@jax.jit
+def _kmeans_assign(v3: jax.Array, centroids: jax.Array) -> jax.Array:
+    """Final assignment pass against the FINAL centroids (lists must agree
+    with the centroids the query-time probe ranks)."""
+
+    def body(_, rows):
+        sims = jnp.dot(rows, centroids.T, preferred_element_type=jnp.float32)
+        return None, jnp.argmax(sims, axis=1).astype(jnp.int32)
+
+    _, assigns = jax.lax.scan(body, None, v3)
+    return assigns
 
 
 def build_ivf(
@@ -109,6 +149,10 @@ def build_ivf(
     emb = np.asarray(embeddings, np.float32)
     valid_idx = np.flatnonzero(np.asarray(row_valid))
     n_valid = len(valid_idx)
+    if n_valid == 0:
+        raise ValueError("cannot build an IVF index over an empty vault "
+                         "(no valid rows); callers should fall back to "
+                         "exact search")
     if n_clusters is None:
         # ≈4·√N keeps lists ~√N/4 long; lane-align for the centroid matmul
         n_clusters = max(_LANE, _round_up(int(4 * np.sqrt(max(n_valid, 1))),
@@ -122,48 +166,46 @@ def build_ivf(
         reps = rng.choice(len(init), size=n_clusters - len(init))
         centroids = np.concatenate([centroids, centroids[reps]], axis=0)
 
-    v_emb = emb[valid_idx]
-    assign = np.zeros((n_valid,), np.int32)
+    # ship the valid rows to the device ONCE as [T, chunk, D]; all Lloyd
+    # passes scan device-side and return only [C, D] stats per iteration
+    chunk = min(chunk_rows, _round_up(n_valid, _SUB))
+    n_pad = _round_up(n_valid, chunk)
+    v_np = np.zeros((n_pad, emb.shape[1]), np.float32)
+    v_np[:n_valid] = emb[valid_idx]
+    v3 = jnp.asarray(v_np.reshape(-1, chunk, emb.shape[1]))
+    valid3 = jnp.asarray(
+        (np.arange(n_pad) < n_valid).reshape(-1, chunk))
     for _ in range(max(iters, 1)):
-        sums = np.zeros((n_clusters, emb.shape[1]), np.float32)
-        counts = np.zeros((n_clusters,), np.float32)
-        cj = jnp.asarray(centroids)
-        for lo in range(0, n_valid, chunk_rows):
-            a, s, c = _assign_chunk(jnp.asarray(v_emb[lo:lo + chunk_rows]),
-                                    cj, n_clusters)
-            assign[lo:lo + chunk_rows] = np.asarray(a)
-            sums += np.asarray(s)
-            counts += np.asarray(c)
+        sums, counts = jax.tree_util.tree_map(
+            np.asarray, _kmeans_stats(v3, valid3, jnp.asarray(centroids),
+                                      n_clusters))
         new = sums / np.maximum(counts[:, None], 1.0)
         norms = np.linalg.norm(new, axis=1, keepdims=True)
         # empty clusters keep their previous centroid (spherical k-means)
         centroids = np.where(norms > 1e-6, new / np.maximum(norms, 1e-12),
                              centroids)
+    assign = np.asarray(_kmeans_assign(v3, jnp.asarray(centroids))
+                        ).reshape(-1)[:n_valid]
 
     # dense [C, L] list table + spill
-    counts_i = np.bincount(assign, minlength=n_clusters)
     mean = max(1.0, n_valid / n_clusters)
     cap = _round_up(int(np.ceil(cap_factor * mean)), _SUB)
     lists = np.full((n_clusters, cap), -1, np.int32)
-    fill = np.zeros((n_clusters,), np.int32)
-    spill = []
     order = np.argsort(assign, kind="stable")
-    for j in order:
-        c = assign[j]
-        row = int(valid_idx[j])
-        if fill[c] < cap:
-            lists[c, fill[c]] = row
-            fill[c] += 1
-        else:
-            spill.append(row)
-    spill_arr = np.asarray(spill, np.int32)
+    sorted_assign = assign[order]
+    starts = np.searchsorted(sorted_assign, np.arange(n_clusters))
+    pos = np.arange(n_valid) - starts[sorted_assign]   # rank within cluster
+    rows = valid_idx[order].astype(np.int32)
+    in_cap = pos < cap
+    lists[sorted_assign[in_cap], pos[in_cap]] = rows[in_cap]
+    spill_arr = rows[~in_cap]
     if spill_arr.size % _SUB:
         spill_arr = np.concatenate(
             [spill_arr, np.full((_SUB - spill_arr.size % _SUB,), -1, np.int32)])
     if nprobe is None:
         nprobe = max(1, min(n_clusters, 8))
     return IVFIndex(centroids.astype(np.float32), lists, spill_arr, nprobe,
-                    emb.shape[0])
+                    emb.shape[0], vault_digest(emb, row_valid))
 
 
 def ivf_topk(
@@ -181,7 +223,11 @@ def ivf_topk(
     B = query.shape[0]
     C = centroids.shape[0]
     nprobe = min(nprobe, C)
-    csims = jnp.dot(query, centroids.T, preferred_element_type=jnp.float32)
+    # HIGHEST like every other query-path contraction (CLAUDE.md): default
+    # bf16-pass cluster ranking could probe different clusters than the
+    # f32 build-side assignment and silently miss a boundary neighbor
+    csims = jnp.dot(query, centroids.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     _, probe = jax.lax.top_k(csims, nprobe)                  # [B, P]
     cand = lists[probe].reshape(B, -1)                       # [B, P·L]
     if spill.shape[0]:

@@ -137,7 +137,9 @@ class TruthVault:
         out = []
         for idx, sim in zip(indices, similarities):
             idx = int(idx)
-            if idx >= self.num_articles:
+            # negative = empty-slot sentinel (IVF path); >= num_articles =
+            # pad row (exact path) — both are non-matches
+            if idx < 0 or idx >= self.num_articles:
                 continue
             m = self.metadata[idx]
             out.append({

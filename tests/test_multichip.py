@@ -129,3 +129,12 @@ def test_parse_mesh_spec():
     assert parse_mesh_spec("8").data == 8
     with pytest.raises(ValueError):
         parse_mesh_spec("pipeline=2")
+
+
+def test_parse_mesh_spec_rejects_bad_negatives():
+    from misinfo_tpu.core.mesh import parse_mesh_spec
+
+    assert parse_mesh_spec("data=-1").data == -1   # 'all devices'
+    for bad in ("data=-5", "model=0", "model=-1", "data=0"):
+        with pytest.raises(ValueError):
+            parse_mesh_spec(bad)

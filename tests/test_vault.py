@@ -328,3 +328,37 @@ def test_engine_ivf_end_to_end(tmp_path):
     rep = eng.analyze(text="headline", image_path=str(img), verbose=False)
     assert "vault_discrepancy" in rep["scores"]
     assert isinstance(rep["vault_matches"], list)
+
+
+def test_matches_from_indices_filters_negative_sentinels():
+    """IVF empty-slot sentinels (-1) must not python-wrap into real
+    articles (code-review regression)."""
+    v = _mk_vault(5, 32)
+    matches = v.matches_from_indices(
+        np.asarray([3, -1, -1, 200]), np.asarray([0.9, -2.0, -2.0, -2.0]))
+    assert len(matches) == 1 and matches[0]["title"] == "article 3"
+
+
+def test_build_ivf_empty_vault_raises_and_engine_skips(tmp_path):
+    from misinfo_tpu.vault.ivf import build_ivf
+
+    emb = np.zeros((128, 16), np.float32)
+    with pytest.raises(ValueError):
+        build_ivf(emb, np.zeros((128,), np.bool_))
+
+
+def test_ivf_sidecar_invalidated_by_content_change(tmp_path):
+    """Same padded shape, different content → digest mismatch forces a
+    rebuild (shape-only checks miss edits within a 128-row pad bucket)."""
+    from misinfo_tpu.vault.ivf import IVFIndex, build_ivf, vault_digest
+
+    v = _mk_vault(40, 32, seed=1)
+    idx = build_ivf(v.embeddings, v.row_valid, n_clusters=8)
+    assert idx.digest == vault_digest(v.embeddings, v.row_valid)
+    v2 = _mk_vault(41, 32, seed=1)   # one more article, same 128-row pad
+    assert v2.embeddings.shape == v.embeddings.shape
+    assert idx.digest != vault_digest(v2.embeddings, v2.row_valid)
+    p = str(tmp_path / "i.npz")
+    idx.save(p)
+    back = IVFIndex.load(p)
+    assert back.digest == idx.digest
