@@ -80,3 +80,42 @@ def parse_mesh_spec(spec: str) -> MeshConfig:
             raise ValueError(f"bad mesh spec {spec!r}: {k}={kv[k]} "
                              "(use positive counts, or data=-1 for all)")
     return MeshConfig(data=kv.get("data", -1), model=kv.get("model", 1))
+
+
+_MULTIHOST_READY = False
+
+
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> bool:
+    """Initialize JAX's multi-process runtime so `make_mesh()` spans every
+    host's devices (ICI within a slice, DCN across hosts — SURVEY.md §5
+    'Distributed communication backend'). The reference has no distributed
+    layer at all; this is the TPU-native equivalent of what NCCL/MPI init
+    would be elsewhere.
+
+    Call once per process before any backend use. On Cloud TPU pods the
+    coordinator is auto-detected when no arguments are given but the
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars
+    (or TPU metadata) are present. Returns True when the multi-process
+    runtime was initialized, False for the single-process no-op (no
+    arguments and no env hints) or when already initialized.
+    """
+    global _MULTIHOST_READY
+    if _MULTIHOST_READY:
+        return False
+    import os
+
+    coordinator_address = coordinator_address or os.getenv(
+        "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.getenv("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.getenv("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        return False  # single-process: nothing to initialize
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes, process_id=process_id)
+    _MULTIHOST_READY = True
+    return True

@@ -138,3 +138,15 @@ def test_parse_mesh_spec_rejects_bad_negatives():
     for bad in ("data=-5", "model=0", "model=-1", "data=0"):
         with pytest.raises(ValueError):
             parse_mesh_spec(bad)
+
+
+def test_init_multihost_single_process_noop():
+    """No args + no env hints → clean no-op (single-process serving and
+    the test environment must never try to spin up a coordinator)."""
+    from misinfo_tpu.core import mesh as m
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        assert var not in __import__("os").environ
+    assert m.init_multihost() is False
+    assert jax.device_count() == 8  # backend untouched
