@@ -170,6 +170,9 @@ class MisinfoForensics:
                 except Exception:
                     pass  # read-only vault dir — rebuild next start
             out.update(index.device_arrays())
+            if self.cfg.serving.ivf_bf16_gather:
+                out["ivf_emb16"] = jnp.asarray(self.vault.embeddings,
+                                               jnp.bfloat16)
         return out
 
     _TEXT_BUCKETS = (64, 128, 256, 512)
@@ -263,16 +266,6 @@ class MisinfoForensics:
         eff = [p[0] for p in pairs] + [None] * pad
         clp = [p[1] for p in pairs] + [None] * pad
         return batch_images(eff, size), batch_images(clp, size)
-
-    def _run(self, variant: str, batch: Dict) -> SignalOutput:
-        from misinfo_tpu.utils.tracing import stage_timer
-        batch = dict(batch)
-        batch.update(self._vault_device)
-        with stage_timer(f"program_{variant}",
-                         batch_size=int(next(iter(batch.values())).shape[0])):
-            out = self.programs.get(variant)(self.params, batch)
-            out = jax.tree_util.tree_map(np.asarray, out)
-        return out
 
     # ------------------------------------------------- per-signal methods
     # API parity with reference MisinfoForensics; each rides the batched
@@ -410,14 +403,15 @@ class MisinfoForensics:
         dispatches = []
         for variant, idxs in groups.items():
             if variant.startswith("video"):
-                # videos batch too: V videos → one [V·F]-frame program
+                # videos batch too: V videos → one [V·F]-frame program,
+                # enqueued async like every other variant (host frame
+                # decode happens here; device sync waits for finalize)
                 vb = self.cfg.serving.video_batch_buckets
                 for lo in range(0, len(idxs), vb[-1]):
                     chunk = idxs[lo:lo + vb[-1]]
                     out = self._analyze_video_group(
                         [requests[i] for i in chunk], variant)
-                    for row, i in enumerate(chunk):
-                        results[i] = self._format_report(out, row, requests[i])
+                    dispatches.append((variant, out, chunk))
                 continue
             reqs = [requests[i] for i in idxs]
             bucket = _bucket(len(reqs), self.cfg.serving.batch_buckets)
@@ -537,7 +531,8 @@ class MisinfoForensics:
                          roberta_mask=jnp.asarray(rb_mask),
                          clip_ids=jnp.asarray(cl_ids),
                          clip_mask=jnp.asarray(cl_mask))
-        return self._run(variant, batch)
+        batch.update(self._vault_device)
+        return self.programs.get(variant)(self.params, batch)  # async
 
     # ------------------------------------------------------- formatting
 

@@ -150,3 +150,23 @@ def test_init_multihost_single_process_noop():
         assert var not in __import__("os").environ
     assert m.init_multihost() is False
     assert jax.device_count() == 8  # backend untouched
+
+
+def test_trainer_mesh_with_packing(tmp_path):
+    """--mesh + --pack together: packed batches (segment attention, CLS
+    gathers) shard over the data axis without shape errors."""
+    import pandas as pd
+
+    from misinfo_tpu.models.detector import DetectorConfig
+    from misinfo_tpu.train.roberta_detective import train
+
+    rng = np.random.default_rng(3)
+    rows = [{"text": "word " * int(rng.integers(2, 12)),
+             "label": int(rng.integers(0, 2))} for i in range(40)]
+    csv = tmp_path / "train.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    res = train(str(csv), str(tmp_path / "ckpt"), epochs=1, batch_size=8,
+                max_len=16, det_cfg=DetectorConfig.tiny(),
+                precision="float32", mesh_spec="data=8", pack=True,
+                log=lambda *a, **k: None)
+    assert np.isfinite(res.best_metric)
