@@ -63,6 +63,50 @@ def main():
     B, S, C = BATCH, SEQ_LEN or cfg.seq.roberta_max_len, cfg.seq.clip_max_len
     vault_rows = VAULT_ROWS
 
+    if VARIANT in ("video", "video_text"):
+        # batched video forensics: V videos × F frames per program launch
+        # (engine/signals.py video_program). BENCH_VIDEOS sets V.
+        from misinfo_tpu.engine.signals import video_program
+        V = int(os.environ.get("BENCH_VIDEOS", "4"))
+        F = cfg.video.max_frames
+        vault_np = rng.normal(size=(vault_rows, 512)).astype(np.float32)
+        batch = {
+            "image_effnet": jnp.asarray(
+                rng.integers(0, 255, (V * F, 224, 224, 3)), jnp.uint8),
+            "image_clip": jnp.asarray(
+                rng.integers(0, 255, (V * F, 224, 224, 3)), jnp.uint8),
+            "frame_valid": jnp.ones((V, F), jnp.bool_),
+            "vault_emb": jnp.asarray(vault_np),
+            "vault_valid": jnp.ones((vault_rows,), jnp.bool_),
+            "vault_text_emb": jnp.asarray(
+                rng.normal(size=(vault_rows, 512)).astype(np.float32)),
+        }
+        if VARIANT == "video_text":
+            batch.update(
+                roberta_ids=jnp.asarray(rng.integers(3, 50000, (V, S)), jnp.int32),
+                roberta_mask=jnp.ones((V, S), jnp.int32),
+                clip_ids=jnp.asarray(rng.integers(1, 49000, (V, C)), jnp.int32),
+                clip_mask=jnp.ones((V, C), jnp.int32))
+        fn = jax.jit(functools.partial(
+            video_program, has_text=VARIANT == "video_text",
+            det_cfg=det_cfg, cfg=cfg, policy=policy, use_pallas=USE_PALLAS))
+        out = fn(params, batch)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn(params, batch)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        throughput = V * ITERS / dt
+        print(json.dumps({
+            "metric": f"analyze_throughput_{VARIANT}",
+            "value": round(throughput, 2), "unit": "videos/sec/chip",
+            "vs_baseline": None, "videos_per_batch": V, "frames": F,
+            "p50_batch_latency_ms": round(dt / ITERS * 1000.0, 2),
+            "device": str(jax.devices()[0]),
+        }))
+        return
+
     if VARIANT == "text_packed":
         # ragged text traffic packed into shared rows (preprocess/packing.py):
         # lengths uniform in [32, S); throughput counts REQUESTS, not rows.
@@ -131,6 +175,11 @@ def main():
                     "ivf_spill": int(index.spill.shape[0]),
                     "ivf_build_s": round(time.perf_counter() - tb, 1)}
         batch.update(index.device_arrays())
+        if os.environ.get("BENCH_IVF_BF16", "0") == "1":
+            cfg = cfg.replace(serving=dataclasses.replace(
+                cfg.serving, ivf_bf16_gather=True))
+            batch["ivf_emb16"] = jnp.asarray(vault_np, jnp.bfloat16)
+            ivf_info["ivf_bf16_gather"] = True
 
     if PACK:
         # ragged text (lengths U[32,S)) packed into shared rows; images and

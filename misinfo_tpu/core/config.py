@@ -131,6 +131,9 @@ class ServingConfig:
     # default; nprobe trades recall for speed.
     vault_ivf: bool = False
     ivf_nprobe: int = 8
+    # bf16 copy for the IVF candidate gather (half the scattered-read
+    # bytes; final top-k re-scored from the f32 rows — see vault/ivf.py)
+    ivf_bf16_gather: bool = False
 
 
 @dataclass(frozen=True)
@@ -172,9 +175,11 @@ class ForensicsConfig:
         if os.getenv("MISINFO_TPU_VAULT_IVF") in ("1", "true", "on"):
             nprobe = int(os.getenv("MISINFO_TPU_IVF_NPROBE",
                                    str(cfg.serving.ivf_nprobe)))
+            bf16 = os.getenv("MISINFO_TPU_IVF_BF16") in ("1", "true", "on")
             cfg = dataclasses.replace(
                 cfg, serving=dataclasses.replace(
-                    cfg.serving, vault_ivf=True, ivf_nprobe=nprobe))
+                    cfg.serving, vault_ivf=True, ivf_nprobe=nprobe,
+                    ivf_bf16_gather=bf16))
         return cfg
 
     def replace(self, **kw) -> "ForensicsConfig":

@@ -90,7 +90,9 @@ def _visual_branch(params, batch, det_cfg, cfg, policy, use_pallas,
     deepfake_score = softmax_f32(logits)[:, 1]
     image_emb = l2_normalize(clip_image_features(
         params["clip"], img_clip, det_cfg.clip, policy, use_pallas))
-    ivf = ({k: batch[k] for k in ("ivf_centroids", "ivf_lists", "ivf_spill")}
+    ivf = ({k: batch[k]
+            for k in ("ivf_centroids", "ivf_lists", "ivf_spill", "ivf_emb16")
+            if k in batch}
            if "ivf_centroids" in batch else None)
     vr = vault_search(
         image_emb, batch["vault_emb"], batch["vault_valid"],

@@ -218,8 +218,17 @@ def ivf_topk(
     *,
     top_k: int,
     nprobe: int,
+    emb16: Optional[jax.Array] = None,   # [N, D] bf16 copy (gather path)
 ) -> Tuple[jax.Array, jax.Array]:
-    """Probed-cluster exact-rescore top-k; jittable, all on device."""
+    """Probed-cluster exact-rescore top-k; jittable, all on device.
+
+    With ``emb16`` the candidate gather — the dominant cost, scattered HBM
+    reads that don't coalesce (docs/PERF.md) — reads the bf16 copy at half
+    the bytes; the bf16-ranked top-(k+8) shortlist is then re-scored
+    exactly from the f32 rows, so the final similarities (and the 0.85
+    reuse gate) stay f32-exact. bf16 row quantization perturbs a cosine by
+    ~4e-3 RMS; the +8 margin makes a shortlist miss require an ~8-deep
+    pileup of candidates within that noise of the k-th score."""
     B = query.shape[0]
     C = centroids.shape[0]
     nprobe = min(nprobe, C)
@@ -235,11 +244,21 @@ def ivf_topk(
             [cand, jnp.broadcast_to(spill[None, :], (B, spill.shape[0]))],
             axis=1)
     safe = jnp.maximum(cand, 0)
-    rows = vault_emb[safe]                                   # [B, M, D]
+    ok = (cand >= 0) & row_valid[safe]
+    if emb16 is not None:
+        rows16 = emb16[safe]                                 # [B, M, D] bf16
+        s16 = jnp.einsum("bd,bmd->bm", query.astype(jnp.bfloat16), rows16,
+                         preferred_element_type=jnp.float32)
+        s16 = jnp.where(ok, s16, -2.0)
+        short = min(top_k + 8, s16.shape[1])
+        _, pos16 = jax.lax.top_k(s16, short)
+        cand = jnp.take_along_axis(cand, pos16, axis=1)      # [B, short]
+        safe = jnp.maximum(cand, 0)
+        ok = (cand >= 0) & row_valid[safe]
+    rows = vault_emb[safe]                                   # [B, M|short, D]
     sims = jnp.einsum("bd,bmd->bm", query, rows,
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
-    ok = (cand >= 0) & row_valid[safe]
     sims = jnp.where(ok, sims, -2.0)
     k = min(top_k, sims.shape[1])
     top_s, pos = jax.lax.top_k(sims, k)

@@ -126,7 +126,7 @@ def vault_search(
         top_sims, top_idx = ivf_topk(
             query_image_emb, vault_emb, row_valid,
             ivf["ivf_centroids"], ivf["ivf_lists"], ivf["ivf_spill"],
-            top_k=top_k, nprobe=nprobe)
+            top_k=top_k, nprobe=nprobe, emb16=ivf.get("ivf_emb16"))
     else:
         # always full-f32: a bf16-pass dot's ~4e-3 error could flip the 0.85
         # reuse gate; one [B,512]×[512,N] matmul at HIGHEST is cheap

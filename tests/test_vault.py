@@ -362,3 +362,24 @@ def test_ivf_sidecar_invalidated_by_content_change(tmp_path):
     idx.save(p)
     back = IVFIndex.load(p)
     assert back.digest == idx.digest
+
+
+def test_ivf_bf16_gather_matches_f32_path():
+    """bf16 candidate gather + exact rescore: same top indices and
+    f32-exact final similarities as the f32-gather IVF path."""
+    from misinfo_tpu.vault.ivf import ivf_topk
+
+    v, idx = _ivf_setup(n=400)
+    rng = np.random.default_rng(13)
+    rows = rng.choice(v.num_articles, size=8, replace=False)
+    q = v.embeddings[rows] + 0.05 * rng.normal(size=(8, 32)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    args = (jnp.asarray(q), jnp.asarray(v.embeddings),
+            jnp.asarray(v.row_valid), jnp.asarray(idx.centroids),
+            jnp.asarray(idx.lists), jnp.asarray(idx.spill))
+    s32, i32 = ivf_topk(*args, top_k=5, nprobe=idx.n_clusters)
+    s16, i16 = ivf_topk(*args, top_k=5, nprobe=idx.n_clusters,
+                        emb16=jnp.asarray(v.embeddings, jnp.bfloat16))
+    np.testing.assert_array_equal(np.asarray(i16), np.asarray(i32))
+    # final sims come from the f32 rows in both paths → exact agreement
+    np.testing.assert_allclose(np.asarray(s16), np.asarray(s32), atol=1e-6)
