@@ -188,3 +188,23 @@ def test_harness_early_stopping():
                        early_stop_patience=3, log=lambda *_: None)
     assert res.best_epoch == 0
     assert len(res.history) == 4  # 1 best + 3 patience
+
+
+def test_small_val_split_still_evaluates(tmp_path):
+    """A val split smaller than one batch must produce real metrics, not
+    silent zeros (the reference's validate() always runs)."""
+    import pandas as pd
+
+    from misinfo_tpu.train.roberta_detective import train
+
+    rng = np.random.default_rng(0)
+    rows = [{"text": f"headline {i} words", "label": int(rng.integers(0, 2))}
+            for i in range(20)]          # 20 samples → val split of 4 < batch 16
+    csv = tmp_path / "t.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    logs = []
+    train(str(csv), str(tmp_path / "ck"), epochs=1, batch_size=16,
+          max_len=12, det_cfg=DET, precision="float32",
+          log=lambda m, **k: logs.append(m))
+    val_lines = [l for l in logs if "val_loss" in str(l)]
+    assert val_lines and "val_loss=0.0000" not in str(val_lines[-1])
