@@ -66,6 +66,10 @@ def main():
     if VARIANT in ("video", "video_text"):
         # batched video forensics: V videos × F frames per program launch
         # (engine/signals.py video_program). BENCH_VIDEOS sets V.
+        if IVF or PACK:
+            raise SystemExit(
+                "BENCH_IVF / BENCH_PACK are not supported with video "
+                "variants — the knobs would be silently ignored")
         from misinfo_tpu.engine.signals import video_program
         V = int(os.environ.get("BENCH_VIDEOS", "4"))
         F = cfg.video.max_frames
@@ -176,8 +180,8 @@ def main():
                     "ivf_build_s": round(time.perf_counter() - tb, 1)}
         batch.update(index.device_arrays())
         if os.environ.get("BENCH_IVF_BF16", "0") == "1":
-            cfg = cfg.replace(serving=dataclasses.replace(
-                cfg.serving, ivf_bf16_gather=True))
+            # the program keys off the batch key alone (signals.py collects
+            # ivf_* keys); the ServingConfig flag matters only in the engine
             batch["ivf_emb16"] = jnp.asarray(vault_np, jnp.bfloat16)
             ivf_info["ivf_bf16_gather"] = True
 

@@ -172,14 +172,18 @@ class ForensicsConfig:
             cfg = dataclasses.replace(
                 cfg, serving=dataclasses.replace(
                     cfg.serving, pack_text="auto" if _pt == "auto" else True))
+        ivf_updates = {}
         if os.getenv("MISINFO_TPU_VAULT_IVF") in ("1", "true", "on"):
-            nprobe = int(os.getenv("MISINFO_TPU_IVF_NPROBE",
-                                   str(cfg.serving.ivf_nprobe)))
-            bf16 = os.getenv("MISINFO_TPU_IVF_BF16") in ("1", "true", "on")
+            ivf_updates["vault_ivf"] = True
+            ivf_updates["ivf_nprobe"] = int(os.getenv(
+                "MISINFO_TPU_IVF_NPROBE", str(cfg.serving.ivf_nprobe)))
+        # parsed independently of the VAULT_IVF env: vault_ivf may be set
+        # programmatically while the gather dtype comes from the env
+        if os.getenv("MISINFO_TPU_IVF_BF16") in ("1", "true", "on"):
+            ivf_updates["ivf_bf16_gather"] = True
+        if ivf_updates:
             cfg = dataclasses.replace(
-                cfg, serving=dataclasses.replace(
-                    cfg.serving, vault_ivf=True, ivf_nprobe=nprobe,
-                    ivf_bf16_gather=bf16))
+                cfg, serving=dataclasses.replace(cfg.serving, **ivf_updates))
         return cfg
 
     def replace(self, **kw) -> "ForensicsConfig":

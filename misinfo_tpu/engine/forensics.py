@@ -383,8 +383,10 @@ class MisinfoForensics:
         return finalize
 
     def _dispatch_batch(self, requests: List[Dict]):
-        """Group → prep → enqueue device programs (no host sync).
-        Video requests run inline (their frame loop is host-driven)."""
+        """Group → prep → enqueue device programs (no host sync). Video
+        requests batch into video_batch_buckets-sized groups and enqueue
+        async like every other variant (host frame decode happens here;
+        the device sync waits for _finalize_batch)."""
         groups: Dict[str, List[int]] = {}
         for i, r in enumerate(requests):
             if "video" in r:

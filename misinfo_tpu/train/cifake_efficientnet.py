@@ -113,8 +113,9 @@ def train(cifake_root: str, out_dir: str = "efficientnet_cifake_best",
                 binary_accuracy(logits, batch["labels"]))
 
     def eval_fn(params):
+        from misinfo_tpu.train.harness import eval_batches
         ls, accs = [], []
-        for b in val_b.batches(batch_size):
+        for b in eval_batches(val_b.batches, len(val_b.items), batch_size):
             l, a = eval_step(params, {k: jnp.asarray(v) for k, v in b.items()})
             ls.append(float(l))
             accs.append(float(a))

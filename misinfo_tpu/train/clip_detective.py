@@ -150,8 +150,9 @@ def train(train_csv: str, val_csv: Optional[str] = None,
         return jnp.sum(te * ie, axis=-1)
 
     def eval_fn(params):
+        from misinfo_tpu.train.harness import eval_batches
         med_accs, fix_accs = [], []
-        for b in val_b.batches(batch_size):
+        for b in eval_batches(val_b.batches, len(val_b.rows), batch_size):
             jb = {k: jnp.asarray(v) for k, v in b.items()}
             sims = sims_fn(params, jb)
             # label 0 = matched: match prediction = sim >= threshold

@@ -96,3 +96,19 @@ def split_train_val(samples, val_fraction: float = 0.2, seed: int = 42):
     train = [s for i, s in enumerate(samples) if i not in val_idx]
     val = [s for i, s in enumerate(samples) if i in val_idx]
     return train, val
+
+
+def eval_batches(batches_fn, n_items: int, batch_size: int):
+    """Validation batches with a sub-batch-split fallback, shared by every
+    trainer: `batches_fn(size)` must yield full-size batches only (the
+    batchers drop remainders to keep one eval jit signature). When the val
+    split is smaller than one batch that would yield nothing and silently
+    report 0.0 metrics — the reference's validate() always runs — so fall
+    back to a single whole-split batch (one extra jit signature, and only
+    on toy splits)."""
+    n = 0
+    for b in batches_fn(batch_size):
+        n += 1
+        yield b
+    if n == 0 and n_items:
+        yield from batches_fn(n_items)

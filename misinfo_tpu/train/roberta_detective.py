@@ -153,16 +153,10 @@ def train(csv_path: str, out_dir: str = "roberta_detective_best",
         yield from prefetch(gen)
 
     def val_batches():
-        # drop_remainder keeps one eval jit signature, but a val split
-        # smaller than one batch must still evaluate (the reference's
-        # validate() always runs) — fall back to a single full-split batch
-        n = 0
-        for b in val_ds.batches(batch_size, shuffle=False, drop_remainder=True):
-            n += 1
-            yield b
-        if n == 0 and len(val_ds):
-            yield from val_ds.batches(len(val_ds), shuffle=False,
-                                      drop_remainder=False)
+        from misinfo_tpu.train.harness import eval_batches
+        yield from eval_batches(
+            lambda bs: val_ds.batches(bs, shuffle=False, drop_remainder=True),
+            len(val_ds), batch_size)
 
     def ckpt(params, opt_state, epoch, metrics):
         from misinfo_tpu.checkpoints.io import save_checkpoint

@@ -208,3 +208,19 @@ def test_small_val_split_still_evaluates(tmp_path):
           log=lambda m, **k: logs.append(m))
     val_lines = [l for l in logs if "val_loss" in str(l)]
     assert val_lines and "val_loss=0.0000" not in str(val_lines[-1])
+
+
+def test_eval_batches_fallback_helper():
+    """Shared sub-batch val fallback (used by all trainers' eval paths)."""
+    from misinfo_tpu.train.harness import eval_batches
+
+    def batches_fn(bs):   # mimics drop_remainder batchers: 10 items
+        for s in range(0, 10 - bs + 1, bs):
+            yield {"size": bs}
+
+    # split >= one batch: normal full-size batches, no fallback
+    assert [b["size"] for b in eval_batches(batches_fn, 10, 4)] == [4, 4]
+    # split smaller than one batch: one whole-split batch
+    assert [b["size"] for b in eval_batches(batches_fn, 10, 16)] == [10]
+    # empty split: nothing
+    assert list(eval_batches(batches_fn, 0, 16)) == []
