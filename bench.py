@@ -28,6 +28,7 @@ VARIANT = os.environ.get("BENCH_VARIANT", "full")  # full|text_only|visual_only
 PACK = os.environ.get("BENCH_PACK", "0") == "1"    # pack ragged text rows
 VAULT_ROWS = int(os.environ.get("BENCH_VAULT", "2176"))  # reference ~2170
 IVF = os.environ.get("BENCH_IVF", "0") == "1"  # probed-cluster vault search
+VAULT_DTYPE = os.environ.get("BENCH_VAULT_DTYPE", "float32")  # |bfloat16|int8
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
 
 
@@ -73,17 +74,17 @@ def main():
         from misinfo_tpu.engine.signals import video_program
         V = int(os.environ.get("BENCH_VIDEOS", "4"))
         F = cfg.video.max_frames
-        vault_np = rng.normal(size=(vault_rows, 512)).astype(np.float32)
+        vault_dev = rng.standard_normal((vault_rows, 512), dtype=np.float32)
         batch = {
             "image_effnet": jnp.asarray(
                 rng.integers(0, 255, (V * F, 224, 224, 3)), jnp.uint8),
             "image_clip": jnp.asarray(
                 rng.integers(0, 255, (V * F, 224, 224, 3)), jnp.uint8),
             "frame_valid": jnp.ones((V, F), jnp.bool_),
-            "vault_emb": jnp.asarray(vault_np),
+            "vault_emb": jnp.asarray(vault_dev),
             "vault_valid": jnp.ones((vault_rows,), jnp.bool_),
             "vault_text_emb": jnp.asarray(
-                rng.normal(size=(vault_rows, 512)).astype(np.float32)),
+                rng.standard_normal((vault_rows, 512), dtype=np.float32)),
         }
         if VARIANT == "video_text":
             batch.update(
@@ -148,10 +149,19 @@ def main():
             "device": str(jax.devices()[0]),
         }))
         return
-    vault_np = rng.normal(size=(vault_rows, 512)).astype(np.float32)
-    if IVF:  # engine vaults are pre-normalized; IVF assumes that too
+    vault_np = rng.standard_normal((vault_rows, 512), dtype=np.float32)
+    if IVF or VAULT_DTYPE != "float32":
+        # engine vaults are pre-normalized; IVF and the quantized storage
+        # modes (|element| ≤ 1 for int8) assume that too
         vault_np /= np.maximum(
             np.linalg.norm(vault_np, axis=1, keepdims=True), 1e-12)
+    if VAULT_DTYPE == "int8":
+        from misinfo_tpu.vault.search import quantize_rows_int8
+        vault_dev = quantize_rows_int8(vault_np)
+    elif VAULT_DTYPE == "bfloat16":
+        vault_dev = jnp.asarray(vault_np, jnp.bfloat16)
+    else:
+        vault_dev = vault_np
     batch = {
         "roberta_ids": jnp.asarray(rng.integers(3, 50000, (B, S)), jnp.int32),
         "roberta_mask": jnp.ones((B, S), jnp.int32),
@@ -159,10 +169,19 @@ def main():
         "clip_mask": jnp.ones((B, C), jnp.int32),
         "image_effnet": jnp.asarray(rng.integers(0, 255, (B, 224, 224, 3)), jnp.uint8),
         "image_clip": jnp.asarray(rng.integers(0, 255, (B, 224, 224, 3)), jnp.uint8),
-        "vault_emb": jnp.asarray(vault_np),
+        "vault_emb": jnp.asarray(vault_dev),
         "vault_valid": jnp.ones((vault_rows,), jnp.bool_),
-        "vault_text_emb": jnp.asarray(rng.normal(size=(vault_rows, 512)).astype(np.float32)),
     }
+    text_np = rng.standard_normal((vault_rows, 512), dtype=np.float32)
+    if VAULT_DTYPE == "int8":
+        batch["vault_text_emb"] = jnp.asarray(quantize_rows_int8(
+            text_np / np.maximum(np.linalg.norm(text_np, axis=1,
+                                                keepdims=True), 1e-12)))
+    elif VAULT_DTYPE == "bfloat16":
+        batch["vault_text_emb"] = jnp.asarray(text_np, jnp.bfloat16)
+    else:
+        batch["vault_text_emb"] = jnp.asarray(text_np)
+    del text_np
 
     if IVF:
         # sub-linear vault search (vault/ivf.py): normalize the synthetic
@@ -230,6 +249,8 @@ def main():
         metric += "_packed"
     if IVF:
         metric += "_ivf"
+    if VAULT_DTYPE != "float32":
+        metric += f"_vault-{VAULT_DTYPE}"
     print(json.dumps({
         "metric": metric,
         "value": round(throughput, 2),

@@ -126,6 +126,10 @@ class ServingConfig:
     # True = always pack; "auto" = pack only when the packed row count
     # strictly beats the bucketed dense layout in padded tokens.
     pack_text: object = False   # False | True | "auto"
+    # Vault row storage: "float32" (exact, default), "bfloat16" (2× the
+    # articles per chip, ~0.2% sim error), "int8" (4× capacity, MXU
+    # double-rate matmul, ~0.5-1% sim error) — vault/search.py vault_sims
+    vault_dtype: str = "float32"
     # IVF vault search (vault/ivf.py): sub-linear probed-cluster kNN for
     # vaults far beyond the reference's 2,170 rows. Exact search stays the
     # default; nprobe trades recall for speed.
@@ -172,6 +176,10 @@ class ForensicsConfig:
             cfg = dataclasses.replace(
                 cfg, serving=dataclasses.replace(
                     cfg.serving, pack_text="auto" if _pt == "auto" else True))
+        vd = os.getenv("MISINFO_TPU_VAULT_DTYPE")
+        if vd in ("float32", "bfloat16", "int8"):
+            cfg = dataclasses.replace(
+                cfg, serving=dataclasses.replace(cfg.serving, vault_dtype=vd))
         ivf_updates = {}
         if os.getenv("MISINFO_TPU_VAULT_IVF") in ("1", "true", "on"):
             ivf_updates["vault_ivf"] = True

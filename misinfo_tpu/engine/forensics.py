@@ -144,12 +144,23 @@ class MisinfoForensics:
                 "vault_valid": jnp.zeros((128,), jnp.bool_),
                 "vault_text_emb": jnp.zeros((128, d), jnp.float32),
             }
+        # capacity modes (ServingConfig.vault_dtype): the host-side vault
+        # stays f32 (IVF build + digest use it); only the device copies are
+        # bf16/int8-quantized
+        vdt = self.cfg.serving.vault_dtype
+        if vdt == "int8":
+            from misinfo_tpu.vault.search import quantize_rows_int8
+            cast = quantize_rows_int8
+        elif vdt == "bfloat16":
+            cast = lambda a: jnp.asarray(a, jnp.bfloat16)  # noqa: E731
+        else:
+            cast = lambda a: a  # noqa: E731
         out = {
-            "vault_emb": jnp.asarray(self.vault.embeddings),
+            "vault_emb": jnp.asarray(cast(self.vault.embeddings)),
             "vault_valid": jnp.asarray(self.vault.row_valid),
         }
         if self.vault.text_embeddings is not None:
-            out["vault_text_emb"] = jnp.asarray(self.vault.text_embeddings)
+            out["vault_text_emb"] = jnp.asarray(cast(self.vault.text_embeddings))
         else:
             out["vault_text_emb"] = jnp.zeros_like(out["vault_emb"])
         if self.cfg.serving.vault_ivf and self.vault.num_articles > 0:

@@ -256,6 +256,8 @@ def ivf_topk(
         safe = jnp.maximum(cand, 0)
         ok = (cand >= 0) & row_valid[safe]
     rows = vault_emb[safe]                                   # [B, M|short, D]
+    if rows.dtype == jnp.int8:   # capacity mode (ServingConfig.vault_dtype)
+        rows = rows.astype(jnp.float32) * (1.0 / 127.0)
     sims = jnp.einsum("bd,bmd->bm", query, rows,
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)

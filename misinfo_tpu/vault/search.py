@@ -103,6 +103,49 @@ class VaultResult(NamedTuple):
     text_similarity: jax.Array   # [B] f32
 
 
+_INT8_SCALE = 127.0  # rows are L2-normalized → every element is in [-1, 1]
+
+
+def quantize_rows_int8(rows) -> "jax.Array":
+    """Symmetric per-tensor int8 quantization of L2-normalized embedding
+    rows (|element| ≤ 1 → scale 127). 4× the articles per chip vs f32;
+    cosine error ~0.5% RMS — see ServingConfig.vault_dtype."""
+    import numpy as np
+    return np.clip(np.round(np.asarray(rows, np.float32) * _INT8_SCALE),
+                   -127, 127).astype(np.int8)
+
+
+def _dequant(rows: jax.Array) -> jax.Array:
+    if rows.dtype == jnp.int8:
+        return rows.astype(jnp.float32) * (1.0 / _INT8_SCALE)
+    return rows.astype(jnp.float32)
+
+
+def vault_sims(query: jax.Array, vault_emb: jax.Array) -> jax.Array:
+    """[B,D]×[N,D]ᵀ cosine sims, dtype-polymorphic over the vault storage:
+
+    * f32 rows (default): `Precision.HIGHEST` — exact, the 0.85 gate
+      depends on it (misinfo_forensics.py:462-464)
+    * bf16 rows: MXU-native bf16×bf16→f32 at half the HBM read
+    * int8 rows: query quantized to int8 too; int8×int8→int32 rides the
+      MXU's double-rate path, rescaled to f32 sims (~0.5-1% error —
+      capacity mode, documented in docs/SCALING.md)
+    """
+    if vault_emb.dtype == jnp.int8:
+        q = jnp.clip(jnp.round(query.astype(jnp.float32) * _INT8_SCALE),
+                     -127, 127).astype(jnp.int8)
+        s = jax.lax.dot_general(
+            q, vault_emb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return s.astype(jnp.float32) * (1.0 / (_INT8_SCALE * _INT8_SCALE))
+    if vault_emb.dtype == jnp.bfloat16:
+        return jnp.dot(query.astype(jnp.bfloat16), vault_emb.T,
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(query, vault_emb.T,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def vault_search(
     query_image_emb: jax.Array,   # [B, D] L2-normalized f32
     vault_emb: jax.Array,         # [N, D] L2-normalized, zero rows padded
@@ -128,11 +171,11 @@ def vault_search(
             ivf["ivf_centroids"], ivf["ivf_lists"], ivf["ivf_spill"],
             top_k=top_k, nprobe=nprobe, emb16=ivf.get("ivf_emb16"))
     else:
-        # always full-f32: a bf16-pass dot's ~4e-3 error could flip the 0.85
-        # reuse gate; one [B,512]×[512,N] matmul at HIGHEST is cheap
-        sims = jnp.dot(query_image_emb, vault_emb.T,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)  # [B, N]
+        # f32 storage (default) computes at HIGHEST — a bf16-pass dot's
+        # ~4e-3 error could flip the 0.85 reuse gate; bf16/int8 storage
+        # (ServingConfig.vault_dtype capacity modes) trade that exactness
+        # for 2×/4× more articles per chip
+        sims = vault_sims(query_image_emb, vault_emb)        # [B, N]
         sims = jnp.where(row_valid[None, :], sims, -2.0)
         top_sims, top_idx = _topk(sims, top_k)
 
@@ -141,7 +184,7 @@ def vault_search(
     vault_discrepancy = jnp.where(gate, max_sim, 0.0)
 
     if caption_text_emb is not None and vault_text_emb is not None:
-        matched_title_emb = vault_text_emb[top_idx[:, 0]]          # [B, D]
+        matched_title_emb = _dequant(vault_text_emb[top_idx[:, 0]])  # [B, D]
         tsim = jnp.sum(caption_text_emb * matched_title_emb, axis=-1)
         if has_caption is not None:
             gate = jnp.logical_and(gate, has_caption)
@@ -158,7 +201,7 @@ def sharded_vault_sims(query: jax.Array, vault_shard: jax.Array,
                        top_k: int, axis_name: str = "data"):
     """shard_map body: local matmul + local top-k, then all-gather the
     per-shard candidates and re-top-k — O(K·devices) gathered instead of N."""
-    sims = jnp.dot(query, vault_shard.T, preferred_element_type=jnp.float32)
+    sims = vault_sims(query, vault_shard)
     sims = jnp.where(row_valid_shard[None, :], sims, -2.0)
     loc_sims, loc_idx = jax.lax.top_k(sims, top_k)
     loc_idx = loc_idx + shard_offset

@@ -383,3 +383,76 @@ def test_ivf_bf16_gather_matches_f32_path():
     np.testing.assert_array_equal(np.asarray(i16), np.asarray(i32))
     # final sims come from the f32 rows in both paths → exact agreement
     np.testing.assert_allclose(np.asarray(s16), np.asarray(s32), atol=1e-6)
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+def test_quantized_vault_storage_modes(dtype):
+    """Capacity modes (ServingConfig.vault_dtype): same top match as f32
+    on separated data; duplicate-query sims within the documented error."""
+    from misinfo_tpu.vault.search import quantize_rows_int8
+
+    v = _mk_vault(64, 64, seed=21)
+    q = jnp.asarray(v.embeddings[5:9])      # exact duplicates of rows 5..8
+    exact = vault_search(q, jnp.asarray(v.embeddings),
+                         jnp.asarray(v.row_valid), top_k=3)
+    if dtype == "int8":
+        dev = jnp.asarray(quantize_rows_int8(v.embeddings))
+        tol = 0.02
+    else:
+        dev = jnp.asarray(v.embeddings, jnp.bfloat16)
+        tol = 0.01
+    got = vault_search(q, dev, jnp.asarray(v.row_valid), top_k=3)
+    np.testing.assert_array_equal(np.asarray(got.top_idx[:, 0]),
+                                  np.asarray(exact.top_idx[:, 0]))
+    np.testing.assert_allclose(np.asarray(got.top_sims),
+                               np.asarray(exact.top_sims), atol=tol)
+    # duplicate queries still clear the 0.85 reuse gate
+    assert (np.asarray(got.vault_discrepancy) > 0.95).all()
+
+
+def test_engine_vault_dtype_int8(tmp_path, monkeypatch):
+    """MISINFO_TPU_VAULT_DTYPE=int8 flows through from_env into the
+    device vault; reports still carry real matches."""
+    import dataclasses
+    from misinfo_tpu.core.config import ForensicsConfig
+    from misinfo_tpu.engine.forensics import MisinfoForensics
+    from misinfo_tpu.models.detector import DetectorConfig
+
+    det = DetectorConfig.tiny()
+    d = det.clip.projection_dim
+    rng = np.random.default_rng(4)
+    emb = rng.normal(size=(30, d)).astype(np.float32)
+    meta = [{"title": f"t{i}", "url": "u", "date": "d"} for i in range(30)]
+    vp = str(tmp_path / "vault.npz")
+    TruthVault(emb, meta, emb.copy()).save(vp)
+
+    monkeypatch.setenv("MISINFO_TPU_VAULT_DTYPE", "int8")
+    cfg = ForensicsConfig.from_env(verbose=False)
+    assert cfg.serving.vault_dtype == "int8"
+    cfg = cfg.replace(
+        paths=dataclasses.replace(cfg.paths, vault_path=vp),
+        seq=cfg.seq.__class__(roberta_max_len=32, image_size=64))
+    eng = MisinfoForensics(config=cfg, det_cfg=det)
+    assert eng._vault_device["vault_emb"].dtype == jnp.int8
+
+    from PIL import Image
+    img = tmp_path / "q.png"
+    Image.fromarray(
+        (rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(img)
+    rep = eng.analyze(text="hello", image_path=str(img), verbose=False)
+    assert isinstance(rep["vault_matches"], list)
+
+
+def test_ivf_with_int8_vault():
+    """IVF probing over an int8 device vault: gathered rows dequantize."""
+    from misinfo_tpu.vault.ivf import ivf_topk
+    from misinfo_tpu.vault.search import quantize_rows_int8
+
+    v, idx = _ivf_setup(n=300)
+    q = jnp.asarray(v.embeddings[7:10])
+    s, i = ivf_topk(q, jnp.asarray(quantize_rows_int8(v.embeddings)),
+                    jnp.asarray(v.row_valid), jnp.asarray(idx.centroids),
+                    jnp.asarray(idx.lists), jnp.asarray(idx.spill),
+                    top_k=3, nprobe=idx.n_clusters)
+    np.testing.assert_array_equal(np.asarray(i[:, 0]), [7, 8, 9])
+    assert (np.asarray(s[:, 0]) > 0.98).all()
