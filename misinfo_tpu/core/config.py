@@ -140,6 +140,29 @@ class ServingConfig:
     ivf_bf16_gather: bool = False
 
 
+def _load_dotenv() -> None:
+    """Reference parity: `load_dotenv()` at import (misinfo_forensics.py:
+    18-19) lets users keep GOOGLE_API_KEY in a repo-root `.env`. Uses
+    python-dotenv when installed, else a minimal KEY=VALUE parser of the
+    cwd's `.env`; existing environment always wins."""
+    try:
+        from dotenv import load_dotenv
+        load_dotenv()
+        return
+    except ImportError:
+        pass
+    try:
+        with open(".env") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#") or "=" not in line:
+                    continue
+                k, _, v = line.partition("=")
+                os.environ.setdefault(k.strip(), v.strip().strip("'\""))
+    except OSError:
+        pass
+
+
 @dataclass(frozen=True)
 class ForensicsConfig:
     paths: ModelPaths = field(default_factory=ModelPaths)
@@ -160,6 +183,7 @@ class ForensicsConfig:
         GOOGLE_API_KEY (misinfo_forensics.py:150), WHISPER_MODEL
         (forensics_dashboard.py:48)."""
         cfg = ForensicsConfig(**overrides)
+        _load_dotenv()   # reference loads .env for the key (:18-19)
         key = os.getenv("GOOGLE_API_KEY")
         if key and cfg.gemini_api_key is None:
             cfg = dataclasses.replace(cfg, gemini_api_key=key)

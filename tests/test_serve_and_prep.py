@@ -192,3 +192,21 @@ def test_fetch_and_save_image_local(tmp_path):
     img = Image.open(dst)
     assert img.size == (224, 224)  # LANCZOS resize to 224
     assert not fetch_and_save_image("https://no.network/x.jpg", dst)
+
+
+def test_dotenv_file_loaded_for_gemini_key(tmp_path, monkeypatch):
+    """Reference parity: GOOGLE_API_KEY from a repo-root .env file
+    (misinfo_forensics.py:18-19); real env vars win over the file."""
+    from misinfo_tpu.core.config import ForensicsConfig
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.delenv("GOOGLE_API_KEY", raising=False)
+    (tmp_path / ".env").write_text(
+        "# comment\nGOOGLE_API_KEY='from-dotenv'\nOTHER=1\n")
+    cfg = ForensicsConfig.from_env(verbose=False)
+    assert cfg.gemini_api_key == "from-dotenv"
+    monkeypatch.delenv("GOOGLE_API_KEY", raising=False)
+
+    monkeypatch.setenv("GOOGLE_API_KEY", "from-env")
+    cfg = ForensicsConfig.from_env(verbose=False)
+    assert cfg.gemini_api_key == "from-env"
