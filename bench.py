@@ -155,6 +155,20 @@ def main():
         # modes (|element| ≤ 1 for int8) assume that too
         vault_np /= np.maximum(
             np.linalg.norm(vault_np, axis=1, keepdims=True), 1e-12)
+    if IVF:
+        # build the index BEFORE the batch arrays occupy HBM (the k-means
+        # keeps a transient bf16 row copy on device)
+        import dataclasses
+        from misinfo_tpu.vault.ivf import build_ivf
+        nprobe = int(os.environ.get("BENCH_IVF_NPROBE", "8"))
+        cfg = cfg.replace(serving=dataclasses.replace(
+            cfg.serving, vault_ivf=True, ivf_nprobe=nprobe))
+        tb = time.perf_counter()
+        index = build_ivf(vault_np, np.ones((vault_rows,), bool), iters=4)
+        ivf_info = {"ivf_clusters": index.n_clusters, "ivf_nprobe": nprobe,
+                    "ivf_list_len": int(index.lists.shape[1]),
+                    "ivf_spill": int(index.spill.shape[0]),
+                    "ivf_build_s": round(time.perf_counter() - tb, 1)}
     if VAULT_DTYPE == "int8":
         from misinfo_tpu.vault.search import quantize_rows_int8
         vault_dev = quantize_rows_int8(vault_np)
@@ -184,19 +198,6 @@ def main():
     del text_np
 
     if IVF:
-        # sub-linear vault search (vault/ivf.py): normalize the synthetic
-        # vault (the engine's vaults are pre-normalized) and build the index
-        import dataclasses
-        from misinfo_tpu.vault.ivf import build_ivf
-        nprobe = int(os.environ.get("BENCH_IVF_NPROBE", "8"))
-        cfg = cfg.replace(serving=dataclasses.replace(
-            cfg.serving, vault_ivf=True, ivf_nprobe=nprobe))
-        tb = time.perf_counter()
-        index = build_ivf(vault_np, np.ones((vault_rows,), bool), iters=4)
-        ivf_info = {"ivf_clusters": index.n_clusters, "ivf_nprobe": nprobe,
-                    "ivf_list_len": int(index.lists.shape[1]),
-                    "ivf_spill": int(index.spill.shape[0]),
-                    "ivf_build_s": round(time.perf_counter() - tb, 1)}
         batch.update(index.device_arrays())
         if os.environ.get("BENCH_IVF_BF16", "0") == "1":
             # the program keys off the batch key alone (signals.py collects

@@ -144,6 +144,26 @@ class MisinfoForensics:
                 "vault_valid": jnp.zeros((128,), jnp.bool_),
                 "vault_text_emb": jnp.zeros((128, d), jnp.float32),
             }
+        # IVF index build FIRST (vault/ivf.py): the device-side k-means
+        # needs a transient row copy, so it runs before the vault arrays
+        # occupy HBM; the index is cached in a sidecar next to the vault
+        # file and invalidated by a content digest (shape alone misses
+        # edits within a 128-row pad bucket)
+        index = None
+        if self.cfg.serving.vault_ivf and self.vault.num_articles > 0:
+            from misinfo_tpu.vault.ivf import IVFIndex, build_ivf, vault_digest
+            sidecar = self.cfg.paths.vault_path + ".ivf.npz"
+            index = IVFIndex.load(sidecar)
+            if (index is None
+                    or index.n_rows != self.vault.embeddings.shape[0]
+                    or index.digest != vault_digest(self.vault.embeddings,
+                                                    self.vault.row_valid)):
+                index = build_ivf(self.vault.embeddings, self.vault.row_valid)
+                try:
+                    index.save(sidecar)
+                except Exception:
+                    pass  # read-only vault dir — rebuild next start
+
         # capacity modes (ServingConfig.vault_dtype): the host-side vault
         # stays f32 (IVF build + digest use it); only the device copies are
         # bf16/int8-quantized
@@ -163,23 +183,7 @@ class MisinfoForensics:
             out["vault_text_emb"] = jnp.asarray(cast(self.vault.text_embeddings))
         else:
             out["vault_text_emb"] = jnp.zeros_like(out["vault_emb"])
-        if self.cfg.serving.vault_ivf and self.vault.num_articles > 0:
-            # sub-linear probed-cluster search (vault/ivf.py); the k-means
-            # index is cached in a sidecar next to the vault file and
-            # invalidated by a content digest (shape alone misses edits
-            # within a 128-row pad bucket)
-            from misinfo_tpu.vault.ivf import IVFIndex, build_ivf, vault_digest
-            sidecar = self.cfg.paths.vault_path + ".ivf.npz"
-            index = IVFIndex.load(sidecar)
-            if (index is None
-                    or index.n_rows != self.vault.embeddings.shape[0]
-                    or index.digest != vault_digest(self.vault.embeddings,
-                                                    self.vault.row_valid)):
-                index = build_ivf(self.vault.embeddings, self.vault.row_valid)
-                try:
-                    index.save(sidecar)
-                except Exception:
-                    pass  # read-only vault dir — rebuild next start
+        if index is not None:
             out.update(index.device_arrays())
             if self.cfg.serving.ivf_bf16_gather:
                 out["ivf_emb16"] = jnp.asarray(self.vault.embeddings,

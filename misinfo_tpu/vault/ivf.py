@@ -106,10 +106,15 @@ def _kmeans_stats(v3: jax.Array, valid3: jax.Array, centroids: jax.Array,
     def body(carry, xs):
         sums, counts = carry
         rows, ok = xs
-        sims = jnp.dot(rows, centroids.T, preferred_element_type=jnp.float32)
+        # rows arrive bf16 (halves the device-resident copy — at 4M×512
+        # an f32 copy alone is 8 GB); bf16 sims are plenty for argmax
+        # assignment, means accumulate in f32
+        sims = jnp.dot(rows, centroids.astype(rows.dtype).T,
+                       preferred_element_type=jnp.float32)
         a = jnp.argmax(sims, axis=1)
         a = jnp.where(ok, a, n_clusters)         # pad rows → dropped segment
-        sums += jax.ops.segment_sum(rows, a, num_segments=n_clusters + 1)[:-1]
+        sums += jax.ops.segment_sum(rows.astype(jnp.float32), a,
+                                    num_segments=n_clusters + 1)[:-1]
         counts += jax.ops.segment_sum(ok.astype(jnp.float32), a,
                                       num_segments=n_clusters + 1)[:-1]
         return (sums, counts), None
@@ -126,7 +131,8 @@ def _kmeans_assign(v3: jax.Array, centroids: jax.Array) -> jax.Array:
     with the centroids the query-time probe ranks)."""
 
     def body(_, rows):
-        sims = jnp.dot(rows, centroids.T, preferred_element_type=jnp.float32)
+        sims = jnp.dot(rows, centroids.astype(rows.dtype).T,
+                       preferred_element_type=jnp.float32)
         return None, jnp.argmax(sims, axis=1).astype(jnp.int32)
 
     _, assigns = jax.lax.scan(body, None, v3)
@@ -166,13 +172,15 @@ def build_ivf(
         reps = rng.choice(len(init), size=n_clusters - len(init))
         centroids = np.concatenate([centroids, centroids[reps]], axis=0)
 
-    # ship the valid rows to the device ONCE as [T, chunk, D]; all Lloyd
-    # passes scan device-side and return only [C, D] stats per iteration
+    # ship the valid rows to the device ONCE as bf16 [T, chunk, D]; all
+    # Lloyd passes scan device-side and return only [C, D] stats per
+    # iteration (assignment is an argmax — bf16 sims don't change it
+    # outside exact ties, and the final search uses the real vault rows)
     chunk = min(chunk_rows, _round_up(n_valid, _SUB))
     n_pad = _round_up(n_valid, chunk)
     v_np = np.zeros((n_pad, emb.shape[1]), np.float32)
     v_np[:n_valid] = emb[valid_idx]
-    v3 = jnp.asarray(v_np.reshape(-1, chunk, emb.shape[1]))
+    v3 = jnp.asarray(v_np.reshape(-1, chunk, emb.shape[1]), jnp.bfloat16)
     valid3 = jnp.asarray(
         (np.arange(n_pad) < n_valid).reshape(-1, chunk))
     for _ in range(max(iters, 1)):
