@@ -147,10 +147,15 @@ def _load_dotenv() -> None:
     cwd's `.env`; existing environment always wins."""
     try:
         from dotenv import load_dotenv
-        load_dotenv()
+        # explicit cwd path: bare load_dotenv() walks up from the INSTALLED
+        # package dir, not the user's project; any failure degrades to
+        # no-key like the reference
+        load_dotenv(".env")
         return
     except ImportError:
         pass
+    except Exception:
+        return
     try:
         with open(".env") as f:
             for line in f:

@@ -107,8 +107,11 @@ def _kmeans_stats(v3: jax.Array, valid3: jax.Array, centroids: jax.Array,
         sums, counts = carry
         rows, ok = xs
         # rows arrive bf16 (halves the device-resident copy — at 4M×512
-        # an f32 copy alone is 8 GB); bf16 sims are plenty for argmax
-        # assignment, means accumulate in f32
+        # an f32 copy alone is 8 GB). bf16 sims can flip the argmax for
+        # rows whose top-2 centroids sit within bf16 noise (~4e-3);
+        # query-time probing at nprobe≥2 covers such boundary rows, since
+        # both contending centroids then rank inside the probe set.
+        # Means accumulate in f32.
         sims = jnp.dot(rows, centroids.astype(rows.dtype).T,
                        preferred_element_type=jnp.float32)
         a = jnp.argmax(sims, axis=1)
@@ -240,9 +243,10 @@ def ivf_topk(
     B = query.shape[0]
     C = centroids.shape[0]
     nprobe = min(nprobe, C)
-    # HIGHEST like every other query-path contraction (CLAUDE.md): default
-    # bf16-pass cluster ranking could probe different clusters than the
-    # f32 build-side assignment and silently miss a boundary neighbor
+    # HIGHEST like every other query-path contraction (CLAUDE.md). NB the
+    # build-side assignment runs in bf16 (memory, see _kmeans_stats), so a
+    # boundary row can live one cluster over from the query's top-ranked
+    # centroid — another reason nprobe≥2 is the sensible floor.
     csims = jnp.dot(query, centroids.T, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
     _, probe = jax.lax.top_k(csims, nprobe)                  # [B, P]

@@ -196,17 +196,27 @@ def test_fetch_and_save_image_local(tmp_path):
 
 def test_dotenv_file_loaded_for_gemini_key(tmp_path, monkeypatch):
     """Reference parity: GOOGLE_API_KEY from a repo-root .env file
-    (misinfo_forensics.py:18-19); real env vars win over the file."""
+    (misinfo_forensics.py:18-19); real env vars win over the file.
+    Env handled manually: _load_dotenv writes os.environ behind
+    monkeypatch's back, so its restore bookkeeping would leak the
+    dotenv value into later tests."""
+    import os
+
     from misinfo_tpu.core.config import ForensicsConfig
 
     monkeypatch.chdir(tmp_path)
-    monkeypatch.delenv("GOOGLE_API_KEY", raising=False)
-    (tmp_path / ".env").write_text(
-        "# comment\nGOOGLE_API_KEY='from-dotenv'\nOTHER=1\n")
-    cfg = ForensicsConfig.from_env(verbose=False)
-    assert cfg.gemini_api_key == "from-dotenv"
-    monkeypatch.delenv("GOOGLE_API_KEY", raising=False)
+    saved = {k: os.environ.pop(k, None) for k in ("GOOGLE_API_KEY", "OTHER")}
+    try:
+        (tmp_path / ".env").write_text(
+            "# comment\nGOOGLE_API_KEY='from-dotenv'\nOTHER=1\n")
+        cfg = ForensicsConfig.from_env(verbose=False)
+        assert cfg.gemini_api_key == "from-dotenv"
 
-    monkeypatch.setenv("GOOGLE_API_KEY", "from-env")
-    cfg = ForensicsConfig.from_env(verbose=False)
-    assert cfg.gemini_api_key == "from-env"
+        os.environ["GOOGLE_API_KEY"] = "from-env"
+        cfg = ForensicsConfig.from_env(verbose=False)
+        assert cfg.gemini_api_key == "from-env"
+    finally:
+        for k, v in saved.items():
+            os.environ.pop(k, None)
+            if v is not None:
+                os.environ[k] = v
