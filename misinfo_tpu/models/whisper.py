@@ -252,13 +252,22 @@ def init_kv_cache(params: Dict, enc_out: jax.Array, max_len: int,
     return cache
 
 
-def greedy_decode(params: Dict, mel: jax.Array,
-                  cfg: WhisperConfig = WhisperConfig(),
-                  policy: Policy = DEFAULT_POLICY,
-                  max_len: Optional[int] = None,
-                  prompt_tokens: Optional[jax.Array] = None) -> jax.Array:
-    """Greedy transcript decoding with KV caching: O(L) per-step cost via a
-    fori_loop over static [B, max_len] buffers (post-EOS stays EOS)."""
+def decode_transcript(params: Dict, mel: jax.Array,
+                      cfg: WhisperConfig = WhisperConfig(),
+                      policy: Policy = DEFAULT_POLICY,
+                      max_len: Optional[int] = None,
+                      prompt_tokens: Optional[jax.Array] = None,
+                      temperature: float = 0.0,
+                      rng: Optional[jax.Array] = None):
+    """KV-cached transcript decoding, O(L) per step (post-EOS stays EOS).
+
+    ``temperature == 0`` is greedy argmax; > 0 samples categorically
+    (gumbel-max over logits/T) — the retry rungs of the reference's
+    `whisper.transcribe` fallback ladder (serve/transcript.py applies the
+    compression-ratio / avg-logprob acceptance checks host-side, matching
+    openai-whisper's defaults). Returns ``(tokens [B, max_len],
+    avg_logprob [B])`` where avg_logprob averages the model's log-prob of
+    each emitted token (EOS included, like whisper)."""
     max_len = max_len or cfg.max_target_positions
     enc_out = whisper_encode(params, mel, cfg, policy)
     B = mel.shape[0]
@@ -271,26 +280,50 @@ def greedy_decode(params: Dict, mel: jax.Array,
         start = 1 + P
     cache0 = init_kv_cache(params, enc_out, max_len, cfg, policy)
     done0 = jnp.zeros((B,), jnp.bool_)
+    if temperature > 0 and rng is None:
+        rng = jax.random.PRNGKey(0)
 
     def body(i, carry):
-        tokens, cache, done = carry
+        tokens, cache, done, sum_lp, cnt = carry
         # feed token i-1, predict token i; cache position i-1 gets written
         logits, cache = _cached_decoder_step(
             params, tokens[:, i - 1], i - 1, enc_out, cache, cfg, policy)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        logits = logits.astype(jnp.float32)
+        if temperature > 0:
+            g = jax.random.gumbel(jax.random.fold_in(rng, i), logits.shape)
+            nxt = jnp.argmax(logits / temperature + g, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = nxt.astype(jnp.int32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok_lp = jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]
+        active = jnp.logical_not(done)
+        sum_lp = sum_lp + jnp.where(active, tok_lp, 0.0)
+        cnt = cnt + active.astype(jnp.float32)
         nxt = jnp.where(done, cfg.eos_token_id, nxt)
         done = jnp.logical_or(done, nxt == cfg.eos_token_id)
-        return tokens.at[:, i].set(nxt), cache, done
+        return tokens.at[:, i].set(nxt), cache, done, sum_lp, cnt
 
     # prompt positions must populate the cache before free-running decode
     def prefill(i, carry):
-        tokens, cache, done = carry
+        tokens, cache, done, sum_lp, cnt = carry
         _, cache = _cached_decoder_step(
             params, tokens[:, i], i, enc_out, cache, cfg, policy)
-        return tokens, cache, done
+        return tokens, cache, done, sum_lp, cnt
 
-    tokens, cache, done = jax.lax.fori_loop(
-        0, start - 1, prefill, (tokens, cache0, done0))
-    tokens, _, _ = jax.lax.fori_loop(start, max_len, body,
-                                     (tokens, cache, done))
+    zeros = jnp.zeros((B,), jnp.float32)
+    carry = (tokens, cache0, done0, zeros, zeros)
+    carry = jax.lax.fori_loop(0, start - 1, prefill, carry)
+    tokens, _, _, sum_lp, cnt = jax.lax.fori_loop(start, max_len, body, carry)
+    return tokens, sum_lp / jnp.maximum(cnt, 1.0)
+
+
+def greedy_decode(params: Dict, mel: jax.Array,
+                  cfg: WhisperConfig = WhisperConfig(),
+                  policy: Policy = DEFAULT_POLICY,
+                  max_len: Optional[int] = None,
+                  prompt_tokens: Optional[jax.Array] = None) -> jax.Array:
+    """Greedy transcript decoding (temperature-0 rung of decode_transcript)."""
+    tokens, _ = decode_transcript(params, mel, cfg, policy, max_len=max_len,
+                                  prompt_tokens=prompt_tokens)
     return tokens

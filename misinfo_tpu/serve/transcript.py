@@ -33,8 +33,33 @@ _SIZES = {
 }
 
 
+# openai-whisper's transcribe() defaults, which the reference inherits
+# (forensics_dashboard.py:80-83): retry at rising temperatures when the
+# decode looks degenerate (too-compressible = repetitive loops) or
+# low-confidence; the last rung is accepted unconditionally.
+_FALLBACK_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+_COMPRESSION_RATIO_THRESHOLD = 2.4
+_LOGPROB_THRESHOLD = -1.0
+
+
+def needs_fallback(text: str, avg_logprob: float,
+                   compression_ratio_threshold: float = _COMPRESSION_RATIO_THRESHOLD,
+                   logprob_threshold: float = _LOGPROB_THRESHOLD) -> bool:
+    """whisper/transcribe.py acceptance test: retry when the transcript
+    compresses too well (token loops) or the mean token log-prob is low."""
+    import zlib
+
+    raw = text.encode("utf-8")
+    if raw:
+        ratio = len(raw) / max(len(zlib.compress(raw)), 1)
+        if ratio > compression_ratio_threshold:
+            return True
+    return avg_logprob < logprob_threshold
+
+
 class WhisperTranscriber:
-    """Log-mel frontend + JAX Whisper greedy decoding."""
+    """Log-mel frontend + JAX Whisper decoding with whisper's
+    temperature-fallback ladder."""
 
     def __init__(self, checkpoint_dir: Optional[str] = None,
                  size: Optional[str] = None):
@@ -65,16 +90,24 @@ class WhisperTranscriber:
         if audio is None:
             return ""
         try:
+            import jax
             import jax.numpy as jnp
 
-            from misinfo_tpu.models.whisper import greedy_decode
+            from misinfo_tpu.models.whisper import decode_transcript
 
             mel = pad_or_trim_mel(log_mel_spectrogram(audio))
-            tokens = greedy_decode(self.params, jnp.asarray(mel[None]),
-                                   self.cfg)
-            ids = [int(t) for t in np.asarray(tokens)[0]
-                   if int(t) != self.cfg.eos_token_id]
-            return self.tokenizer.decode(ids).strip()
+            text = ""
+            for t in _FALLBACK_TEMPERATURES:
+                tokens, avg_lp = decode_transcript(
+                    self.params, jnp.asarray(mel[None]), self.cfg,
+                    temperature=t,
+                    rng=jax.random.PRNGKey(int(t * 10)) if t > 0 else None)
+                ids = [int(x) for x in np.asarray(tokens)[0]
+                       if int(x) != self.cfg.eos_token_id]
+                text = self.tokenizer.decode(ids).strip()
+                if not needs_fallback(text, float(avg_lp[0])):
+                    break
+            return text
         except Exception as e:
             return f"[transcript error: {e}]"
 

@@ -196,3 +196,52 @@ def test_log_mel_frontend():
     assert np.isfinite(mel).all()
     padded = pad_or_trim_mel(mel, 3000)
     assert padded.shape == (3000, 80)
+
+
+def test_decode_transcript_greedy_matches_and_logprob():
+    """temperature=0 decode equals greedy_decode; avg_logprob is a valid
+    mean token log-probability (finite, ≤ 0)."""
+    from misinfo_tpu.models.whisper import (WhisperConfig, decode_transcript,
+                                            greedy_decode, whisper_init)
+
+    cfg = WhisperConfig.tiny()
+    params = whisper_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.normal(size=(1, 64, cfg.num_mel_bins)).astype(np.float32))
+    g = greedy_decode(params, mel, cfg, max_len=12)
+    t0, lp = decode_transcript(params, mel, cfg, max_len=12)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(t0))
+    assert np.isfinite(np.asarray(lp)).all() and float(lp[0]) <= 0.0
+
+
+def test_decode_transcript_temperature_samples():
+    """temperature>0 with different seeds can produce different tokens,
+    and the same seed reproduces them (gumbel-max sampling)."""
+    import jax as _jax
+
+    from misinfo_tpu.models.whisper import (WhisperConfig, decode_transcript,
+                                            whisper_init)
+
+    cfg = WhisperConfig.tiny()
+    params = whisper_init(_jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(rng.normal(size=(1, 64, cfg.num_mel_bins)).astype(np.float32))
+    a, _ = decode_transcript(params, mel, cfg, max_len=12, temperature=1.0,
+                             rng=_jax.random.PRNGKey(1))
+    a2, _ = decode_transcript(params, mel, cfg, max_len=12, temperature=1.0,
+                              rng=_jax.random.PRNGKey(1))
+    b, _ = decode_transcript(params, mel, cfg, max_len=12, temperature=1.0,
+                             rng=_jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_needs_fallback_thresholds():
+    """whisper acceptance test: repetitive text or low logprob retries."""
+    from misinfo_tpu.serve.transcript import needs_fallback
+
+    assert not needs_fallback("a normal varied sentence of words", -0.3)
+    assert needs_fallback("la la la la la la la la la la la la la la " * 20,
+                          -0.3)          # compresses too well
+    assert needs_fallback("a normal varied sentence of words", -1.5)
+    assert not needs_fallback("", -0.3)  # empty text: only logprob applies
