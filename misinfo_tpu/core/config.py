@@ -120,12 +120,13 @@ class ServingConfig:
     video_batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
     max_wait_ms: float = 5.0           # micro-batching window
     donate_buffers: bool = True
-    # Sequence packing for text-only traffic: pack ragged requests into
-    # shared rows with block-diagonal attention (preprocess/packing.py).
-    # RoBERTa FLOPs then scale with total tokens, not requests × bucket.
-    # True = always pack; "auto" = pack only when the packed row count
-    # strictly beats the bucketed dense layout in padded tokens.
-    pack_text: object = False   # False | True | "auto"
+    # Sequence packing for text traffic: pack ragged requests into shared
+    # rows with block-diagonal attention (preprocess/packing.py). RoBERTa
+    # FLOPs then scale with total tokens, not requests × bucket. True =
+    # always pack; "auto" (default) packs only when the packed row count
+    # beats the bucketed dense layout by >25% (+33-47% measured on ragged
+    # traffic, scores match dense to 2e-5 — docs/PERF.md); False disables.
+    pack_text: object = "auto"  # False | True | "auto"
     # Vault row storage: "float32" (exact, default), "bfloat16" (2× the
     # articles per chip, ~0.2% sim error), "int8" (4× capacity, MXU
     # double-rate matmul, ~0.5-1% sim error) — vault/search.py vault_sims
@@ -201,10 +202,11 @@ class ForensicsConfig:
             cfg = dataclasses.replace(
                 cfg, paths=dataclasses.replace(cfg.paths, **updates))
         _pt = os.getenv("MISINFO_TPU_PACK_TEXT")
-        if _pt in ("1", "true", "on", "auto"):
+        if _pt in ("1", "true", "on", "auto", "0", "false", "off"):
+            val = ("auto" if _pt == "auto"
+                   else _pt in ("1", "true", "on"))
             cfg = dataclasses.replace(
-                cfg, serving=dataclasses.replace(
-                    cfg.serving, pack_text="auto" if _pt == "auto" else True))
+                cfg, serving=dataclasses.replace(cfg.serving, pack_text=val))
         vd = os.getenv("MISINFO_TPU_VAULT_DTYPE")
         if vd in ("float32", "bfloat16", "int8"):
             cfg = dataclasses.replace(
