@@ -211,13 +211,14 @@ class ForensicsConfig:
         if vd in ("float32", "bfloat16", "int8"):
             cfg = dataclasses.replace(
                 cfg, serving=dataclasses.replace(cfg.serving, vault_dtype=vd))
+        # nprobe / bf16-gather parse independently of the VAULT_IVF env:
+        # vault_ivf may be enabled programmatically while its tuning knobs
+        # come from the environment
         ivf_updates = {}
         if os.getenv("MISINFO_TPU_VAULT_IVF") in ("1", "true", "on"):
             ivf_updates["vault_ivf"] = True
-            ivf_updates["ivf_nprobe"] = int(os.getenv(
-                "MISINFO_TPU_IVF_NPROBE", str(cfg.serving.ivf_nprobe)))
-        # parsed independently of the VAULT_IVF env: vault_ivf may be set
-        # programmatically while the gather dtype comes from the env
+        if os.getenv("MISINFO_TPU_IVF_NPROBE"):
+            ivf_updates["ivf_nprobe"] = int(os.environ["MISINFO_TPU_IVF_NPROBE"])
         if os.getenv("MISINFO_TPU_IVF_BF16") in ("1", "true", "on"):
             ivf_updates["ivf_bf16_gather"] = True
         if ivf_updates:

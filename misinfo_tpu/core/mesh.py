@@ -94,12 +94,15 @@ def init_multihost(coordinator_address: Optional[str] = None,
     layer at all; this is the TPU-native equivalent of what NCCL/MPI init
     would be elsewhere.
 
-    Call once per process before any backend use. On Cloud TPU pods the
-    coordinator is auto-detected when no arguments are given but the
-    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars
-    (or TPU metadata) are present. Returns True when the multi-process
-    runtime was initialized, False for the single-process no-op (no
-    arguments and no env hints) or when already initialized.
+    Call once per process before any backend use. Auto-detection covers
+    exactly two sources: explicit arguments, or the
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars.
+    TPU-pod metadata detection (jax.distributed.initialize() with no
+    arguments) is opted into with MISINFO_TPU_MULTIHOST=1 — it hangs at
+    import on non-pod machines, so it must never run implicitly. Returns
+    True when the multi-process runtime was initialized, False for the
+    single-process no-op (no arguments and no env hints) or when already
+    initialized.
     """
     global _MULTIHOST_READY
     if _MULTIHOST_READY:
@@ -113,6 +116,11 @@ def init_multihost(coordinator_address: Optional[str] = None,
     if process_id is None and os.getenv("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
+        if os.getenv("MISINFO_TPU_MULTIHOST") in ("1", "true", "on"):
+            # explicit opt-in: let JAX probe TPU-pod metadata itself
+            jax.distributed.initialize()
+            _MULTIHOST_READY = True
+            return True
         return False  # single-process: nothing to initialize
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

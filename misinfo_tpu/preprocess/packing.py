@@ -62,8 +62,7 @@ def pack_token_rows(
         raise ValueError(f"sequence longer than row_len={row_len}")
     order = sorted(range(len(sequences)), key=lambda i: -lens[i])
 
-    rows: List[List[int]] = []      # remaining capacity per row
-    free: List[int] = []
+    free: List[int] = []            # remaining capacity per row
     placement: List[Tuple[int, int]] = [(0, 0)] * len(sequences)
     for i in order:
         n = lens[i]
@@ -100,6 +99,29 @@ def pack_token_rows(
         cls_rows[i], cls_cols[i] = r, c
     return PackedTextBatch(ids, mask, pos, seg, cls_rows, cls_cols,
                            n_real=len(sequences))
+
+
+def pad_packed_rows(packed: PackedTextBatch, min_rows: int,
+                    pad_id: int) -> PackedTextBatch:
+    """Pad a packed batch's row count up to ``min_rows`` (row-count
+    bucketing) without re-running the pack. Padded rows are all-padding
+    (mask 0, segment 0) and own no CLS slots — identical to what
+    ``pack_token_rows(..., min_rows=...)`` would have produced, letting the
+    engine's auto-pack decision reuse its trial pack instead of packing the
+    same sequences twice (ADVICE r1)."""
+    R, L = packed.ids.shape
+    if R >= min_rows:
+        return packed
+    extra = min_rows - R
+    return PackedTextBatch(
+        ids=np.concatenate([packed.ids, np.full((extra, L), pad_id, np.int32)]),
+        mask=np.concatenate([packed.mask, np.zeros((extra, L), np.int32)]),
+        position_ids=np.concatenate(
+            [packed.position_ids, np.full((extra, L), pad_id, np.int32)]),
+        segment_ids=np.concatenate(
+            [packed.segment_ids, np.zeros((extra, L), np.int32)]),
+        cls_rows=packed.cls_rows, cls_cols=packed.cls_cols,
+        n_real=packed.n_real)
 
 
 def trim_padded(ids: np.ndarray, mask: np.ndarray) -> List[np.ndarray]:
