@@ -197,6 +197,92 @@ def convert_clip(sd: Mapping, prefix: str = "",
     return out
 
 
+# --------------------------------------------------------------- Whisper
+
+def convert_whisper(sd: Mapping, prefix: str = "",
+                    encoder_layers: Optional[int] = None,
+                    decoder_layers: Optional[int] = None) -> Updates:
+    """HF WhisperModel / WhisperForConditionalGeneration state dict →
+    updates for models.whisper param tree (the reference loads the
+    equivalent openai-whisper model lazily, forensics_dashboard.py:46-49).
+
+    Accepts both the bare model ('encoder.conv1.weight', …) and the
+    conditional-generation wrapper ('model.encoder.…'; its tied 'proj_out'
+    is our token_embedding transpose and is skipped). Layer counts are
+    inferred from the keys when not given.
+    """
+    keys = list(sd.keys())
+    if not prefix and any(k.startswith("model.") for k in keys):
+        prefix = "model."
+    p = prefix
+
+    def _count(tower: str) -> int:
+        n = -1
+        mark = f"{p}{tower}.layers."
+        for k in keys:
+            if k.startswith(mark):
+                n = max(n, int(k[len(mark):].split(".")[0]))
+        return n + 1
+
+    enc_n = encoder_layers if encoder_layers is not None else _count("encoder")
+    dec_n = decoder_layers if decoder_layers is not None else _count("decoder")
+
+    out: Updates = {}
+    for conv, path in (("conv1", ("encoder", "conv1")),
+                       ("conv2", ("encoder", "conv2"))):
+        wk = f"{p}encoder.{conv}.weight"
+        if wk in sd:  # torch Conv1d [Cout, Cin, K] → kernel [K, Cin, Cout]
+            out[path + ("kernel",)] = _np(sd[wk]).transpose(2, 1, 0)
+        bk = f"{p}encoder.{conv}.bias"
+        if bk in sd:
+            out[path + ("bias",)] = _np(sd[bk])
+    for tk, path in (
+        ("encoder.embed_positions.weight", ("encoder", "positions")),
+        ("decoder.embed_tokens.weight", ("decoder", "token_embedding")),
+        ("decoder.embed_positions.weight", ("decoder", "positions")),
+    ):
+        if p + tk in sd:
+            out[path] = _np(sd[p + tk])
+
+    def block(tower: str, i: int, cross: bool):
+        lp = f"{p}{tower}.layers.{i}."
+        base = (tower, "blocks", i)
+        _ln(sd, lp + "self_attn_layer_norm", out, base + ("ln1",))
+        attn = ("self_attn",) if cross else ("attn",)
+        for t, j in (("q_proj", "q"), ("k_proj", "k"), ("v_proj", "v"),
+                     ("out_proj", "o")):
+            _linear(sd, lp + "self_attn." + t, out, base + attn + (j,))
+        if cross:
+            _ln(sd, lp + "encoder_attn_layer_norm", out, base + ("ln_cross",))
+            for t, j in (("q_proj", "q"), ("k_proj", "k"), ("v_proj", "v"),
+                         ("out_proj", "o")):
+                _linear(sd, lp + "encoder_attn." + t, out,
+                        base + ("cross_attn", j))
+        _ln(sd, lp + "final_layer_norm", out, base + ("ln2",))
+        _linear(sd, lp + "fc1", out, base + ("mlp_in",))
+        _linear(sd, lp + "fc2", out, base + ("mlp_out",))
+
+    for i in range(enc_n):
+        block("encoder", i, cross=False)
+    for i in range(dec_n):
+        block("decoder", i, cross=True)
+    _ln(sd, p + "encoder.layer_norm", out, ("encoder", "final_ln"))
+    _ln(sd, p + "decoder.layer_norm", out, ("decoder", "final_ln"))
+    return out
+
+
+def load_whisper_from_torch(params: Dict, path: str) -> Tuple[Dict, int]:
+    """Load an HF-format Whisper ``.pt``/``.pth``/``.bin`` checkpoint into a
+    whisper param tree. Returns (params, n_applied); strict=False overlay
+    semantics like every other reference loader (C10)."""
+    ckpt = load_pth(path)
+    sd = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    applied, _ = apply_updates(params, convert_whisper(sd))
+    return params, applied
+
+
 # ------------------------------------------------------------- overlay
 
 def apply_updates(params, updates: Updates, strict: bool = False):

@@ -252,25 +252,32 @@ def init_kv_cache(params: Dict, enc_out: jax.Array, max_len: int,
     return cache
 
 
-def decode_transcript(params: Dict, mel: jax.Array,
+def decode_transcript(params: Dict, mel: Optional[jax.Array],
                       cfg: WhisperConfig = WhisperConfig(),
                       policy: Policy = DEFAULT_POLICY,
                       max_len: Optional[int] = None,
                       prompt_tokens: Optional[jax.Array] = None,
-                      temperature: float = 0.0,
-                      rng: Optional[jax.Array] = None):
+                      temperature=0.0,
+                      rng: Optional[jax.Array] = None,
+                      enc_out: Optional[jax.Array] = None):
     """KV-cached transcript decoding, O(L) per step (post-EOS stays EOS).
 
     ``temperature == 0`` is greedy argmax; > 0 samples categorically
     (gumbel-max over logits/T) — the retry rungs of the reference's
     `whisper.transcribe` fallback ladder (serve/transcript.py applies the
     compression-ratio / avg-logprob acceptance checks host-side, matching
-    openai-whisper's defaults). Returns ``(tokens [B, max_len],
-    avg_logprob [B])`` where avg_logprob averages the model's log-prob of
-    each emitted token (EOS included, like whisper)."""
+    openai-whisper's defaults). A non-zero temperature may also be a traced
+    scalar, so all retry rungs share ONE compiled program. Pass ``enc_out``
+    to reuse an already-computed encoding across rungs (the encoder runs
+    once per utterance, not once per temperature). Returns
+    ``(tokens [B, max_len], avg_logprob [B])`` where avg_logprob averages
+    the model's log-prob of each emitted token (EOS included, like
+    whisper)."""
     max_len = max_len or cfg.max_target_positions
-    enc_out = whisper_encode(params, mel, cfg, policy)
-    B = mel.shape[0]
+    if enc_out is None:
+        enc_out = whisper_encode(params, mel, cfg, policy)
+    B = enc_out.shape[0]
+    sampled = not (isinstance(temperature, (int, float)) and temperature == 0)
     tokens = jnp.full((B, max_len), cfg.eos_token_id, jnp.int32)
     tokens = tokens.at[:, 0].set(cfg.decoder_start_token_id)
     start = 1
@@ -280,7 +287,7 @@ def decode_transcript(params: Dict, mel: jax.Array,
         start = 1 + P
     cache0 = init_kv_cache(params, enc_out, max_len, cfg, policy)
     done0 = jnp.zeros((B,), jnp.bool_)
-    if temperature > 0 and rng is None:
+    if sampled and rng is None:
         rng = jax.random.PRNGKey(0)
 
     def body(i, carry):
@@ -289,7 +296,7 @@ def decode_transcript(params: Dict, mel: jax.Array,
         logits, cache = _cached_decoder_step(
             params, tokens[:, i - 1], i - 1, enc_out, cache, cfg, policy)
         logits = logits.astype(jnp.float32)
-        if temperature > 0:
+        if sampled:
             g = jax.random.gumbel(jax.random.fold_in(rng, i), logits.shape)
             nxt = jnp.argmax(logits / temperature + g, axis=-1)
         else:
@@ -316,6 +323,23 @@ def decode_transcript(params: Dict, mel: jax.Array,
     carry = jax.lax.fori_loop(0, start - 1, prefill, carry)
     tokens, _, _, sum_lp, cnt = jax.lax.fori_loop(start, max_len, body, carry)
     return tokens, sum_lp / jnp.maximum(cnt, 1.0)
+
+
+def no_speech_prob(params: Dict, enc_out: jax.Array, sot_id: int,
+                   nospeech_id: int,
+                   cfg: WhisperConfig = WhisperConfig(),
+                   policy: Policy = DEFAULT_POLICY) -> jax.Array:
+    """P(<|nospeech|>) from the logits at the SOT position — openai-whisper's
+    silence gate (whisper/decoding.py no_speech_threshold, inherited by the
+    reference's transcribe call at forensics_dashboard.py:80-83). One cached
+    decoder step on the precomputed encoding; runs once per utterance,
+    before the temperature ladder. Returns [B] f32."""
+    B = enc_out.shape[0]
+    cache = init_kv_cache(params, enc_out, 1, cfg, policy)
+    token = jnp.full((B,), sot_id, jnp.int32)
+    logits, _ = _cached_decoder_step(params, token, jnp.int32(0), enc_out,
+                                     cache, cfg, policy)
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, nospeech_id]
 
 
 def greedy_decode(params: Dict, mel: jax.Array,

@@ -46,6 +46,48 @@ def ffmpeg_decode_audio(path: str, sample_rate: int = SAMPLE_RATE
     return np.frombuffer(out, np.int16).astype(np.float32) / 32768.0
 
 
+def _read_wav(path: str, sample_rate: int = SAMPLE_RATE
+              ) -> Optional[np.ndarray]:
+    """Stdlib WAV reader (PCM 8/16/32-bit) with linear resampling to the
+    target rate — keeps the transcript capability alive on images without
+    any ffmpeg binary (this one bundles neither imageio-ffmpeg nor a
+    system ffmpeg)."""
+    import wave
+
+    try:
+        with wave.open(path, "rb") as w:
+            n_ch, width, sr = w.getnchannels(), w.getsampwidth(), w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except Exception:
+        return None
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None or not raw:
+        return None
+    pcm = np.frombuffer(raw, dtype).astype(np.float32)
+    if width == 1:
+        pcm = (pcm - 128.0) / 128.0
+    else:
+        pcm = pcm / float(2 ** (8 * width - 1))
+    if n_ch > 1:
+        pcm = pcm.reshape(-1, n_ch).mean(axis=1)
+    if sr != sample_rate and len(pcm):
+        t_out = np.arange(int(round(len(pcm) * sample_rate / sr)))
+        pcm = np.interp(t_out * (sr / sample_rate),
+                        np.arange(len(pcm)), pcm).astype(np.float32)
+    return pcm
+
+
+def decode_audio(path: str, sample_rate: int = SAMPLE_RATE
+                 ) -> Optional[np.ndarray]:
+    """Audio decode cascade: ffmpeg (any container, matching the
+    reference's subprocess pipeline) → stdlib WAV reader. None when neither
+    can decode — callers soft-fail to an empty transcript."""
+    audio = ffmpeg_decode_audio(path, sample_rate)
+    if audio is None and path.lower().endswith(".wav"):
+        audio = _read_wav(path, sample_rate)
+    return audio
+
+
 def _hann(n: int) -> np.ndarray:
     return 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / n)
 

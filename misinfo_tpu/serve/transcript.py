@@ -2,20 +2,26 @@
 forensics_dashboard.py:18-87).
 
 Same soft-fail contract as the reference: returns the transcript text,
-`""` when the capability is unavailable (no ffmpeg / no weights), or a
-bracketed `[transcript error: ...]` string on failure. The model size comes
-from the WHISPER_MODEL env var (reference :48); the engine is lazily
-constructed and cached globally (reference :15,46-49).
+`""` when the capability is unavailable (no weights / no audio decoder /
+detected silence), or a bracketed `[transcript error: ...]` string on
+failure. The model size comes from the WHISPER_MODEL env var (reference
+:48); the engine is lazily constructed and cached globally (reference
+:15,46-49).
 
-Without converted Whisper weights + a tokenizer vocab this degrades to ""
-exactly like the reference does without openai-whisper installed.
+End-to-end path: audio decode (ffmpeg, or the stdlib WAV reader on
+ffmpeg-less images) → log-mel → ONE encoder pass → no-speech gate →
+temperature-fallback ladder sharing that encoding (greedy rung + one
+traced-temperature sampled program, so retries never recompile) → byte-level
+BPE decode via preprocess/whisper_tokenizer.py. Weights load from a native
+checkpoint dir (checkpoints/io.py; metadata.json self-describes the model
+config) or an HF-format torch file (checkpoints/torch_convert.convert_whisper).
 """
 
 from __future__ import annotations
 
 import os
 import threading
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -40,6 +46,7 @@ _SIZES = {
 _FALLBACK_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
 _COMPRESSION_RATIO_THRESHOLD = 2.4
 _LOGPROB_THRESHOLD = -1.0
+_NO_SPEECH_THRESHOLD = 0.6
 
 
 def needs_fallback(text: str, avg_logprob: float,
@@ -59,54 +66,136 @@ def needs_fallback(text: str, avg_logprob: float,
 
 class WhisperTranscriber:
     """Log-mel frontend + JAX Whisper decoding with whisper's
-    temperature-fallback ladder."""
+    temperature-fallback ladder and no-speech gate."""
 
     def __init__(self, checkpoint_dir: Optional[str] = None,
-                 size: Optional[str] = None):
+                 size: Optional[str] = None,
+                 tokenizer_dir: Optional[str] = None):
         import jax
 
+        from misinfo_tpu.checkpoints.io import load_metadata
         from misinfo_tpu.models.whisper import WhisperConfig, whisper_init
+        from misinfo_tpu.preprocess.whisper_tokenizer import (
+            load_whisper_tokenizer)
+
+        # tokenizer first: its special-token layout pins the decoder ids
+        if tokenizer_dir is None and checkpoint_dir and os.path.isdir(
+                os.path.join(str(checkpoint_dir), "tokenizer")):
+            tokenizer_dir = os.path.join(str(checkpoint_dir), "tokenizer")
+        self.tokenizer = load_whisper_tokenizer(tokenizer_dir)
+        sp = self.tokenizer.specials
 
         size = size or os.getenv("WHISPER_MODEL", "base")
-        kw = _SIZES.get(size, _SIZES["base"])
+        kw = dict(_SIZES.get(size, _SIZES["base"]))
+        meta = (load_metadata(str(checkpoint_dir))
+                if checkpoint_dir and os.path.isdir(str(checkpoint_dir))
+                else {})
+        if isinstance(meta.get("whisper_config"), dict):
+            # native checkpoints self-describe their architecture
+            kw = {k: v for k, v in meta["whisper_config"].items()
+                  if k in WhisperConfig.__dataclass_fields__}
+        kw.setdefault("vocab_size", sp.vocab_size)
+        kw.setdefault("eos_token_id", sp.eot)
+        kw.setdefault("decoder_start_token_id", sp.sot)
         self.cfg = WhisperConfig(**kw)
+
         self.params = whisper_init(jax.random.PRNGKey(0), self.cfg)
         self.has_weights = False
         if checkpoint_dir:
-            from misinfo_tpu.checkpoints.io import load_checkpoint
-            restored = load_checkpoint(checkpoint_dir, self.params)
-            if restored is not None:
-                self.params = restored
-                self.has_weights = True
-        self.tokenizer = None  # byte-level BPE vocab required for text output
+            if os.path.isdir(str(checkpoint_dir)):
+                from misinfo_tpu.checkpoints.io import load_checkpoint
+                restored = load_checkpoint(str(checkpoint_dir), self.params)
+                if restored is not None:
+                    self.params = restored
+                    self.has_weights = True
+            elif os.path.isfile(str(checkpoint_dir)):
+                from misinfo_tpu.checkpoints.torch_convert import (
+                    load_whisper_from_torch)
+                try:
+                    self.params, applied = load_whisper_from_torch(
+                        self.params, str(checkpoint_dir))
+                    self.has_weights = applied > 0
+                except Exception:
+                    self.has_weights = False
+        # the decoder can only emit text the tokenizer can spell: a
+        # byte-fallback tokenizer against a 51865-vocab model (or any other
+        # mismatch) is NOT a working capability
+        self.tokenizer_compatible = (sp.vocab_size == self.cfg.vocab_size)
+        self._fns = None  # jitted programs, built lazily on first use
+
+    # -------------------------------------------------------- programs
+
+    def _programs(self):
+        if self._fns is not None:
+            return self._fns
+        import jax
+
+        from misinfo_tpu.models.whisper import (
+            decode_transcript, no_speech_prob, whisper_encode)
+        from misinfo_tpu.ops.common import DEFAULT_POLICY
+
+        cfg, policy = self.cfg, DEFAULT_POLICY
+        sp = self.tokenizer.specials
+
+        encode = jax.jit(lambda p, mel: whisper_encode(p, mel, cfg, policy))
+        greedy = jax.jit(lambda p, enc, prompt: decode_transcript(
+            p, None, cfg, policy, prompt_tokens=prompt, enc_out=enc))
+        # temperature is a TRACED scalar: every sampled rung reuses one
+        # compiled program (TPU compiles are minutes; 5 rungs, 1 compile)
+        sampled = jax.jit(lambda p, enc, prompt, t, rng: decode_transcript(
+            p, None, cfg, policy, prompt_tokens=prompt, temperature=t,
+            rng=rng, enc_out=enc))
+        nsp = jax.jit(lambda p, enc: no_speech_prob(
+            p, enc, sp.sot, sp.no_speech, cfg, policy))
+        self._fns = (encode, greedy, sampled, nsp)
+        return self._fns
+
+    # -------------------------------------------------------- transcribe
 
     def transcribe(self, media_path: str) -> str:
         from misinfo_tpu.preprocess.audio import (
-            ffmpeg_decode_audio, log_mel_spectrogram, pad_or_trim_mel)
+            decode_audio, log_mel_spectrogram, pad_or_trim_mel)
 
-        if not self.has_weights or self.tokenizer is None:
+        if not self.has_weights or not self.tokenizer_compatible:
             return ""  # capability absent → empty transcript (reference :32-34)
-        audio = ffmpeg_decode_audio(media_path)
-        if audio is None:
+        audio = decode_audio(media_path)
+        if audio is None or len(audio) == 0:
             return ""
         try:
             import jax
             import jax.numpy as jnp
 
-            from misinfo_tpu.models.whisper import decode_transcript
+            mel = pad_or_trim_mel(log_mel_spectrogram(audio),
+                                  2 * self.cfg.max_source_positions)
+            encode, greedy, sampled, nsp_fn = self._programs()
+            enc = encode(self.params, jnp.asarray(mel[None]))
+            no_speech = float(np.asarray(nsp_fn(self.params, enc))[0])
+            prompt = jnp.asarray(
+                [self.tokenizer.sot_sequence()[1:]], jnp.int32)
 
-            mel = pad_or_trim_mel(log_mel_spectrogram(audio))
-            text = ""
+            text, avg_lp = "", 0.0
+            greedy_lp = None
             for t in _FALLBACK_TEMPERATURES:
-                tokens, avg_lp = decode_transcript(
-                    self.params, jnp.asarray(mel[None]), self.cfg,
-                    temperature=t,
-                    rng=jax.random.PRNGKey(int(t * 10)) if t > 0 else None)
-                ids = [int(x) for x in np.asarray(tokens)[0]
-                       if int(x) != self.cfg.eos_token_id]
+                if t == 0.0:
+                    tokens, lp = greedy(self.params, enc, prompt)
+                else:
+                    tokens, lp = sampled(self.params, enc, prompt,
+                                         jnp.float32(t),
+                                         jax.random.PRNGKey(int(t * 10)))
+                avg_lp = float(np.asarray(lp)[0])
+                if greedy_lp is None:
+                    greedy_lp = avg_lp
+                ids = [int(x) for x in np.asarray(tokens)[0]]
                 text = self.tokenizer.decode(ids).strip()
-                if not needs_fallback(text, float(avg_lp[0])):
+                if not needs_fallback(text, avg_lp):
                     break
+            # whisper's silence rule: confident no-speech + low logprob →
+            # the segment is treated as silent (transcribe.py
+            # no_speech_threshold), using the GREEDY rung's logprob
+            if (no_speech > _NO_SPEECH_THRESHOLD
+                    and greedy_lp is not None
+                    and greedy_lp < _LOGPROB_THRESHOLD):
+                return ""
             return text
         except Exception as e:
             return f"[transcript error: {e}]"
@@ -130,3 +219,11 @@ def extract_transcript(media_path: Optional[str]) -> str:
         return _engine.transcribe(media_path)
     except Exception as e:
         return f"[transcript error: {e}]"
+
+
+def reset_transcriber() -> None:
+    """Drop the cached engine (tests / checkpoint swaps)."""
+    global _engine, _engine_failed
+    with _lock:
+        _engine = None
+        _engine_failed = False

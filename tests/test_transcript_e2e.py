@@ -1,0 +1,257 @@
+"""Whisper transcription END-TO-END (VERDICT r1 #1): byte-level tokenizer +
+a tiny whisper trained to transcribe a synthetic waveform + a real WAV file
+on disk → WhisperTranscriber produces non-empty transcript text, which the
+dashboard merges into the caption (reference forensics_dashboard.py:18-87,
+160-162). Also covers the temperature-ladder acceptance logic and the
+special-token id layout."""
+
+import dataclasses
+import os
+import wave
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from misinfo_tpu.core.config import PrecisionConfig
+from misinfo_tpu.models.whisper import (
+    WhisperConfig, whisper_decode_step, whisper_encode, whisper_init,
+)
+from misinfo_tpu.ops.common import Policy
+from misinfo_tpu.preprocess.audio import (
+    decode_audio, log_mel_spectrogram, pad_or_trim_mel,
+)
+from misinfo_tpu.preprocess.whisper_tokenizer import (
+    ByteWhisperTokenizer, _WhisperSpecials, load_whisper_tokenizer,
+)
+
+F32 = Policy(PrecisionConfig.highest())
+TEXT = "hello world"
+SR = 16000
+
+
+def _make_audio() -> np.ndarray:
+    """1.28 s deterministic two-tone waveform (fits a 64-position tiny
+    encoder: 2*64 mel frames at 10 ms hop)."""
+    t = np.arange(int(1.28 * SR)) / SR
+    return (0.4 * np.sin(2 * np.pi * 440.0 * t)
+            + 0.3 * np.sin(2 * np.pi * 660.0 * t)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def trained_whisper(tmp_path_factory):
+    """Train a tiny whisper to memorize audio→TEXT, save it as a native
+    checkpoint (self-describing metadata), and write the WAV next to it."""
+    import optax
+
+    tok = ByteWhisperTokenizer()
+    sp = tok.specials
+    cfg = WhisperConfig(
+        vocab_size=sp.vocab_size, num_mel_bins=80, d_model=64,
+        encoder_layers=2, decoder_layers=2, num_heads=4, ffn_dim=128,
+        max_source_positions=64, max_target_positions=32,
+        eos_token_id=sp.eot, decoder_start_token_id=sp.sot)
+
+    audio = _make_audio()
+    mel = pad_or_trim_mel(log_mel_spectrogram(audio),
+                          2 * cfg.max_source_positions)[None]
+    target = tok.sot_sequence() + tok.encode(TEXT) + [sp.eot]
+    toks = np.full((1, cfg.max_target_positions), sp.eot, np.int32)
+    toks[0, : len(target)] = target
+    # teacher forcing: input tokens[:-1] predict tokens[1:]; loss on every
+    # position through the first EOS
+    inp = jnp.asarray(toks[:, :-1])
+    lbl = jnp.asarray(toks[:, 1:])
+    weight = jnp.asarray(
+        (np.arange(cfg.max_target_positions - 1) < len(target) - 1)[None]
+        .astype(np.float32))
+
+    params = whisper_init(jax.random.PRNGKey(0), cfg)
+    mel_j = jnp.asarray(mel)
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    def loss_fn(p):
+        enc = whisper_encode(p, mel_j, cfg, F32)
+        logits = whisper_decode_step(p, inp, enc, cfg, F32)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(lp, lbl[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll * weight) / jnp.sum(weight)
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(g, s)
+        return optax.apply_updates(p, updates), s, l
+
+    loss = None
+    for _ in range(250):
+        params, opt_state, loss = step(params, opt_state)
+        if float(loss) < 0.01:
+            break
+    assert float(loss) < 0.5, f"tiny whisper failed to memorize ({loss})"
+
+    tmp = tmp_path_factory.mktemp("whisper_ckpt")
+    ckpt_dir = str(tmp / "ckpt")
+    from misinfo_tpu.checkpoints.io import save_checkpoint
+    save_checkpoint(ckpt_dir, params,
+                    metadata={"whisper_config": dataclasses.asdict(cfg),
+                              "tokenizer": "byte"})
+
+    wav_path = str(tmp / "speech.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes((audio * 32767).astype(np.int16).tobytes())
+    return ckpt_dir, wav_path
+
+
+def test_transcriber_end_to_end(trained_whisper):
+    """A media file with an audio track produces real transcript text."""
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    ckpt_dir, wav_path = trained_whisper
+    tr = WhisperTranscriber(ckpt_dir)
+    assert tr.has_weights and tr.tokenizer_compatible
+    text = tr.transcribe(wav_path)
+    assert text == TEXT
+
+
+def test_extract_transcript_feeds_dashboard_caption(trained_whisper,
+                                                    monkeypatch):
+    """Module-level cascade (reference _extract_transcript) + the dashboard
+    caption merge rule (reference :160-162)."""
+    from misinfo_tpu.serve import transcript as T
+
+    ckpt_dir, wav_path = trained_whisper
+    monkeypatch.setenv("WHISPER_CHECKPOINT", ckpt_dir)
+    T.reset_transcriber()
+    try:
+        out = T.extract_transcript(wav_path)
+        assert out == TEXT
+        # dashboard merge semantics
+        caption = "user caption"
+        combined = caption
+        if out and not out.startswith("[transcript error"):
+            combined = (combined + "\n\n" + out).strip()
+        assert combined == f"user caption\n\n{TEXT}"
+    finally:
+        T.reset_transcriber()
+
+
+def test_transcriber_without_weights_degrades(tmp_path):
+    """No checkpoint → '' (reference soft-fail :32-34), never an error."""
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    tr = WhisperTranscriber(None, size="tiny")
+    assert not tr.has_weights
+    assert tr.transcribe("/nonexistent.wav") == ""
+
+
+def test_wav_reader_fallback(trained_whisper):
+    """decode_audio reads PCM WAVs via the stdlib on ffmpeg-less images."""
+    _, wav_path = trained_whisper
+    audio = decode_audio(wav_path)
+    assert audio is not None and audio.dtype == np.float32
+    ref = _make_audio()
+    assert abs(len(audio) - len(ref)) < 4
+    np.testing.assert_allclose(audio[:1000], ref[:1000], atol=2e-4)
+
+
+def test_temperature_ladder_acceptance(trained_whisper, monkeypatch):
+    """When the greedy rung fails the acceptance test, higher-temperature
+    rungs run (traced-temperature program) and the last result is kept."""
+    from misinfo_tpu.serve import transcript as T
+
+    ckpt_dir, wav_path = trained_whisper
+    tr = T.WhisperTranscriber(ckpt_dir)
+    calls = []
+    real_needs = T.needs_fallback
+
+    def spy(text, lp, *a, **kw):
+        calls.append((text, lp))
+        return len(calls) < 3  # force two retries, accept the third rung
+    monkeypatch.setattr(T, "needs_fallback", spy)
+    text = tr.transcribe(wav_path)
+    assert len(calls) == 3
+    assert text == calls[-1][0]
+    # sanity: the real acceptance fn passes a clean decode
+    assert not real_needs(TEXT, -0.1)
+
+
+def test_no_speech_prob_is_probability(trained_whisper):
+    from misinfo_tpu.models.whisper import no_speech_prob
+
+    # random-init model: just assert the probe is a valid probability
+    tok = ByteWhisperTokenizer()
+    sp = tok.specials
+    cfg = WhisperConfig(
+        vocab_size=sp.vocab_size, num_mel_bins=80, d_model=64,
+        encoder_layers=2, decoder_layers=2, num_heads=4, ffn_dim=128,
+        max_source_positions=64, max_target_positions=32,
+        eos_token_id=sp.eot, decoder_start_token_id=sp.sot)
+    params = whisper_init(jax.random.PRNGKey(1), cfg)
+    mel = jnp.asarray(np.zeros((1, 128, 80), np.float32))
+    enc = whisper_encode(params, mel, cfg, F32)
+    p = float(np.asarray(no_speech_prob(params, enc, sp.sot, sp.no_speech,
+                                        cfg, F32))[0])
+    assert 0.0 <= p <= 1.0
+
+
+# ---------------------------------------------------------- tokenizer layout
+
+def test_multilingual_special_layout_matches_openai():
+    """The multilingual asset layout (base vocab 50257) must land on
+    openai-whisper's published ids — the converter's decode depends on it."""
+    sp = _WhisperSpecials(eot=50257)
+    assert sp.sot == 50258
+    assert sp.language_ids["en"] == 50259
+    assert sp.translate == 50358
+    assert sp.transcribe == 50359
+    assert sp.no_speech == 50362
+    assert sp.no_timestamps == 50363
+    assert sp.timestamp_begin == 50364
+    assert sp.vocab_size == 51865  # == WhisperConfig().vocab_size
+    assert sp.vocab_size == WhisperConfig().vocab_size
+    assert sp.sot_sequence("en", "transcribe") == [50258, 50259, 50359, 50363]
+
+
+def test_byte_tokenizer_roundtrip_and_specials():
+    tok = ByteWhisperTokenizer()
+    ids = tok.encode("héllo, wörld!")
+    assert all(0 <= i < 256 for i in ids)
+    assert tok.decode(ids) == "héllo, wörld!"
+    # specials are skipped on decode
+    seq = tok.sot_sequence() + tok.encode("x") + [tok.specials.eot] * 3
+    assert tok.decode(seq) == "x"
+
+
+def test_load_whisper_tokenizer_fallback():
+    tok = load_whisper_tokenizer(None)
+    assert isinstance(tok, ByteWhisperTokenizer)
+    assert tok.parity_grade is False
+
+
+def test_whisper_tokenizer_from_assets(tmp_path):
+    """A GPT-2-style vocab.json+merges.txt directory loads as the
+    parity-grade tokenizer with the id layout anchored at <|endoftext|>."""
+    import json
+
+    # micro vocab: enough structure to exercise the BPE plumbing
+    vocab = {"h": 0, "e": 1, "l": 2, "o": 3, "he": 4, "ll": 5, "llo": 6,
+             "hello": 7, "<|endoftext|>": 8}
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\nh e\nl l\nll o\nhe llo\n")
+    from misinfo_tpu.preprocess.whisper_tokenizer import WhisperTokenizer
+
+    tok = WhisperTokenizer.from_dir(str(tmp_path))
+    assert tok.parity_grade is True
+    assert tok.specials.eot == 8
+    assert tok.specials.sot == 9
+    assert tok.vocab_size == 8 + 1 + 1 + 99 + 6 + 1501
+    assert tok.encode("hello") == [7]
+    assert tok.decode([7, tok.specials.eot, tok.specials.sot]) == "hello"

@@ -44,62 +44,32 @@ def hf_whisper():
 
 
 def _convert_whisper(sd, params):
-    """HF WhisperModel state dict → our param tree (inline converter used
-    by this test and by serve/transcript weight loading)."""
-    from misinfo_tpu.checkpoints.torch_convert import apply_updates
+    """Route through the REAL converter (checkpoints/torch_convert.py
+    convert_whisper) so the serving weight mapping is what gets
+    parity-tested against HF."""
+    from misinfo_tpu.checkpoints.torch_convert import (
+        apply_updates, convert_whisper)
 
-    def np_(t):
-        return t.detach().numpy()
-
-    upd = {}
-    upd[("encoder", "conv1", "kernel")] = np_(sd["encoder.conv1.weight"]).transpose(2, 1, 0)
-    upd[("encoder", "conv1", "bias")] = np_(sd["encoder.conv1.bias"])
-    upd[("encoder", "conv2", "kernel")] = np_(sd["encoder.conv2.weight"]).transpose(2, 1, 0)
-    upd[("encoder", "conv2", "bias")] = np_(sd["encoder.conv2.bias"])
-    upd[("encoder", "positions")] = np_(sd["encoder.embed_positions.weight"])
-    upd[("decoder", "token_embedding")] = np_(sd["decoder.embed_tokens.weight"])
-    upd[("decoder", "positions")] = np_(sd["decoder.embed_positions.weight"])
-
-    def lin(prefix, path):
-        upd[path + ("kernel",)] = np_(sd[prefix + ".weight"]).T
-        if prefix + ".bias" in sd:
-            upd[path + ("bias",)] = np_(sd[prefix + ".bias"])
-
-    def ln(prefix, path):
-        upd[path + ("scale",)] = np_(sd[prefix + ".weight"])
-        upd[path + ("bias",)] = np_(sd[prefix + ".bias"])
-
-    for i in range(TINY.encoder_layers):
-        p = f"encoder.layers.{i}"
-        b = ("encoder", "blocks", i)
-        ln(f"{p}.self_attn_layer_norm", b + ("ln1",))
-        for t, j in (("q_proj", "q"), ("k_proj", "k"), ("v_proj", "v"),
-                     ("out_proj", "o")):
-            if f"{p}.self_attn.{t}.weight" in sd:
-                lin(f"{p}.self_attn.{t}", b + ("attn", j))
-        ln(f"{p}.final_layer_norm", b + ("ln2",))
-        lin(f"{p}.fc1", b + ("mlp_in",))
-        lin(f"{p}.fc2", b + ("mlp_out",))
-    for i in range(TINY.decoder_layers):
-        p = f"decoder.layers.{i}"
-        b = ("decoder", "blocks", i)
-        ln(f"{p}.self_attn_layer_norm", b + ("ln1",))
-        for t, j in (("q_proj", "q"), ("k_proj", "k"), ("v_proj", "v"),
-                     ("out_proj", "o")):
-            lin(f"{p}.self_attn.{t}", b + ("self_attn", j))
-        ln(f"{p}.encoder_attn_layer_norm", b + ("ln_cross",))
-        for t, j in (("q_proj", "q"), ("k_proj", "k"), ("v_proj", "v"),
-                     ("out_proj", "o")):
-            lin(f"{p}.encoder_attn.{t}", b + ("cross_attn", j))
-        ln(f"{p}.final_layer_norm", b + ("ln2",))
-        lin(f"{p}.fc1", b + ("mlp_in",))
-        lin(f"{p}.fc2", b + ("mlp_out",))
-    ln("encoder.layer_norm", ("encoder", "final_ln"))
-    ln("decoder.layer_norm", ("decoder", "final_ln"))
-    applied, skipped = apply_updates(params, upd)
+    applied, skipped = apply_updates(params, convert_whisper(sd))
     bad = [s for s in skipped if "shape" in s[1]]
     assert not bad, bad[:4]
+    assert applied > 20
     return params
+
+
+def test_convert_whisper_handles_generation_wrapper(hf_whisper):
+    """WhisperForConditionalGeneration-style 'model.'-prefixed state dicts
+    convert to the same update set (the tied proj_out head is skipped)."""
+    from misinfo_tpu.checkpoints.torch_convert import convert_whisper
+
+    sd = hf_whisper.state_dict()
+    wrapped = {f"model.{k}": v for k, v in sd.items()}
+    wrapped["proj_out.weight"] = sd["decoder.embed_tokens.weight"]
+    a = convert_whisper(sd)
+    b = convert_whisper(wrapped)
+    assert set(a.keys()) == set(b.keys())
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
 
 
 def test_encoder_parity(hf_whisper):
