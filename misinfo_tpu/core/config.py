@@ -139,6 +139,13 @@ class ServingConfig:
     # bf16 copy for the IVF candidate gather (half the scattered-read
     # bytes; final top-k re-scored from the f32 rows — see vault/ivf.py)
     ivf_bf16_gather: bool = False
+    # Mesh serving: vaults at/above this row count are ROW-SHARDED across
+    # the data axis (vault/search.py vault_search_sharded — local matmul +
+    # per-shard top-k + O(K·devices) candidate merge) instead of being
+    # replicated per chip. Default 4M rows ≈ the measured single-chip
+    # comfort zone for 512-d f32 (docs/PERF.md); only applies when the
+    # engine is constructed with a mesh.
+    vault_shard_min_rows: int = 1 << 22
 
 
 def _load_dotenv() -> None:
@@ -221,6 +228,9 @@ class ForensicsConfig:
             ivf_updates["ivf_nprobe"] = int(os.environ["MISINFO_TPU_IVF_NPROBE"])
         if os.getenv("MISINFO_TPU_IVF_BF16") in ("1", "true", "on"):
             ivf_updates["ivf_bf16_gather"] = True
+        if os.getenv("MISINFO_TPU_VAULT_SHARD_ROWS"):
+            ivf_updates["vault_shard_min_rows"] = int(
+                os.environ["MISINFO_TPU_VAULT_SHARD_ROWS"])
         if ivf_updates:
             cfg = dataclasses.replace(
                 cfg, serving=dataclasses.replace(cfg.serving, **ivf_updates))

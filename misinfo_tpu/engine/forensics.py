@@ -117,8 +117,9 @@ class MisinfoForensics:
         self._vault_device = self._prepare_vault()
         self._prep_pool = None  # lazy image-prep thread pool (_image_batch)
 
-        self.programs = SignalPrograms(self.det_cfg, self.cfg, self.policy,
-                                       use_pallas=use_pallas)
+        self.programs = SignalPrograms(
+            self.det_cfg, self.cfg, self.policy, use_pallas=use_pallas,
+            vault_mesh=self.mesh if self._vault_sharded else None)
         self.explainer = Explainer(self.cfg.gemini_api_key,
                                    self.cfg.gemini_model,
                                    self.cfg.thresholds)
@@ -135,22 +136,37 @@ class MisinfoForensics:
 
     # ----------------------------------------------------------- helpers
 
+    def _data_axis_size(self) -> int:
+        if self.mesh is None:
+            return 1
+        return int(self.mesh.shape[self.mesh.axis_names[0]])
+
     def _prepare_vault(self):
+        # mesh serving: vaults beyond the single-chip comfort zone are
+        # row-sharded across the data axis and searched via shard_map
+        # (vault/search.py vault_search_sharded); smaller vaults replicate
+        self._vault_sharded = (
+            self.mesh is not None and self._data_axis_size() > 1
+            and self.vault is not None
+            and self.vault.embeddings.shape[0]
+            >= self.cfg.serving.vault_shard_min_rows)
         if self.vault is None:
             # 128-row dummy so program shapes stay static; row_valid all-False
             d = self.det_cfg.clip.projection_dim
-            return {
+            return self._place_vault({
                 "vault_emb": jnp.zeros((128, d), jnp.float32),
                 "vault_valid": jnp.zeros((128,), jnp.bool_),
                 "vault_text_emb": jnp.zeros((128, d), jnp.float32),
-            }
+            })
         # IVF index build FIRST (vault/ivf.py): the device-side k-means
         # needs a transient row copy, so it runs before the vault arrays
         # occupy HBM; the index is cached in a sidecar next to the vault
         # file and invalidated by a content digest (shape alone misses
         # edits within a 128-row pad bucket)
         index = None
-        if self.cfg.serving.vault_ivf and self.vault.num_articles > 0:
+        if (self.cfg.serving.vault_ivf and self.vault.num_articles > 0
+                and not self._vault_sharded):  # IVF and row-sharding are
+            # mutually exclusive search strategies; sharding wins at scale
             from misinfo_tpu.vault.ivf import IVFIndex, build_ivf, vault_digest
             sidecar = self.cfg.paths.vault_path + ".ivf.npz"
             index = IVFIndex.load(sidecar)
@@ -188,9 +204,47 @@ class MisinfoForensics:
             if self.cfg.serving.ivf_bf16_gather:
                 out["ivf_emb16"] = jnp.asarray(self.vault.embeddings,
                                                jnp.bfloat16)
+        return self._place_vault(out)
+
+    def _place_vault(self, out: Dict) -> Dict:
+        """Pin vault array placement once at startup: row-sharded across
+        `data` when the vault outgrows one chip (rows are 128-aligned,
+        divisible by any power-of-two data axis), replicated otherwise."""
+        if self.mesh is None:
+            return out
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = self.mesh.axis_names[0]
+        for k in list(out):
+            if self._vault_sharded and k in ("vault_emb", "vault_valid",
+                                             "vault_text_emb"):
+                spec = P(axis, *([None] * (out[k].ndim - 1)))
+            else:
+                spec = P()
+            out[k] = jax.device_put(out[k], NamedSharding(self.mesh, spec))
         return out
 
     _TEXT_BUCKETS = (64, 128, 256, 512)
+
+    def _req_bucket(self, n: int, buckets: Sequence[int]) -> int:
+        """Bucket a request count; under a mesh the batch axis must divide
+        evenly across the data axis, so sub-data-size buckets round up."""
+        b = _bucket(n, buckets)
+        d = self._data_axis_size()
+        if b % d:
+            b = ((b + d - 1) // d) * d
+        return b
+
+    def _place_batch(self, batch: Dict) -> Dict:
+        """Mesh serving: host-built request tensors shard their batch axis
+        on `data` (classic DP); vault tensors were pinned at startup."""
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = self.mesh.axis_names[0]
+        return {k: jax.device_put(
+                    v, NamedSharding(self.mesh,
+                                     P(axis, *([None] * (v.ndim - 1)))))
+                for k, v in batch.items()}
 
     def _tokenize_batch(self, texts: List[str], bucket: int):
         rb_max = min(self.cfg.seq.roberta_max_len,
@@ -445,8 +499,12 @@ class MisinfoForensics:
                         idxs: List[int]):
         """Prep + enqueue one ≤max-bucket group of same-variant requests."""
         reqs = [requests[i] for i in idxs]
-        bucket = _bucket(len(reqs), self.cfg.serving.batch_buckets)
+        bucket = self._req_bucket(len(reqs), self.cfg.serving.batch_buckets)
         pack_mode = self.cfg.serving.pack_text
+        if self.mesh is not None:
+            # mesh serving stays dense: packed CLS gathers cross shard
+            # boundaries (GSPMD would serialize them) — not yet profiled
+            pack_mode = False
         pack = pack_mode is True and variant in ("full", "text_only")
         plan = None
         if pack_mode == "auto" and variant in ("full", "text_only"):
@@ -496,6 +554,7 @@ class MisinfoForensics:
             eff, clp = self._image_batch([r.get("image") for r in reqs], bucket)
             batch.update(image_effnet=jnp.asarray(eff),
                          image_clip=jnp.asarray(clp))
+        batch = self._place_batch(batch)
         batch.update(self._vault_device)
         out = self.programs.get(variant)(self.params, batch)  # async
         return variant, out, idxs
@@ -524,7 +583,7 @@ class MisinfoForensics:
         carry all-invalid frame masks (their rows are discarded)."""
         from misinfo_tpu.preprocess.video import sample_video_frames
         F = self.cfg.video.max_frames
-        V = _bucket(len(reqs), self.cfg.serving.video_batch_buckets)
+        V = self._req_bucket(len(reqs), self.cfg.serving.video_batch_buckets)
         size = self.cfg.seq.image_size
 
         def sample(req):
@@ -562,6 +621,7 @@ class MisinfoForensics:
                          roberta_mask=jnp.asarray(rb_mask),
                          clip_ids=jnp.asarray(cl_ids),
                          clip_mask=jnp.asarray(cl_mask))
+        batch = self._place_batch(batch)
         batch.update(self._vault_device)
         return self.programs.get(variant)(self.params, batch)  # async
 

@@ -83,13 +83,25 @@ def _text_branch(params, batch, det_cfg, policy, use_pallas):
 
 
 def _visual_branch(params, batch, det_cfg, cfg, policy, use_pallas,
-                   caption_text_emb=None, has_caption=None):
+                   caption_text_emb=None, has_caption=None, mesh=None):
     img_eff = normalize_images(batch["image_effnet"], "imagenet", policy.compute)
     img_clip = normalize_images(batch["image_clip"], "clip", policy.compute)
     logits, _ = effnet_apply(params["efficientnet"], img_eff, policy=policy)
     deepfake_score = softmax_f32(logits)[:, 1]
     image_emb = l2_normalize(clip_image_features(
         params["clip"], img_clip, det_cfg.clip, policy, use_pallas))
+    if mesh is not None:
+        # >HBM vault: rows live sharded across the mesh's data axis;
+        # shard_map local-topk + candidate merge (vault/search.py)
+        from misinfo_tpu.vault.search import vault_search_sharded
+        vr = vault_search_sharded(
+            image_emb, batch["vault_emb"], batch["vault_valid"],
+            mesh=mesh, top_k=cfg.seq.vault_top_k,
+            reuse_threshold=cfg.thresholds.vault_reuse,
+            caption_text_emb=caption_text_emb,
+            vault_text_emb=batch.get("vault_text_emb"),
+            has_caption=has_caption)
+        return deepfake_score, image_emb, vr
     ivf = ({k: batch[k]
             for k in ("ivf_centroids", "ivf_lists", "ivf_spill", "ivf_emb16")
             if k in batch}
@@ -132,6 +144,7 @@ def signals_program(
     cfg: ForensicsConfig,
     policy: Policy,
     use_pallas: bool = False,
+    vault_mesh=None,
 ) -> SignalOutput:
     B = (batch["cls_rows"].shape[0] if "cls_rows" in batch  # packed: N requests
          else batch["roberta_ids"].shape[0] if "roberta_ids" in batch
@@ -147,7 +160,8 @@ def signals_program(
                             jnp.zeros((B, K)), jnp.full((B, K), -1, jnp.int32))
 
     if variant == "visual_only":
-        deep, _, vr = _visual_branch(params, batch, det_cfg, cfg, policy, use_pallas)
+        deep, _, vr = _visual_branch(params, batch, det_cfg, cfg, policy,
+                                     use_pallas, mesh=vault_mesh)
         fake_p = jnp.maximum(deep, vr.vault_discrepancy)
         verdict, conf, fake_p, real_p = _verdict_from_prob(fake_p)
         return SignalOutput(zeros, zeros, deep, zeros, vr.vault_discrepancy,
@@ -162,7 +176,7 @@ def signals_program(
         deep, img_emb, vr = _visual_branch(
             params, batch, det_cfg, cfg, policy, use_pallas,
             caption_text_emb=cap_emb,
-            has_caption=jnp.ones((B,), jnp.bool_))
+            has_caption=jnp.ones((B,), jnp.bool_), mesh=vault_mesh)
         clip_sim = jnp.sum(cap_emb * img_emb, axis=-1)
         scores_vec = jnp.stack([ai, mis, deep, clip_sim,
                                 vr.vault_discrepancy], axis=1)
@@ -204,6 +218,7 @@ def video_program(
     cfg: ForensicsConfig,
     policy: Policy,
     use_pallas: bool = False,
+    vault_mesh=None,
 ) -> SignalOutput:
     """Video forensics: frames stacked on the batch axis (SURVEY.md §7
     design move 3), generalized to V videos per launch. `frame_valid` is
@@ -232,7 +247,8 @@ def video_program(
     deep, img_emb, vr = _visual_branch(
         params, batch, det_cfg, cfg, policy, use_pallas,
         caption_text_emb=cap_per_frame,
-        has_caption=(jnp.ones((V * F,), jnp.bool_) if has_text else None))
+        has_caption=(jnp.ones((V * F,), jnp.bool_) if has_text else None),
+        mesh=vault_mesh)
 
     deep_mean = jnp.sum(deep.reshape(V, F) * fv, axis=1) / n
     if cap_emb is not None:
@@ -264,11 +280,13 @@ class SignalPrograms:
     """Compiled program cache: one jit per (variant, batch bucket)."""
 
     def __init__(self, det_cfg: DetectorConfig, cfg: ForensicsConfig,
-                 policy: Policy, use_pallas: bool = False):
+                 policy: Policy, use_pallas: bool = False,
+                 vault_mesh=None):
         self.det_cfg = det_cfg
         self.cfg = cfg
         self.policy = policy
         self.use_pallas = use_pallas
+        self.vault_mesh = vault_mesh  # set → vault rows are mesh-sharded
         self._jitted: Dict[str, object] = {}
 
     def get(self, variant: str):
@@ -277,7 +295,8 @@ class SignalPrograms:
                 has_text = variant == "video_text"
                 fn = functools.partial(
                     video_program, has_text=has_text, det_cfg=self.det_cfg,
-                    cfg=self.cfg, policy=self.policy, use_pallas=self.use_pallas)
+                    cfg=self.cfg, policy=self.policy,
+                    use_pallas=self.use_pallas, vault_mesh=self.vault_mesh)
             elif variant == "text_packed":
                 fn = functools.partial(
                     packed_text_program, det_cfg=self.det_cfg,
@@ -285,6 +304,7 @@ class SignalPrograms:
             else:
                 fn = functools.partial(
                     signals_program, variant=variant, det_cfg=self.det_cfg,
-                    cfg=self.cfg, policy=self.policy, use_pallas=self.use_pallas)
+                    cfg=self.cfg, policy=self.policy,
+                    use_pallas=self.use_pallas, vault_mesh=self.vault_mesh)
             self._jitted[variant] = jax.jit(fn)
         return self._jitted[variant]

@@ -179,6 +179,16 @@ def vault_search(
         sims = jnp.where(row_valid[None, :], sims, -2.0)
         top_sims, top_idx = _topk(sims, top_k)
 
+    return _gate_and_text(top_sims, top_idx, reuse_threshold,
+                          caption_text_emb, vault_text_emb, has_caption)
+
+
+def _gate_and_text(top_sims, top_idx, reuse_threshold,
+                   caption_text_emb=None, vault_text_emb=None,
+                   has_caption=None) -> VaultResult:
+    """Shared tail of every search flavor: the exact 0.85 reuse gate
+    (reference misinfo_forensics.py:462-464) + the conditional
+    caption-vs-headline text similarity (:468-484)."""
     max_sim = top_sims[:, 0]
     gate = max_sim > reuse_threshold
     vault_discrepancy = jnp.where(gate, max_sim, 0.0)
@@ -194,6 +204,63 @@ def vault_search(
 
     return VaultResult(top_sims, top_idx.astype(jnp.int32),
                        vault_discrepancy, text_similarity)
+
+
+def vault_search_sharded(
+    query_image_emb: jax.Array,   # [B, D] (batch-sharded on `axis` or not)
+    vault_emb: jax.Array,         # [N, D] row-SHARDED on `axis`
+    row_valid: jax.Array,         # [N] row-sharded
+    *,
+    mesh,
+    top_k: int = 5,
+    reuse_threshold: float = 0.85,
+    caption_text_emb: Optional[jax.Array] = None,
+    vault_text_emb: Optional[jax.Array] = None,  # row-sharded like vault_emb
+    has_caption: Optional[jax.Array] = None,
+    axis_name: str = "data",
+) -> VaultResult:
+    """The engine's >HBM vault path: the vault lives ROW-SHARDED across the
+    mesh's data axis, each device scores the full query batch against its
+    row shard and contributes only K candidates, and the final top-k merges
+    O(K·devices) values instead of moving the N-row sims matrix
+    (SURVEY.md §2.5 consequence (c); wired into signals_program when
+    vault rows ≥ ServingConfig.vault_shard_min_rows).
+
+    Runs as a `shard_map` region inside the jitted signal program; queries
+    are all-gathered (B×D — tiny next to the vault), candidate merge rides
+    ICI. Results are bitwise-identical to the exact replicated search for
+    tie-free sims. Gating/text-sim tail is shared with `vault_search`.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def body(q, v, valid):
+        q = jax.lax.all_gather(q, axis_name, axis=0, tiled=True)     # [B, D]
+        sims = vault_sims(q, v)                                      # [B, N/d]
+        sims = jnp.where(valid[None, :], sims, -2.0)
+        k_local = min(top_k, v.shape[0])
+        loc_s, loc_i = jax.lax.top_k(sims, k_local)
+        loc_i = (loc_i + jax.lax.axis_index(axis_name) * v.shape[0]
+                 ).astype(jnp.int32)
+        all_s = jax.lax.all_gather(loc_s, axis_name, axis=1, tiled=True)
+        all_i = jax.lax.all_gather(loc_i, axis_name, axis=1, tiled=True)
+        top_s, pos = jax.lax.top_k(all_s, top_k)
+        top_i = jnp.take_along_axis(all_i, pos, axis=1)
+        return top_s, top_i
+
+    sm_kw = dict(mesh=mesh,
+                 in_specs=(P(axis_name, None), P(axis_name, None),
+                           P(axis_name)),
+                 out_specs=(P(None, None), P(None, None)))
+    try:
+        mapped = jax.shard_map(body, check_vma=False, **sm_kw)  # JAX ≥ 0.8
+    except (AttributeError, TypeError):  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _sm
+        mapped = _sm(body, check_rep=False, **sm_kw)
+    top_sims, top_idx = mapped(query_image_emb, vault_emb, row_valid)
+    # text-sim gather runs at the GSPMD level: B indices into the
+    # row-sharded title embeddings — a tiny cross-shard gather
+    return _gate_and_text(top_sims, top_idx, reuse_threshold,
+                          caption_text_emb, vault_text_emb, has_caption)
 
 
 def sharded_vault_sims(query: jax.Array, vault_shard: jax.Array,

@@ -1,0 +1,207 @@
+"""Engine-LEVEL mesh serving (VERDICT r1 #2): `MisinfoForensics(mesh=...)`
+on the 8-virtual-device CPU mesh must match the single-device engine across
+modality variants (text / full / video), and the row-sharded >HBM vault
+path (vault/search.py vault_search_sharded) must equal the exact replicated
+search through the real dispatch/bucketing/vault-prep machinery."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from misinfo_tpu.core.config import (
+    ForensicsConfig, MeshConfig, PrecisionConfig,
+)
+from misinfo_tpu.core.mesh import make_mesh
+from misinfo_tpu.engine.forensics import MisinfoForensics
+from misinfo_tpu.models.detector import DetectorConfig, detector_init
+from misinfo_tpu.vault.store import TruthVault
+
+DET = DetectorConfig.tiny()
+N_VAULT = 300  # pads to 384 rows — divisible by any power-of-two data axis
+
+
+def _cfg(vault_path, **serving_overrides):
+    cfg = ForensicsConfig(verbose=False).replace(
+        precision=PrecisionConfig.highest())
+    return cfg.replace(
+        paths=cfg.paths.__class__(vault_path=vault_path),
+        seq=cfg.seq.__class__(roberta_max_len=32,
+                              image_size=DET.clip.image_size),
+        serving=cfg.serving.__class__(**serving_overrides))
+
+
+@pytest.fixture(scope="module")
+def vault_path(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mesh_vault")
+    rng = np.random.default_rng(7)
+    d = DET.clip.projection_dim
+    vault = TruthVault(
+        image_embeddings=rng.normal(size=(N_VAULT, d)).astype(np.float32),
+        metadata=[{"title": f"article {i}", "url": f"u{i}",
+                   "date": "2024-01-01"} for i in range(N_VAULT)],
+        text_embeddings=rng.normal(size=(N_VAULT, d)).astype(np.float32))
+    p = str(tmp / "vault.npz")
+    vault.save(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def shared_params():
+    return detector_init(jax.random.PRNGKey(0), DET)
+
+
+def _img(seed):
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    s = DET.clip.image_size
+    return Image.fromarray(
+        rng.integers(0, 255, size=(s, s, 3)).astype(np.uint8))
+
+
+def _requests():
+    return [
+        {"text": "breaking news about a shocking event", "image": _img(1)},
+        {"text": "just a plain text claim with no media"},
+        {"image": _img(2)},
+        {"text": "second caption for the second image", "image": _img(3)},
+    ]
+
+
+def _copy(tree):
+    return jax.tree_util.tree_map(lambda x: x, tree)
+
+
+def _assert_reports_match(a, b, atol=1e-4):
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        for k in ("ai_score", "misinfo_score", "deepfake_score",
+                  "clip_similarity", "vault_discrepancy", "fake_probability"):
+            np.testing.assert_allclose(ra["scores"][k], rb["scores"][k],
+                                       atol=atol, err_msg=k)
+        assert ra["verdict"] == rb["verdict"]
+        assert [m["title"] for m in ra["vault_matches"]] == \
+            [m["title"] for m in rb["vault_matches"]]
+
+
+@pytest.mark.parametrize("mesh_cfg", [MeshConfig(model=1),
+                                      MeshConfig(model=2)])
+def test_engine_mesh_matches_single_device(vault_path, shared_params,
+                                           mesh_cfg):
+    """The REAL engine constructed with a mesh — dispatch, bucketing,
+    tokenization, vault prep and programs all under DP(+TP) sharding —
+    equals the single-device engine on mixed-variant traffic."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    single = MisinfoForensics(config=_cfg(vault_path), det_cfg=DET,
+                              params=_copy(shared_params))
+    mesh = make_mesh(mesh_cfg)
+    meshed = MisinfoForensics(config=_cfg(vault_path), det_cfg=DET,
+                              params=_copy(shared_params), mesh=mesh)
+    assert meshed._vault_sharded is False  # below the row threshold
+    reqs = _requests()
+    _assert_reports_match(single.analyze_batch(reqs),
+                          meshed.analyze_batch(reqs))
+
+
+def test_engine_sharded_vault_matches_exact(vault_path, shared_params):
+    """vault_shard_min_rows below the vault size → the engine row-shards
+    the vault and serves through vault_search_sharded; scores and match
+    lists must equal the exact replicated engine."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    single = MisinfoForensics(config=_cfg(vault_path), det_cfg=DET,
+                              params=_copy(shared_params))
+    mesh = make_mesh(MeshConfig(model=1))   # data=8
+    meshed = MisinfoForensics(
+        config=_cfg(vault_path, vault_shard_min_rows=64), det_cfg=DET,
+        params=_copy(shared_params), mesh=mesh)
+    assert meshed._vault_sharded is True
+    reqs = _requests()
+    _assert_reports_match(single.analyze_batch(reqs),
+                          meshed.analyze_batch(reqs))
+    # per-signal convenience API rides the same sharded program
+    sv = meshed.search_vault(_img(5))
+    se = single.search_vault(_img(5))
+    np.testing.assert_allclose(sv["vault_discrepancy"],
+                               se["vault_discrepancy"], atol=1e-4)
+    assert [m["title"] for m in sv["matches"]] == \
+        [m["title"] for m in se["matches"]]
+
+
+def test_engine_mesh_video_matches_single(vault_path, shared_params,
+                                          tmp_path_factory):
+    """Video variant under the mesh: frames-as-batch [V·F] shards across
+    data; per-video mean/mean/max aggregation must match single-device."""
+    cv2 = pytest.importorskip("cv2")
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    tmp = tmp_path_factory.mktemp("mesh_video")
+    path = str(tmp / "clip.mp4")
+    s = DET.clip.image_size
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             10.0, (s, s))
+    if not writer.isOpened():
+        pytest.skip("no mp4 encoder available")
+    rng = np.random.default_rng(0)
+    for i in range(30):
+        writer.write(rng.integers(0, 255, (s, s, 3)).astype(np.uint8))
+    writer.release()
+
+    def mk(mesh=None):
+        cfg = _cfg(vault_path)
+        cfg = cfg.replace(video=cfg.video.__class__(max_frames=4))
+        return MisinfoForensics(config=cfg, det_cfg=DET,
+                                params=_copy(shared_params), mesh=mesh)
+
+    single = mk()
+    meshed = mk(make_mesh(MeshConfig(model=2)))
+    req = [{"text": "a caption about the clip", "video": path}]
+    _assert_reports_match(single.analyze_batch(req),
+                          meshed.analyze_batch(req))
+
+
+def test_vault_search_sharded_function_equals_exact():
+    """Direct function-level equality: row-sharded shard_map search vs the
+    exact replicated vault_search on identical inputs."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from misinfo_tpu.vault.search import vault_search, vault_search_sharded
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(MeshConfig(model=1))
+    rng = np.random.default_rng(3)
+    N, D, B, K = 1024, 64, 8, 5
+    emb = rng.normal(size=(N, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    temb = rng.normal(size=(N, D)).astype(np.float32)
+    temb /= np.linalg.norm(temb, axis=1, keepdims=True)
+    valid = np.arange(N) < 1000
+    q = rng.normal(size=(B, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    cap = rng.normal(size=(B, D)).astype(np.float32)
+    cap /= np.linalg.norm(cap, axis=1, keepdims=True)
+
+    exact = vault_search(jnp.asarray(q), jnp.asarray(emb), jnp.asarray(valid),
+                         top_k=K, reuse_threshold=0.0,
+                         caption_text_emb=jnp.asarray(cap),
+                         vault_text_emb=jnp.asarray(temb))
+
+    put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    sharded = jax.jit(lambda qq, v, rv, c, t: vault_search_sharded(
+        qq, v, rv, mesh=mesh, top_k=K, reuse_threshold=0.0,
+        caption_text_emb=c, vault_text_emb=t))(
+            put(jnp.asarray(q), P("data", None)),
+            put(jnp.asarray(emb), P("data", None)),
+            put(jnp.asarray(valid), P("data")),
+            put(jnp.asarray(cap), P("data", None)),
+            put(jnp.asarray(temb), P("data", None)))
+
+    np.testing.assert_array_equal(np.asarray(sharded.top_idx),
+                                  np.asarray(exact.top_idx))
+    np.testing.assert_allclose(np.asarray(sharded.top_sims),
+                               np.asarray(exact.top_sims), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sharded.text_similarity),
+                               np.asarray(exact.text_similarity), atol=1e-5)
