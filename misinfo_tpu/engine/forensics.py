@@ -70,6 +70,15 @@ class MisinfoForensics:
         self.clip_tokenizer = load_clip_tokenizer(
             self.cfg.paths.clip_tokenizer_dir,
             vocab_size=self.det_cfg.clip.vocab_size)
+        # parity grade is surfaced EVERYWHERE a checkpoint mode is
+        # (load_report, startup banner, /healthz): hash-fallback serving is
+        # functional but its scores are NOT comparable to the reference's
+        self.tokenizer_grades = {
+            "roberta": bool(getattr(self.roberta_tokenizer,
+                                    "parity_grade", False)),
+            "clip": bool(getattr(self.clip_tokenizer, "parity_grade", False)),
+        }
+        self.tokenizer_parity = all(self.tokenizer_grades.values())
 
         # detector params: init then overlay checkpoints. Cascade: native
         # orbax dir (our trainers' output) → reference torch .pth cascade
@@ -96,6 +105,8 @@ class MisinfoForensics:
                     self.load_report = {"mode": "init", "error": str(e)}
         else:
             self.load_report = {"mode": "provided"}
+        self.load_report["tokenizer_parity"] = self.tokenizer_parity
+        self.load_report["tokenizer_grades"] = dict(self.tokenizer_grades)
         if mesh is None:
             # single-chip serving: fuse QKV projections (exact math) and
             # store big kernels in the serving dtype / int8 (ops/serving.py)
@@ -129,10 +140,13 @@ class MisinfoForensics:
                 p, ids, mask, self.det_cfg.clip, self.policy)))
         self.init_seconds = time.perf_counter() - t0
         if self.cfg.verbose:
+            tok = ("parity" if self.tokenizer_parity else
+                   "HASH-FALLBACK (scores not reference-comparable; "
+                   "fetch vocab assets via serve/download.py)")
             print(f"MisinfoForensics ready in {self.init_seconds:.1f}s "
                   f"(devices={jax.device_count()}, "
                   f"vault={'loaded' if self.vault_loaded else 'absent'}, "
-                  f"ckpt={self.load_report.get('mode')})")
+                  f"ckpt={self.load_report.get('mode')}, tokenizer={tok})")
 
     # ----------------------------------------------------------- helpers
 
@@ -666,8 +680,9 @@ class MisinfoForensics:
         }
 
     def _caption_title_similarity(self, caption: str, title: str) -> float:
-        ids, mask = self.clip_tokenizer.batch([caption, title],
-                                              self.cfg.seq.clip_max_len)
+        cl_len = min(self.cfg.seq.clip_max_len,
+                     self.det_cfg.clip.max_text_len)
+        ids, mask = self.clip_tokenizer.batch([caption, title], cl_len)
         emb = np.asarray(self._clip_text_jit(self.params["clip"],
                                              jnp.asarray(ids), jnp.asarray(mask)))
         return float(np.dot(emb[0], emb[1]))

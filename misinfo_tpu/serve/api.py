@@ -64,6 +64,11 @@ class ForensicsAPI:
             "device": str(jax.devices()[0]),
             "vault_loaded": self.engine.vault_loaded,
             "checkpoint_mode": self.engine.load_report.get("mode"),
+            # hash-fallback tokenizers serve fine but are NOT score-
+            # comparable to the reference — monitors should alert on this
+            "tokenizer_parity": getattr(self.engine, "tokenizer_parity",
+                                        False),
+            "tokenizer_grades": getattr(self.engine, "tokenizer_grades", {}),
         }
 
     def analyze(self, req: Dict) -> Dict:

@@ -101,14 +101,8 @@ def predict(image_path, user_caption: str, video_path):
     vault_lbl = probs_label(s["vault_discrepancy"] if has_visual else None,
                             "Archive reuse", "Not in archive")
 
-    gallery: List = []
-    vault_md = ""
-    if report["vault_matches"]:
-        lines = ["### Truth Vault matches"]
-        for m in report["vault_matches"]:
-            lines.append(f"- **{m['similarity']:.1%}** — {m['title']} "
-                         f"({m.get('date', 'N/A')}) [{m.get('url', 'N/A')}]")
-        vault_md = "\n".join(lines)
+    gallery, vault_md = vault_gallery_and_metadata(
+        report["vault_matches"], s, has_visual)
 
     report_md = (f"## Forensic report\n\n{report['explanation']}\n\n"
                  f"| signal | value |\n|---|---|\n"
@@ -118,9 +112,47 @@ def predict(image_path, user_caption: str, video_path):
                  f"| CLIP consistency | {s['clip_similarity']:.4f} |\n"
                  f"| Vault discrepancy | {s['vault_discrepancy']:.2%} |")
 
+    # output order mirrors the reference predict() return (reference
+    # forensics_dashboard.py:290-302): gallery, forensic summary, vault
+    # metadata, transcript
     return (verdict_badge_html(report["verdict_text"], report["confidence"]),
             report["verdict_text"], ai_lbl, mis_lbl, deep_lbl, clip_lbl,
-            vault_lbl, gallery, vault_md, report_md, transcript)
+            vault_lbl, gallery or None, report_md, vault_md, transcript)
+
+
+def vault_gallery_and_metadata(vault_matches: List[Dict], scores: Dict,
+                               has_visual: bool) -> Tuple[List, str]:
+    """Gallery images + vault-metadata markdown, matching the reference's
+    contract (forensics_dashboard.py:228-265): the top match's archive
+    image (its `url` metadata is a local path when built by the vault
+    builder) captioned with the similarity, plus the top-match detail
+    block with the >0.85 recontextualization warning."""
+    if not has_visual:
+        return [], ("### Truth Vault Cross-Check\n\n**Skipped**\n\n"
+                    "Upload an image or a video to enable archive matching.")
+    if not vault_matches:
+        return [], ("### Truth Vault Cross-Check\n\n"
+                    "**No Archive Matches Found**\n\n"
+                    "No image/video match found in the archive database.")
+    top = vault_matches[0]
+    gallery: List = []
+    img_path = top.get("image_path") or top.get("url")
+    if img_path and os.path.exists(str(img_path)):
+        gallery = [(str(img_path), f"{top['similarity']:.1%} Match")]
+    tsim = float(scores.get("text_similarity", 0.0))
+    warning = ("⚠️ **Warning:** This image was previously used in a "
+               "different context!" if top["similarity"] > 0.85
+               else "✓ No significant archive matches found.")
+    vault_md = (
+        "### Truth Vault Cross-Check\n\n"
+        "**Top Match Found:**\n"
+        f"- **Original Headline:** \"{top['title']}\"\n"
+        f"- **Image Similarity:** {top['similarity']:.1%}\n"
+        f"- **Text Similarity:** {tsim:.1%}\n"
+        f"- **Published:** {top.get('date', 'N/A')}\n"
+        f"- **Semantic Mismatch:** {abs(tsim - top['similarity']):.1%}\n\n"
+        f"{warning}")
+    return gallery, vault_md
 
 
 CSS = """
@@ -154,12 +186,14 @@ def build_app():
                 vault_lbl = gr.Label(label="Vault discrepancy",
                                      elem_classes="signal-box")
         gallery = gr.Gallery(label="Vault matches")
-        vault_md = gr.Markdown()
         report_md = gr.Markdown()
+        vault_md = gr.Markdown()
         transcript_box = gr.Textbox(label="Video transcript", interactive=False)
 
+        # ordering mirrors the reference's 11-output contract
+        # (forensics_dashboard.py:290-302 / :510-526)
         outputs = [badge, verdict_lbl, ai_lbl, mis_lbl, deep_lbl, clip_lbl,
-                   vault_lbl, gallery, vault_md, report_md, transcript_box]
+                   vault_lbl, gallery, report_md, vault_md, transcript_box]
         btn.click(predict, [image_in, caption_in, video_in], outputs)
         gr.Examples(
             examples=[[None, "Breaking: shocking footage shows event that "

@@ -142,12 +142,18 @@ class TruthVault:
             if idx < 0 or idx >= self.num_articles:
                 continue
             m = self.metadata[idx]
-            out.append({
+            match = {
                 "similarity": float(sim),
                 "title": m.get("title", "Unknown"),
                 "url": m.get("url", "N/A"),
                 "date": m.get("date", "N/A"),
-            })
+            }
+            # dashboards surface the matched archive image when its local
+            # path is known (reference forensics_dashboard.py:243-245 uses
+            # `url` for this; native vaults may carry an explicit path)
+            if m.get("image_path"):
+                match["image_path"] = m["image_path"]
+            out.append(match)
         return out
 
     @staticmethod

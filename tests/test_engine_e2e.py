@@ -116,6 +116,76 @@ def test_requires_modality(tiny_engine):
         tiny_engine.analyze(verbose=False)
 
 
+def test_caption_title_similarity_fallback(tmp_path):
+    """Vaults WITHOUT precomputed title text embeddings trigger the
+    on-demand caption-vs-headline CLIP text similarity — the reference's
+    conditional path (misinfo_forensics.py:468-484): computed only when a
+    caption exists AND max image similarity > 0.85, else 0.0."""
+    det_cfg = DetectorConfig.tiny()
+    params = detector_init(jax.random.PRNGKey(0), det_cfg)
+    size = det_cfg.clip.image_size
+
+    base = ForensicsConfig(verbose=False).replace(
+        precision=PrecisionConfig.highest())
+    base = base.replace(
+        seq=base.seq.__class__(roberta_max_len=32, image_size=size))
+
+    # compute the query image's CLIP embedding with the same weights the
+    # engine will serve, then plant it in the vault → similarity 1.0 > 0.85
+    from PIL import Image
+
+    from misinfo_tpu.models.clip import clip_image_features
+    from misinfo_tpu.ops.common import Policy, l2_normalize
+    from misinfo_tpu.ops.image_ops import normalize_images
+    from misinfo_tpu.preprocess.image import batch_images, image_to_array
+
+    img = Image.fromarray(_img(11, size))
+    arr = batch_images([image_to_array(img, "clip", size)], size)
+    policy = Policy(PrecisionConfig.highest())
+    emb = np.asarray(l2_normalize(clip_image_features(
+        params["clip"], normalize_images(jax.numpy.asarray(arr), "clip",
+                                         policy.compute),
+        det_cfg.clip, policy)))[0]
+
+    rng = np.random.default_rng(5)
+    others = rng.normal(size=(2, emb.shape[0])).astype(np.float32)
+    others /= np.linalg.norm(others, axis=1, keepdims=True)
+    vault = TruthVault(
+        image_embeddings=np.stack([emb, *others]),
+        metadata=[{"title": f"headline {i}", "url": f"u{i}",
+                   "date": "2024-01-01"} for i in range(3)],
+        text_embeddings=None)           # ← forces the on-demand path
+    vpath = str(tmp_path / "vault_no_text.pkl")
+    vault.save(vpath)
+
+    cfg = base.replace(paths=base.paths.__class__(vault_path=vpath))
+    eng = MisinfoForensics(config=cfg, det_cfg=det_cfg, params=params)
+    assert eng.vault.text_embeddings is None
+
+    rep = eng.analyze(text="a caption about the scene",
+                      image_path=img, verbose=False)
+    s = rep["scores"]
+    assert s["vault_discrepancy"] > 0.85          # planted exact match
+    assert rep["vault_matches"][0]["title"] == "headline 0"
+    assert s["text_similarity"] != 0.0
+    # value equals the direct CLIP caption-vs-title similarity
+    expected = eng._caption_title_similarity("a caption about the scene",
+                                             "headline 0")
+    np.testing.assert_allclose(s["text_similarity"], expected, atol=1e-5)
+
+    # below the 0.85 gate → similarity NOT computed (reference :468)
+    rep2 = eng.analyze(text="a caption about the scene",
+                       image_path=Image.fromarray(_img(12, size)),
+                       verbose=False)
+    if rep2["scores"]["vault_discrepancy"] == 0.0:
+        assert rep2["scores"]["text_similarity"] == 0.0
+
+    # no caption → no text similarity even on an exact match
+    rep3 = eng.analyze(image_path=img, verbose=False)
+    assert rep3["scores"]["vault_discrepancy"] > 0.85
+    assert rep3["scores"]["text_similarity"] == 0.0
+
+
 def test_oversize_batch_chunks_at_max_bucket():
     """A request group larger than the biggest batch bucket must split into
     max-bucket chunks (known jit signatures only) instead of minting a novel

@@ -39,6 +39,67 @@ def test_verdict_badge_html():
     assert "#188038" in verdict_badge_html("REAL", 0.6)
 
 
+def test_vault_gallery_and_metadata(tmp_path):
+    """Gallery contract (reference forensics_dashboard.py:228-265): the top
+    match's archive image, captioned with the similarity, when its local
+    path exists; metadata block carries the >0.85 recontextualization
+    warning."""
+    from misinfo_tpu.serve.dashboard import vault_gallery_and_metadata
+
+    img = tmp_path / "archive.jpg"
+    img.write_bytes(b"\xff\xd8\xff\xe0 fake jpeg")
+    scores = {"text_similarity": 0.42}
+    matches = [
+        {"similarity": 0.91, "title": "Original headline",
+         "url": str(img), "date": "2023-05-01"},
+        {"similarity": 0.40, "title": "other", "url": "/nope.jpg",
+         "date": "N/A"},
+    ]
+    gallery, md = vault_gallery_and_metadata(matches, scores, True)
+    assert gallery == [(str(img), "91.0% Match")]
+    assert "Original headline" in md and "91.0%" in md
+    assert "different context" in md          # >0.85 warning line
+    assert "42.0%" in md                      # text similarity surfaced
+
+    # nonexistent path → empty gallery, metadata still present
+    gallery2, md2 = vault_gallery_and_metadata(
+        [{"similarity": 0.3, "title": "t", "url": "/gone.jpg",
+          "date": "N/A"}], {}, True)
+    assert gallery2 == []
+    assert "No significant archive matches" in md2
+
+    # modality gating (reference :232-238)
+    g3, md3 = vault_gallery_and_metadata([], {}, False)
+    assert g3 == [] and "Skipped" in md3
+    g4, md4 = vault_gallery_and_metadata([], {}, True)
+    assert g4 == [] and "No Archive Matches Found" in md4
+
+    # explicit image_path (native vaults) wins over url
+    g5, _ = vault_gallery_and_metadata(
+        [{"similarity": 0.9, "title": "t", "url": "https://example.com/a",
+          "image_path": str(img), "date": "N/A"}], {}, True)
+    assert g5 == [(str(img), "90.0% Match")]
+
+
+def test_dashboard_predict_contract_gradio():
+    """Gradio-gated integration: build_app wires predict() to the 11-output
+    contract in the reference's order (skips when gradio is absent)."""
+    pytest.importorskip("gradio")
+    from misinfo_tpu.serve import dashboard as D
+
+    app = D.build_app()
+    assert app is not None
+    out = D.predict(None, "a plain text claim", None)
+    assert len(out) == 11
+    badge, verdict, ai, mis, deep, clip, vault, gallery, report_md, \
+        vault_md, transcript = out
+    assert verdict in ("REAL", "FAKE")
+    assert "N/A (modality not provided)" in deep     # no visual given
+    assert gallery is None or gallery == []
+    assert "Forensic report" in report_md
+    assert transcript == ""
+
+
 # ------------------------------------------------------------ transcript
 
 def test_transcript_soft_fail_contract():
