@@ -315,6 +315,159 @@ def apply_updates(params, updates: Updates, strict: bool = False):
     return applied, skipped
 
 
+# ------------------------------------------------------------- export
+# Inverse mapping: JAX param tree → reference torch key layout. Used by the
+# parity gate's round-trip mode (a repo-trained checkpoint exported to
+# `full_model_state_dict` form must re-ingest bit-identically through the
+# C10 cascade) and by users migrating weights back to the reference.
+
+def _exp_linear(out: Dict, key: str, node) -> None:
+    out[key + ".weight"] = np.asarray(node["kernel"], np.float32).T
+    if "bias" in node:
+        out[key + ".bias"] = np.asarray(node["bias"], np.float32)
+
+
+def _exp_ln(out: Dict, key: str, node) -> None:
+    out[key + ".weight"] = np.asarray(node["scale"], np.float32)
+    out[key + ".bias"] = np.asarray(node["bias"], np.float32)
+
+
+def _exp_bn(out: Dict, key: str, node) -> None:
+    for jk, tk in (("scale", "weight"), ("bias", "bias"),
+                   ("mean", "running_mean"), ("var", "running_var")):
+        out[f"{key}.{tk}"] = np.asarray(node[jk], np.float32)
+
+
+def _exp_conv(out: Dict, key: str, kernel) -> None:
+    out[key + ".weight"] = np.asarray(kernel, np.float32).transpose(3, 2, 0, 1)
+
+
+def export_roberta(tree: Dict, prefix: str = "roberta.") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    p = prefix
+    emb = tree["embeddings"]
+    out[p + "embeddings.word_embeddings.weight"] = np.asarray(emb["word"], np.float32)
+    out[p + "embeddings.position_embeddings.weight"] = np.asarray(emb["position"], np.float32)
+    out[p + "embeddings.token_type_embeddings.weight"] = np.asarray(emb["token_type"], np.float32)
+    _exp_ln(out, p + "embeddings.LayerNorm", emb["ln"])
+    for i, blk in enumerate(tree["layers"]):
+        lp = f"{p}encoder.layer.{i}."
+        _exp_linear(out, lp + "attention.self.query", blk["attn"]["q"])
+        _exp_linear(out, lp + "attention.self.key", blk["attn"]["k"])
+        _exp_linear(out, lp + "attention.self.value", blk["attn"]["v"])
+        _exp_linear(out, lp + "attention.output.dense", blk["attn"]["o"])
+        _exp_ln(out, lp + "attention.output.LayerNorm", blk["attn_ln"])
+        _exp_linear(out, lp + "intermediate.dense", blk["mlp_in"])
+        _exp_linear(out, lp + "output.dense", blk["mlp_out"])
+        _exp_ln(out, lp + "output.LayerNorm", blk["mlp_ln"])
+    return out
+
+
+def export_head(tree: Dict, prefix: str) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    _exp_linear(out, prefix + "0", tree["fc1"])
+    _exp_linear(out, prefix + "3", tree["fc2"])
+    return out
+
+
+def export_fusion(tree: Dict, prefix: str = "fusion_layer.") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    _exp_linear(out, prefix + "0", tree["fc1"])
+    _exp_linear(out, prefix + "3", tree["fc2"])
+    _exp_linear(out, prefix + "5", tree["fc3"])
+    return out
+
+
+def export_efficientnet(tree: Dict, prefix: str = "efficientnet.") -> Dict[str, np.ndarray]:
+    from misinfo_tpu.models.efficientnet import B0_STAGES
+
+    out: Dict[str, np.ndarray] = {}
+    p = prefix
+    _exp_conv(out, p + "features.0.0", tree["stem"]["conv"])
+    _exp_bn(out, p + "features.0.1", tree["stem"]["bn"])
+    bi = 0
+    for stage_idx, (e, k, s, cin, cout, n) in enumerate(B0_STAGES, start=1):
+        for b in range(n):
+            tb = f"{p}features.{stage_idx}.{b}.block."
+            blk = tree["blocks"][bi]
+            if e != 1:
+                _exp_conv(out, tb + "0.0", blk["expand"]["conv"])
+                _exp_bn(out, tb + "0.1", blk["expand"]["bn"])
+                dw, se, proj = "1", "2", "3"
+            else:
+                dw, se, proj = "0", "1", "2"
+            _exp_conv(out, tb + dw + ".0", blk["dw"]["conv"])
+            _exp_bn(out, tb + dw + ".1", blk["dw"]["bn"])
+            for fc in ("fc1", "fc2"):
+                w = np.asarray(blk["se"][fc]["kernel"], np.float32).T
+                out[f"{tb}{se}.{fc}.weight"] = w[:, :, None, None]
+                out[f"{tb}{se}.{fc}.bias"] = np.asarray(
+                    blk["se"][fc]["bias"], np.float32)
+            _exp_conv(out, tb + proj + ".0", blk["project"]["conv"])
+            _exp_bn(out, tb + proj + ".1", blk["project"]["bn"])
+            bi += 1
+    _exp_conv(out, p + "features.8.0", tree["head"]["conv"])
+    _exp_bn(out, p + "features.8.1", tree["head"]["bn"])
+    _exp_linear(out, p + "classifier.1", tree["classifier"])
+    return out
+
+
+def export_clip(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    p = prefix
+    out[p + "text_model.embeddings.token_embedding.weight"] = np.asarray(
+        tree["text"]["token_embedding"], np.float32)
+    out[p + "text_model.embeddings.position_embedding.weight"] = np.asarray(
+        tree["text"]["position_embedding"], np.float32)
+    out[p + "vision_model.embeddings.class_embedding"] = np.asarray(
+        tree["vision"]["class_embedding"], np.float32)
+    out[p + "vision_model.embeddings.position_embedding.weight"] = np.asarray(
+        tree["vision"]["position_embedding"], np.float32)
+    out[p + "logit_scale"] = np.asarray(tree["logit_scale"], np.float32)
+    out[p + "vision_model.embeddings.patch_embedding.weight"] = np.asarray(
+        tree["vision"]["patch_embedding"], np.float32).transpose(3, 2, 0, 1)
+
+    def blocks(tower_prefix: str, tower: Dict):
+        for i, blk in enumerate(tower["blocks"]):
+            lp = f"{p}{tower_prefix}.encoder.layers.{i}."
+            _exp_ln(out, lp + "layer_norm1", blk["ln1"])
+            _exp_linear(out, lp + "self_attn.q_proj", blk["attn"]["q"])
+            _exp_linear(out, lp + "self_attn.k_proj", blk["attn"]["k"])
+            _exp_linear(out, lp + "self_attn.v_proj", blk["attn"]["v"])
+            _exp_linear(out, lp + "self_attn.out_proj", blk["attn"]["o"])
+            _exp_ln(out, lp + "layer_norm2", blk["ln2"])
+            _exp_linear(out, lp + "mlp.fc1", blk["mlp_in"])
+            _exp_linear(out, lp + "mlp.fc2", blk["mlp_out"])
+
+    blocks("text_model", tree["text"])
+    blocks("vision_model", tree["vision"])
+    _exp_ln(out, p + "text_model.final_layer_norm", tree["text"]["final_ln"])
+    _exp_ln(out, p + "vision_model.pre_layrnorm", tree["vision"]["pre_ln"])
+    _exp_ln(out, p + "vision_model.post_layernorm", tree["vision"]["post_ln"])
+    out[p + "text_projection.weight"] = np.asarray(
+        tree["text_projection"]["kernel"], np.float32).T
+    out[p + "visual_projection.weight"] = np.asarray(
+        tree["visual_projection"]["kernel"], np.float32).T
+    return out
+
+
+def export_reference_state_dicts(params: Dict):
+    """Detector param tree → (full_sd, clip_sd) in the reference's exact
+    key layout: `full_sd` is the `full_model_state_dict` payload of
+    forensics_master_final.pth (roberta./ai_head./misinfo_head./
+    efficientnet./fusion_layer. — reference misinfo_forensics.py:181-189;
+    the reference detector loads CLIP from an HF dir, so it ships
+    separately as `clip_sd` in the clip_detective_best.pth layout)."""
+    full = {}
+    full.update(export_roberta(params["roberta"], "roberta."))
+    full.update(export_head(params["ai_head"], "ai_head."))
+    full.update(export_head(params["misinfo_head"], "misinfo_head."))
+    full.update(export_efficientnet(params["efficientnet"], "efficientnet."))
+    full.update(export_fusion(params["fusion"], "fusion_layer."))
+    clip_sd = export_clip(params["clip"], "clip.")
+    return full, clip_sd
+
+
 def load_pth(path: str) -> Dict[str, Any]:
     """torch.load with the reference's settings (weights_only=False,
     reference misinfo_forensics.py:178)."""

@@ -113,7 +113,7 @@ def train(train_csv: str, val_csv: Optional[str] = None,
           epochs: int = 10, batch_size: int = 16, lr: float = 1e-4,
           det_cfg: Optional[DetectorConfig] = None,
           params: Optional[Dict] = None, precision: str = "bfloat16",
-          log=print):
+          epoch_callback=None, log=print):
     det_cfg = det_cfg or DetectorConfig()
     policy = Policy(PrecisionConfig(compute_dtype=precision))
     if params is None:
@@ -175,20 +175,28 @@ def train(train_csv: str, val_csv: Optional[str] = None,
 
     return run_training(params, opt_state, step, train_batches, eval_fn,
                         epochs=epochs, select_metric="median_accuracy",
-                        select_mode="max", checkpoint_fn=ckpt, log=log)
+                        select_mode="max", checkpoint_fn=ckpt,
+                        epoch_callback=epoch_callback, log=log)
 
 
 def hpo_search(train_csv: str, val_csv: Optional[str] = None,
-               n_trials: int = 8, epochs: int = 2, log=print) -> Dict:
-    """Hyperparameter search over lr/batch (reference Optuna study :427-454;
-    falls back to seeded random search when optuna is unavailable)."""
+               n_trials: int = 8, epochs: int = 2,
+               n_startup_trials: int = 2, log=print) -> Dict:
+    """Hyperparameter search over lr/batch replicating the reference's
+    Optuna-with-MedianPruner study (:427-454). Optuna is the optional
+    backend; without it the search uses the NATIVE median-stopping rule
+    (train/harness.py MedianPruner) via per-epoch callbacks — pruning is
+    real either way, not a dead import branch. ``n_startup_trials``
+    defaults to 2 here (vs optuna's 5) because the reference study runs
+    few trials."""
     space_lr = [3e-5, 1e-4, 3e-4, 1e-3]
     space_bs = [8, 16, 32]
 
-    def objective(lr, bs):
+    def objective(lr, bs, epoch_callback=None):
         res = train(train_csv, val_csv, out_dir="/tmp/clip_hpo_ckpt",
-                    epochs=epochs, batch_size=bs, lr=lr, log=lambda *_: None)
-        return res.best_metric
+                    epochs=epochs, batch_size=bs, lr=lr,
+                    epoch_callback=epoch_callback, log=lambda *_: None)
+        return res
 
     try:
         import optuna
@@ -196,22 +204,45 @@ def hpo_search(train_csv: str, val_csv: Optional[str] = None,
         def opt_obj(trial):
             lr = trial.suggest_float("lr", 1e-5, 1e-3, log=True)
             bs = trial.suggest_categorical("batch_size", space_bs)
-            return -objective(lr, bs)
 
-        study = optuna.create_study(pruner=optuna.pruners.MedianPruner())
+            def cb(epoch, metrics):
+                trial.report(metrics.get("val_median_accuracy", 0.0), epoch)
+                return not trial.should_prune()
+            res = objective(lr, bs, cb)
+            if res.pruned:
+                raise optuna.TrialPruned()
+            return -res.best_metric
+
+        study = optuna.create_study(pruner=optuna.pruners.MedianPruner(
+            n_startup_trials=n_startup_trials))
         study.optimize(opt_obj, n_trials=n_trials)
         best = dict(study.best_params)
         best["metric"] = -study.best_value
+        best["backend"] = "optuna"
     except ImportError:
+        from misinfo_tpu.train.harness import MedianPruner
         rng = np.random.default_rng(0)
+        pruner = MedianPruner(mode="max", n_startup_trials=n_startup_trials)
         best = {"metric": -np.inf}
-        for _ in range(n_trials):
+        n_pruned = 0
+        for t in range(n_trials):
             lr = float(rng.choice(space_lr))
             bs = int(rng.choice(space_bs))
-            m = objective(lr, bs)
-            log(f"trial lr={lr} bs={bs} → {m:.4f}")
-            if m > best["metric"]:
-                best = {"lr": lr, "batch_size": bs, "metric": m}
+            pruner.start_trial()
+
+            def cb(epoch, metrics):
+                return not pruner.report(
+                    epoch, metrics.get("val_median_accuracy", 0.0))
+            res = objective(lr, bs, cb)
+            pruner.complete_trial()
+            n_pruned += int(res.pruned)
+            status = "PRUNED" if res.pruned else f"{res.best_metric:.4f}"
+            log(f"trial {t}: lr={lr} bs={bs} → {status}")
+            if not res.pruned and res.best_metric > best["metric"]:
+                best = {"lr": lr, "batch_size": bs,
+                        "metric": res.best_metric}
+        best["backend"] = "native-median-pruner"
+        best["n_pruned"] = n_pruned
     log(f"best hyperparameters: {best}")
     return best
 

@@ -20,6 +20,54 @@ class TrainResult:
     best_epoch: int
     history: list = field(default_factory=list)
     params: Optional[Dict] = None
+    pruned: bool = False
+
+
+class MedianPruner:
+    """Native median-stopping rule — the reference's optuna
+    ``MedianPruner`` semantics (train_clip_detective.py:427-454) without
+    the optuna dependency: a running trial is pruned at epoch ``e`` when
+    its intermediate metric is strictly worse than the median of all prior
+    trials' intermediate values reported at the same epoch (optuna counts
+    every prior trial's reports, pruned ones included). ``n_startup_trials``
+    prior trials are required before any pruning and the first
+    ``n_warmup_steps`` epochs of each trial are never pruned (optuna
+    defaults 5 / 0). Optuna remains the optional backend in
+    `hpo_search`; this rule makes pruning real when it is absent."""
+
+    def __init__(self, mode: str = "max", n_startup_trials: int = 5,
+                 n_warmup_steps: int = 0):
+        assert mode in ("max", "min")
+        self.mode = mode
+        self.n_startup_trials = n_startup_trials
+        self.n_warmup_steps = n_warmup_steps
+        self.trials: list = []          # per-trial {epoch: value}
+        self._cur: Optional[Dict[int, float]] = None
+
+    def start_trial(self) -> None:
+        self._cur = {}
+
+    def report(self, epoch: int, value: float) -> bool:
+        """Record an intermediate value; True ⇒ the trial should be
+        PRUNED now."""
+        assert self._cur is not None, "call start_trial() first"
+        self._cur[epoch] = float(value)
+        if epoch < self.n_warmup_steps:
+            return False
+        if len(self.trials) < self.n_startup_trials:
+            return False
+        prior = [t[epoch] for t in self.trials if epoch in t]
+        if not prior:
+            return False
+        med = float(np.median(prior))
+        return value < med if self.mode == "max" else value > med
+
+    def complete_trial(self) -> None:
+        """Finish the running trial (pruned or not — its reports inform
+        future medians either way, as in optuna)."""
+        if self._cur is not None:
+            self.trials.append(self._cur)
+        self._cur = None
 
 
 def run_training(
@@ -35,6 +83,7 @@ def run_training(
     select_mode: str = "min",             # 'min' (val loss) | 'max' (accuracy)
     early_stop_patience: Optional[int] = None,  # reference: 3 (C15)
     checkpoint_fn: Optional[Callable] = None,   # (params, opt_state, epoch, metrics)
+    epoch_callback: Optional[Callable] = None,  # (epoch, metrics) -> bool; False = prune
     log: Callable[[str], None] = print,
 ) -> TrainResult:
     rng = jax.random.PRNGKey(seed)
@@ -43,6 +92,7 @@ def run_training(
     patience = 0
     history = []
     best_params = params
+    pruned = False
 
     for epoch in range(epochs):
         t0 = time.perf_counter()
@@ -70,6 +120,11 @@ def run_training(
                                    train_metrics.get(select_metric))
         if current is None:
             current = train_metrics.get("loss", 0.0)
+        if epoch_callback is not None and epoch_callback(epoch,
+                                                         all_metrics) is False:
+            log(f"trial pruned at epoch {epoch} (median-stopping rule)")
+            pruned = True
+            break
         improved = (current < best) if select_mode == "min" else (current > best)
         if improved:
             best, best_epoch, patience = current, epoch, 0
@@ -84,7 +139,7 @@ def run_training(
                 break
 
     return TrainResult(best_metric=float(best), best_epoch=best_epoch,
-                       history=history, params=best_params)
+                       history=history, params=best_params, pruned=pruned)
 
 
 def split_train_val(samples, val_fraction: float = 0.2, seed: int = 42):

