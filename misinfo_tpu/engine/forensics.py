@@ -459,11 +459,18 @@ class MisinfoForensics:
         loop prep batch N+1 while batch N executes (engine/batching.py);
         matters doubly on remote-attached TPUs where each sync pays a full
         round trip (docs/PERF.md)."""
+        from misinfo_tpu.utils.tracing import GLOBAL_TRACER
+        t0 = time.perf_counter()
         dispatches, results = self._dispatch_batch(requests)
 
         def finalize() -> List[Dict]:
-            return self._finalize_batch(dispatches, results, requests,
-                                        explanations)
+            out = self._finalize_batch(dispatches, results, requests,
+                                       explanations)
+            # async path feeds the same analyze counters as the sync one
+            # (dispatch→finalize wall time; /metrics reads these)
+            GLOBAL_TRACER.event("analyze", time.perf_counter() - t0,
+                                n_requests=len(requests))
+            return out
 
         return finalize
 

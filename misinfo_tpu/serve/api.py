@@ -71,6 +71,21 @@ class ForensicsAPI:
             "tokenizer_grades": getattr(self.engine, "tokenizer_grades", {}),
         }
 
+    def metrics(self) -> Dict:
+        """Serving counters from the structured tracer (SURVEY §5 metrics
+        subsystem): cumulative per-stage seconds/counts and the aggregate
+        verdicts/sec since process start."""
+        from misinfo_tpu.utils.tracing import GLOBAL_TRACER
+
+        summary = GLOBAL_TRACER.summary()
+        out = {"verdicts_per_sec": round(summary.get("verdicts_per_sec",
+                                                     0.0), 3)}
+        for k, v in sorted(summary.items()):
+            if k.endswith("_seconds") or k.endswith("_count") \
+                    or k.endswith("_n_requests"):
+                out[k] = round(float(v), 6)
+        return out
+
     def analyze(self, req: Dict) -> Dict:
         return self.batcher.submit(_decode_request_image(req)).result()
 
@@ -96,6 +111,8 @@ def _make_handler(api: ForensicsAPI):
         def do_GET(self):  # noqa: N802 (stdlib API)
             if self.path == "/healthz":
                 self._send(200, api.health())
+            elif self.path == "/metrics":
+                self._send(200, api.metrics())
             else:
                 self._send(404, {"error": "unknown endpoint"})
 

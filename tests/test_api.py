@@ -47,6 +47,20 @@ def test_healthz(api_server):
         body = json.loads(r.read())
     assert body["status"] == "ok"
     assert body["checkpoint_mode"] == "provided"
+    # hash-fallback tokenizers (no assets in this image) must be surfaced
+    assert body["tokenizer_parity"] is False
+    assert set(body["tokenizer_grades"]) == {"roberta", "clip"}
+
+
+def test_metrics_endpoint(api_server):
+    # drive one request so the counters are nonzero, then scrape
+    code, _ = _post(api_server + "/analyze", {"text": "metrics probe"})
+    assert code == 200
+    with urllib.request.urlopen(api_server + "/metrics", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["verdicts_per_sec"] > 0
+    assert body.get("analyze_count", 0) >= 1
+    assert body.get("analyze_seconds", 0) > 0
 
 
 def test_analyze_text(api_server):
