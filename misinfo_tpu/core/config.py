@@ -116,8 +116,10 @@ class ServingConfig:
 
     batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
     # video requests batch too (V videos → one [V·max_frames]-frame
-    # program); smaller buckets because each video carries ≤12 frames
-    video_batch_buckets: Tuple[int, ...] = (1, 2, 4, 8)
+    # program); smaller buckets because each video carries ≤12 frames.
+    # Measured throughput climbs through V=16 (284 → 306 videos/s from
+    # V=8 → V=16, docs/PERF.md round 2), so bursts batch up to 16.
+    video_batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16)
     max_wait_ms: float = 5.0           # micro-batching window
     donate_buffers: bool = True
     # Sequence packing for text traffic: pack ragged requests into shared
