@@ -49,11 +49,11 @@ def _decode_request_image(req: Dict):
 class ForensicsAPI:
     """Holds the engine + batching server; handler delegates here."""
 
-    def __init__(self, engine=None, config=None):
+    def __init__(self, engine=None, config=None, mesh=None):
         from misinfo_tpu.engine.batching import BatchingEngine
         from misinfo_tpu.engine.forensics import MisinfoForensics
 
-        self.engine = engine or MisinfoForensics(config=config)
+        self.engine = engine or MisinfoForensics(config=config, mesh=mesh)
         self.batcher = BatchingEngine(self.engine)
 
     def health(self) -> Dict:
@@ -155,6 +155,8 @@ def main(argv=None) -> int:
     p.add_argument("--vault", default=None)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto")
+    p.add_argument("--mesh", default=None,
+                   help="Serve over a device mesh: 'data=N[,model=M]'")
     args = p.parse_args(argv)
 
     if args.device != "auto":
@@ -174,7 +176,11 @@ def main(argv=None) -> int:
         import dataclasses
         cfg = cfg.replace(paths=dataclasses.replace(cfg.paths, **updates))
 
-    api = ForensicsAPI(config=cfg)
+    mesh = None
+    if args.mesh:
+        from misinfo_tpu.core.mesh import make_mesh, parse_mesh_spec
+        mesh = make_mesh(parse_mesh_spec(args.mesh))
+    api = ForensicsAPI(config=cfg, mesh=mesh)
     httpd = serve(api, args.port, args.host)
     print(f"misinfo_tpu API listening on {args.host}:{httpd.server_address[1]}")
     try:

@@ -28,6 +28,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "takes precedence over the torch .pth cascade)")
     p.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto",
                    help="Force a JAX backend (cpu is useful when the TPU is busy)")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="Serve over a device mesh: 'data=N[,model=M]' "
+                        "(DP batch sharding + optional tensor parallelism; "
+                        "vaults past vault_shard_min_rows row-shard "
+                        "automatically)")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -55,7 +60,11 @@ def main(argv=None) -> int:
         cfg = cfg.replace(paths=cfg.paths.__class__(
             **{**cfg.paths.__dict__, "orbax_dir": args.checkpoint}))
 
-    engine = MisinfoForensics(config=cfg)
+    mesh = None
+    if args.mesh:
+        from misinfo_tpu.core.mesh import make_mesh, parse_mesh_spec
+        mesh = make_mesh(parse_mesh_spec(args.mesh))
+    engine = MisinfoForensics(config=cfg, mesh=mesh)
 
     if args.batch_file:
         with open(args.batch_file, encoding="utf-8") as f:

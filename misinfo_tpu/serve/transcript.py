@@ -36,6 +36,10 @@ _SIZES = {
                  ffn_dim=2048),
     "small": dict(d_model=768, encoder_layers=12, decoder_layers=12,
                   num_heads=12, ffn_dim=3072),
+    "medium": dict(d_model=1024, encoder_layers=24, decoder_layers=24,
+                   num_heads=16, ffn_dim=4096),
+    "large": dict(d_model=1280, encoder_layers=32, decoder_layers=32,
+                  num_heads=20, ffn_dim=5120),
 }
 
 

@@ -162,6 +162,28 @@ def test_engine_mesh_video_matches_single(vault_path, shared_params,
                           meshed.analyze_batch(req))
 
 
+def test_engine_sharded_vault_int8_combo(vault_path, shared_params):
+    """Row sharding composes with the int8 capacity mode: 4× articles per
+    chip per shard — the ~10M-articles/chip/shard story in docs/SCALING.md.
+    int8 quantization error (~0.5-1% sims) means we compare the sharded
+    int8 engine against the REPLICATED int8 engine (identical quantized
+    rows), which must match exactly."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(MeshConfig(model=1))
+    int8_rep = MisinfoForensics(
+        config=_cfg(vault_path, vault_dtype="int8"), det_cfg=DET,
+        params=_copy(shared_params))
+    int8_shard = MisinfoForensics(
+        config=_cfg(vault_path, vault_dtype="int8", vault_shard_min_rows=64),
+        det_cfg=DET, params=_copy(shared_params), mesh=mesh)
+    assert int8_shard._vault_sharded
+    assert int8_shard._vault_device["vault_emb"].dtype == jnp.int8
+    reqs = [{"image": _img(7)}, {"image": _img(8)}]
+    _assert_reports_match(int8_rep.analyze_batch(reqs),
+                          int8_shard.analyze_batch(reqs))
+
+
 def test_vault_search_sharded_function_equals_exact():
     """Direct function-level equality: row-sharded shard_map search vs the
     exact replicated vault_search on identical inputs."""
