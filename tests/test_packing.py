@@ -285,3 +285,32 @@ def test_engine_auto_pack_decision(tmp_path, monkeypatch):
     for a, b in zip(out_auto, out_dense):
         assert a["verdict"] == b["verdict"]
         assert abs(a["scores"]["misinfo_score"] - b["scores"]["misinfo_score"]) < 1e-4
+
+
+def test_auto_pack_packs_exactly_once(tmp_path, monkeypatch):
+    """The auto-pack decision's trial pack IS the served pack: one
+    pack_token_rows call per batch, with the winning layout reusing the
+    trial arrays via pad_packed_rows (ADVICE r1 — no duplicate host work)."""
+    from misinfo_tpu.engine.forensics import MisinfoForensics
+    from misinfo_tpu.preprocess import packing as P
+
+    det_cfg = DetectorConfig.tiny()
+    base = ForensicsConfig(verbose=False).replace(
+        precision=PrecisionConfig.highest())
+    base = base.replace(
+        paths=base.paths.__class__(vault_path=str(tmp_path / "missing.npz")),
+        seq=base.seq.__class__(roberta_max_len=32, image_size=64),
+        serving=base.serving.__class__(pack_text="auto"))
+    params = detector_init(jax.random.PRNGKey(0), det_cfg)
+    eng = MisinfoForensics(config=base, det_cfg=det_cfg, params=params)
+
+    calls = []
+    orig = P.pack_token_rows
+    monkeypatch.setattr(P, "pack_token_rows",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+
+    ragged = [{"text": t} for t in
+              ["one", "two words here", "x", "short", "tiny",
+               "another small thing", "ok", "final entry"]]
+    eng.analyze_batch(ragged)
+    assert len(calls) == 1, f"packed {len(calls)} times for one batch"
