@@ -271,15 +271,63 @@ def convert_whisper(sd: Mapping, prefix: str = "",
     return out
 
 
-def load_whisper_from_torch(params: Dict, path: str) -> Tuple[Dict, int]:
-    """Load an HF-format Whisper ``.pt``/``.pth``/``.bin`` checkpoint into a
-    whisper param tree. Returns (params, n_applied); strict=False overlay
-    semantics like every other reference loader (C10)."""
+def whisper_state_dict(path: str) -> Mapping:
+    """Load an HF-format Whisper ``.pt``/``.pth``/``.bin`` file and unwrap
+    it to a flat state dict (handles 'model_state_dict' wrappers and saved
+    nn.Module objects)."""
     ckpt = load_pth(path)
     sd = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    applied, _ = apply_updates(params, convert_whisper(sd))
+    return sd
+
+
+def whisper_config_from_torch(sd: Mapping) -> Dict[str, int]:
+    """Infer WhisperConfig fields from a checkpoint's own tensor shapes.
+
+    The checkpoint, not the ambient tokenizer, is the source of truth for
+    the architecture: without this, constructing the model from a fallback
+    tokenizer's vocab (e.g. the 1864-entry byte tokenizer) would silently
+    shape-skip the real 51865-row token embedding while every other tensor
+    applies — yielding a 'loaded' model that decodes garbage. All whisper
+    sizes use head_dim 64 (tiny 384/6 … large 1280/20), so num_heads
+    follows d_model. Returns {} when the dict has no whisper decoder."""
+    keys = list(sd.keys())
+    p = "model." if any(k.startswith("model.") for k in keys) else ""
+    emb = sd.get(p + "decoder.embed_tokens.weight")
+    if emb is None:
+        return {}
+    vocab_size, d_model = int(emb.shape[0]), int(emb.shape[1])
+
+    def _count(tower: str) -> int:
+        n = -1
+        mark = f"{p}{tower}.layers."
+        for k in keys:
+            if k.startswith(mark):
+                n = max(n, int(k[len(mark):].split(".")[0]))
+        return n + 1
+
+    out = dict(vocab_size=vocab_size, d_model=d_model,
+               num_heads=max(d_model // 64, 1),
+               encoder_layers=_count("encoder"),
+               decoder_layers=_count("decoder"))
+    fc1 = sd.get(p + "encoder.layers.0.fc1.weight")
+    if fc1 is not None:
+        out["ffn_dim"] = int(fc1.shape[0])
+    enc_pos = sd.get(p + "encoder.embed_positions.weight")
+    if enc_pos is not None:
+        out["max_source_positions"] = int(enc_pos.shape[0])
+    dec_pos = sd.get(p + "decoder.embed_positions.weight")
+    if dec_pos is not None:
+        out["max_target_positions"] = int(dec_pos.shape[0])
+    return out
+
+
+def load_whisper_from_torch(params: Dict, path: str) -> Tuple[Dict, int]:
+    """Load an HF-format Whisper ``.pt``/``.pth``/``.bin`` checkpoint into a
+    whisper param tree. Returns (params, n_applied); strict=False overlay
+    semantics like every other reference loader (C10)."""
+    applied, _ = apply_updates(params, convert_whisper(whisper_state_dict(path)))
     return params, applied
 
 

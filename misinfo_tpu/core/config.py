@@ -45,6 +45,20 @@ class VideoConfig:
 
 
 @dataclass(frozen=True)
+class WhisperDecodeConfig:
+    """openai-whisper ``transcribe()`` defaults, inherited verbatim by the
+    reference's transcript call (forensics_dashboard.py:80-83 →
+    whisper/transcribe.py): the temperature-fallback ladder, the
+    compression-ratio / avg-logprob acceptance checks, and the no-speech
+    silence gate. serve/transcript.py consumes these."""
+
+    fallback_temperatures: Tuple[float, ...] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+    compression_ratio_threshold: float = 2.4
+    logprob_threshold: float = -1.0
+    no_speech_threshold: float = 0.6
+
+
+@dataclass(frozen=True)
 class ModelPaths:
     """Checkpoint / asset locations. All relative by default (the reference
     bakes in Windows absolute paths; we consciously fix that, SURVEY.md §5)."""

@@ -134,6 +134,16 @@ class ByteWhisperTokenizer:
         return data.decode("utf-8", errors="replace")
 
 
+def specials_for_vocab(vocab_size: int) -> _WhisperSpecials:
+    """The canonical special-token layout implied by a total vocab size:
+    vocab = eot + 1 (sot) + 99 (languages) + 6 (task/control) + 1501
+    (timestamps) + 1 ⇒ eot = vocab − 1608. Multilingual 51865 → eot 50257,
+    English-only 51864 → eot 50256 — both match openai-whisper. Used when a
+    checkpoint's embedding rows, not the loaded tokenizer, pin the model's
+    vocab (checkpoints/torch_convert.whisper_config_from_torch)."""
+    return _WhisperSpecials(eot=max(vocab_size - 1608, 0))
+
+
 def load_whisper_tokenizer(tokenizer_dir: Optional[str] = None,
                            language: str = "en", task: str = "transcribe"):
     """Parity-grade BPE when vocab assets exist, byte fallback otherwise

@@ -29,14 +29,19 @@ ASSETS = {
 # minimum merge-rule count. Content hashes are intentionally NOT pinned —
 # the published files have several byte-equivalent re-serializations; the
 # structural contract is what the BPE encoders actually depend on.
+# Whisper accepts BOTH published layouts: the multilingual vocab.json
+# (50258 entries, <|endoftext|> at 50257) and the English-only GPT-2 vocab
+# (50257 entries, <|endoftext|> at 50256); either way the eot token must
+# be present and LAST — that is the anchor whisper_tokenizer.py derives
+# the whole special block from.
 EXPECTED = {
-    "roberta-base": dict(vocab_size=50265, merges_min=49000,
+    "roberta-base": dict(vocab_size=(50265,), merges_min=49000,
                          specials=("<s>", "<pad>", "</s>", "<unk>")),
-    "clip-vit-base-patch32": dict(vocab_size=49408, merges_min=48000,
+    "clip-vit-base-patch32": dict(vocab_size=(49408,), merges_min=48000,
                                   specials=("<|startoftext|>",
                                             "<|endoftext|>")),
-    "whisper-base": dict(vocab_size=50257, merges_min=49000,
-                         specials=("<|endoftext|>",)),
+    "whisper-base": dict(vocab_size=(50257, 50258), merges_min=49000,
+                         specials=("<|endoftext|>",), eot_last=True),
 }
 
 
@@ -64,15 +69,23 @@ def verify_assets(asset_dir: str, name: Optional[str] = None,
         merges = [ln for ln in f.read().split("\n")
                   if ln.strip() and not ln.startswith("#version")]
     if exp:
-        if len(vocab) != exp["vocab_size"]:
+        sizes = exp["vocab_size"]
+        if len(vocab) not in sizes:
             problems.append(f"vocab has {len(vocab)} entries, expected "
-                            f"{exp['vocab_size']}")
+                            + " or ".join(str(s) for s in sizes))
         if len(merges) < exp["merges_min"]:
             problems.append(f"only {len(merges)} merge rules, expected ≥ "
                             f"{exp['merges_min']}")
         for s in exp["specials"]:
             if s not in vocab:
                 problems.append(f"special token {s!r} missing from vocab")
+        if exp.get("eot_last") and vocab.get("<|endoftext|>") not in (
+                None, len(vocab) - 1):
+            # (None already reported above as a missing special)
+            problems.append(
+                f"<|endoftext|> at id {vocab['<|endoftext|>']}, expected "
+                f"{len(vocab) - 1} (must be the LAST vocab entry — the "
+                "special-block anchor)")
     else:
         if len(vocab) < 100 or len(merges) < 100:
             problems.append("vocab/merges implausibly small")

@@ -43,19 +43,22 @@ _SIZES = {
 }
 
 
-# openai-whisper's transcribe() defaults, which the reference inherits
+# The reference inherits openai-whisper's transcribe() defaults
 # (forensics_dashboard.py:80-83): retry at rising temperatures when the
 # decode looks degenerate (too-compressible = repetitive loops) or
-# low-confidence; the last rung is accepted unconditionally.
-_FALLBACK_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
-_COMPRESSION_RATIO_THRESHOLD = 2.4
-_LOGPROB_THRESHOLD = -1.0
-_NO_SPEECH_THRESHOLD = 0.6
+# low-confidence; the last rung is accepted unconditionally. The constants
+# live in core/config.py (WhisperDecodeConfig) like every other reference
+# behavioral constant.
+from misinfo_tpu.core.config import WhisperDecodeConfig
+
+_DECODE_DEFAULTS = WhisperDecodeConfig()
 
 
 def needs_fallback(text: str, avg_logprob: float,
-                   compression_ratio_threshold: float = _COMPRESSION_RATIO_THRESHOLD,
-                   logprob_threshold: float = _LOGPROB_THRESHOLD) -> bool:
+                   compression_ratio_threshold: float =
+                   _DECODE_DEFAULTS.compression_ratio_threshold,
+                   logprob_threshold: float =
+                   _DECODE_DEFAULTS.logprob_threshold) -> bool:
     """whisper/transcribe.py acceptance test: retry when the transcript
     compresses too well (token loops) or the mean token log-prob is low."""
     import zlib
@@ -74,14 +77,16 @@ class WhisperTranscriber:
 
     def __init__(self, checkpoint_dir: Optional[str] = None,
                  size: Optional[str] = None,
-                 tokenizer_dir: Optional[str] = None):
+                 tokenizer_dir: Optional[str] = None,
+                 decode_cfg: WhisperDecodeConfig = _DECODE_DEFAULTS):
         import jax
 
         from misinfo_tpu.checkpoints.io import load_metadata
         from misinfo_tpu.models.whisper import WhisperConfig, whisper_init
         from misinfo_tpu.preprocess.whisper_tokenizer import (
-            load_whisper_tokenizer)
+            load_whisper_tokenizer, specials_for_vocab)
 
+        self.decode_cfg = decode_cfg
         # tokenizer first: its special-token layout pins the decoder ids
         if tokenizer_dir is None and checkpoint_dir and os.path.isdir(
                 os.path.join(str(checkpoint_dir), "tokenizer")):
@@ -98,29 +103,54 @@ class WhisperTranscriber:
             # native checkpoints self-describe their architecture
             kw = {k: v for k, v in meta["whisper_config"].items()
                   if k in WhisperConfig.__dataclass_fields__}
+        sd = None
+        if checkpoint_dir and os.path.isfile(str(checkpoint_dir)):
+            # HF torch file: the checkpoint's OWN shapes pin the
+            # architecture. Building the model from a fallback tokenizer's
+            # vocab instead would silently shape-skip the real token
+            # embedding while the rest applies — a 'loaded' model that
+            # decodes garbage (torch_convert.whisper_config_from_torch)
+            from misinfo_tpu.checkpoints.torch_convert import (
+                whisper_config_from_torch, whisper_state_dict)
+            try:
+                sd = whisper_state_dict(str(checkpoint_dir))
+                kw.update(whisper_config_from_torch(sd))
+            except Exception:
+                sd = None
         kw.setdefault("vocab_size", sp.vocab_size)
-        kw.setdefault("eos_token_id", sp.eot)
-        kw.setdefault("decoder_start_token_id", sp.sot)
+        if kw["vocab_size"] == sp.vocab_size:
+            kw.setdefault("eos_token_id", sp.eot)
+            kw.setdefault("decoder_start_token_id", sp.sot)
+        else:
+            # checkpoint vocab ≠ loaded tokenizer: decoder ids follow the
+            # canonical layout for that vocab (transcribe() stays gated
+            # off by tokenizer_compatible below)
+            csp = specials_for_vocab(kw["vocab_size"])
+            kw.setdefault("eos_token_id", csp.eot)
+            kw.setdefault("decoder_start_token_id", csp.sot)
         self.cfg = WhisperConfig(**kw)
 
         self.params = whisper_init(jax.random.PRNGKey(0), self.cfg)
         self.has_weights = False
-        if checkpoint_dir:
-            if os.path.isdir(str(checkpoint_dir)):
-                from misinfo_tpu.checkpoints.io import load_checkpoint
-                restored = load_checkpoint(str(checkpoint_dir), self.params)
-                if restored is not None:
-                    self.params = restored
-                    self.has_weights = True
-            elif os.path.isfile(str(checkpoint_dir)):
-                from misinfo_tpu.checkpoints.torch_convert import (
-                    load_whisper_from_torch)
-                try:
-                    self.params, applied = load_whisper_from_torch(
-                        self.params, str(checkpoint_dir))
-                    self.has_weights = applied > 0
-                except Exception:
-                    self.has_weights = False
+        if sd is not None:
+            from misinfo_tpu.checkpoints.torch_convert import (
+                apply_updates, convert_whisper)
+            try:
+                applied, skipped = apply_updates(self.params,
+                                                 convert_whisper(sd))
+                # the token embedding is load-bearing for decode: a
+                # conversion that skipped it did not produce a usable model
+                emb_skipped = any(p == ("decoder", "token_embedding")
+                                  for p, _ in skipped)
+                self.has_weights = applied > 0 and not emb_skipped
+            except Exception:
+                self.has_weights = False
+        elif checkpoint_dir and os.path.isdir(str(checkpoint_dir)):
+            from misinfo_tpu.checkpoints.io import load_checkpoint
+            restored = load_checkpoint(str(checkpoint_dir), self.params)
+            if restored is not None:
+                self.params = restored
+                self.has_weights = True
         # the decoder can only emit text the tokenizer can spell: a
         # byte-fallback tokenizer against a 51865-vocab model (or any other
         # mismatch) is NOT a working capability
@@ -177,9 +207,9 @@ class WhisperTranscriber:
             prompt = jnp.asarray(
                 [self.tokenizer.sot_sequence()[1:]], jnp.int32)
 
+            dc = self.decode_cfg
             text, avg_lp = "", 0.0
-            greedy_lp = None
-            for t in _FALLBACK_TEMPERATURES:
+            for t in dc.fallback_temperatures:
                 if t == 0.0:
                     tokens, lp = greedy(self.params, enc, prompt)
                 else:
@@ -187,18 +217,19 @@ class WhisperTranscriber:
                                          jnp.float32(t),
                                          jax.random.PRNGKey(int(t * 10)))
                 avg_lp = float(np.asarray(lp)[0])
-                if greedy_lp is None:
-                    greedy_lp = avg_lp
                 ids = [int(x) for x in np.asarray(tokens)[0]]
                 text = self.tokenizer.decode(ids).strip()
-                if not needs_fallback(text, avg_lp):
+                if not needs_fallback(text, avg_lp,
+                                      dc.compression_ratio_threshold,
+                                      dc.logprob_threshold):
                     break
-            # whisper's silence rule: confident no-speech + low logprob →
-            # the segment is treated as silent (transcribe.py
-            # no_speech_threshold), using the GREEDY rung's logprob
-            if (no_speech > _NO_SPEECH_THRESHOLD
-                    and greedy_lp is not None
-                    and greedy_lp < _LOGPROB_THRESHOLD):
+            # whisper's silence rule (transcribe.py): a confidently
+            # no-speech segment is dropped UNLESS the accepted result's
+            # avg_logprob clears the threshold — the FINAL rung's logprob,
+            # exactly as openai-whisper decides it (which likewise runs the
+            # whole ladder on silent audio before discarding it)
+            if (no_speech > dc.no_speech_threshold
+                    and avg_lp <= dc.logprob_threshold):
                 return ""
             return text
         except Exception as e:

@@ -234,7 +234,7 @@ def hpo_search(train_csv: str, val_csv: Optional[str] = None,
                 return not pruner.report(
                     epoch, metrics.get("val_median_accuracy", 0.0))
             res = objective(lr, bs, cb)
-            pruner.complete_trial()
+            pruner.complete_trial(pruned=res.pruned)
             n_pruned += int(res.pruned)
             status = "PRUNED" if res.pruned else f"{res.best_metric:.4f}"
             log(f"trial {t}: lr={lr} bs={bs} → {status}")

@@ -27,9 +27,10 @@ class MedianPruner:
     """Native median-stopping rule — the reference's optuna
     ``MedianPruner`` semantics (train_clip_detective.py:427-454) without
     the optuna dependency: a running trial is pruned at epoch ``e`` when
-    its intermediate metric is strictly worse than the median of all prior
-    trials' intermediate values reported at the same epoch (optuna counts
-    every prior trial's reports, pruned ones included). ``n_startup_trials``
+    its best intermediate metric so far is strictly worse than the median
+    of prior COMPLETED (non-pruned) trials' intermediate values reported
+    at the same epoch — optuna's PercentilePruner filters
+    ``TrialState.COMPLETE`` for the median. ``n_startup_trials``
     prior trials are required before any pruning and the first
     ``n_warmup_steps`` epochs of each trial are never pruned (optuna
     defaults 5 / 0). Optuna remains the optional backend in
@@ -49,7 +50,11 @@ class MedianPruner:
 
     def report(self, epoch: int, value: float) -> bool:
         """Record an intermediate value; True ⇒ the trial should be
-        PRUNED now."""
+        PRUNED now. As in optuna, the comparison value is the running
+        trial's BEST intermediate result so far (PercentilePruner's
+        _get_best_intermediate_result_over_steps), not just the current
+        epoch's — a trial that once beat the median is never pruned by a
+        later dip at that level."""
         assert self._cur is not None, "call start_trial() first"
         self._cur[epoch] = float(value)
         if epoch < self.n_warmup_steps:
@@ -60,12 +65,15 @@ class MedianPruner:
         if not prior:
             return False
         med = float(np.median(prior))
-        return value < med if self.mode == "max" else value > med
+        vals = self._cur.values()
+        best = max(vals) if self.mode == "max" else min(vals)
+        return best < med if self.mode == "max" else best > med
 
-    def complete_trial(self) -> None:
-        """Finish the running trial (pruned or not — its reports inform
-        future medians either way, as in optuna)."""
-        if self._cur is not None:
+    def complete_trial(self, pruned: bool = False) -> None:
+        """Finish the running trial. A pruned trial's reports do NOT
+        inform future medians or the startup count (optuna considers
+        COMPLETE trials only)."""
+        if self._cur is not None and not pruned:
             self.trials.append(self._cur)
         self._cur = None
 

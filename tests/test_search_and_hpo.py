@@ -108,11 +108,18 @@ def test_median_pruner_synthetic_curves():
     pr.start_trial()
     assert pr.report(0, 0.1) is False        # warmup epoch
     assert pr.report(1, 0.2) is True         # below median → prune
-    pr.complete_trial()
+    pr.complete_trial(pruned=True)
 
-    # pruned trials' reports still inform future medians (optuna behavior)
-    assert len(pr.trials) == 4
-    assert pr.trials[-1] == {0: 0.1, 1: 0.2}
+    # a pruned trial's reports do NOT inform future medians — optuna's
+    # PercentilePruner filters TrialState.COMPLETE
+    assert len(pr.trials) == 3
+
+    # best-so-far comparison (optuna): a trial that once beat the median
+    # is never pruned by a later dip at that level
+    pr.start_trial()
+    assert pr.report(0, 0.95) is False
+    assert pr.report(1, 0.2) is False   # best-so-far 0.95 ≥ median 0.7
+    pr.complete_trial()
 
     # min mode: prune when ABOVE the median
     prm = MedianPruner(mode="min", n_startup_trials=1)

@@ -281,3 +281,33 @@ def test_dotenv_file_loaded_for_gemini_key(tmp_path, monkeypatch):
             os.environ.pop(k, None)
             if v is not None:
                 os.environ[k] = v
+
+
+def test_whisper_asset_verification_layouts(tmp_path):
+    """Round-2 review regression: BOTH published whisper vocab layouts must
+    verify — multilingual (50258 entries, <|endoftext|> last) and
+    English-only GPT-2 (50257, eot at 50256) — while an eot that is not the
+    last entry fails (it anchors the whole special block)."""
+    import json
+
+    from misinfo_tpu.serve.download import verify_assets
+
+    d = tmp_path / "whisper-base"
+    d.mkdir()
+    (d / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(f"a{i} b{i}" for i in range(49500)))
+
+    def write_vocab(n, eot_id):
+        vocab = {f"t{i}": i for i in range(n) if i != eot_id}
+        vocab["<|endoftext|>"] = eot_id
+        (d / "vocab.json").write_text(json.dumps(vocab))
+
+    write_vocab(50258, 50257)            # multilingual layout
+    ok, problems = verify_assets(str(d))
+    assert ok, problems
+    write_vocab(50257, 50256)            # English-only GPT-2 layout
+    ok, problems = verify_assets(str(d))
+    assert ok, problems
+    write_vocab(50258, 10)               # eot not last → broken anchor
+    ok, problems = verify_assets(str(d))
+    assert not ok and any("LAST" in p for p in problems)

@@ -255,3 +255,48 @@ def test_whisper_tokenizer_from_assets(tmp_path):
     assert tok.vocab_size == 8 + 1 + 1 + 99 + 6 + 1501
     assert tok.encode("hello") == [7]
     assert tok.decode([7, tok.specials.eot, tok.specials.sot]) == "hello"
+
+
+def test_torch_checkpoint_pins_architecture(tmp_path):
+    """Round-2 review regression: an HF torch checkpoint whose vocab
+    disagrees with the loaded tokenizer must NOT yield a 'loaded' model
+    whose token embedding was silently shape-skipped. The checkpoint's own
+    shapes pin WhisperConfig (torch_convert.whisper_config_from_torch) and
+    the vocab mismatch gates transcribe() off entirely."""
+    torch = pytest.importorskip("torch")
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    sd = {
+        "decoder.embed_tokens.weight": torch.zeros(1900, 64),
+        "decoder.embed_positions.weight": torch.zeros(16, 64),
+        "encoder.embed_positions.weight": torch.zeros(32, 64),
+    }
+    p = tmp_path / "whisper_foreign.pt"
+    torch.save(sd, str(p))
+    tr = WhisperTranscriber(str(p))
+    # architecture follows the checkpoint, not the byte-fallback tokenizer
+    assert tr.cfg.vocab_size == 1900 and tr.cfg.d_model == 64
+    assert tr.cfg.max_source_positions == 32
+    assert tr.has_weights       # embed_tokens applied at its TRUE shape
+    assert not tr.tokenizer_compatible
+    assert tr.transcribe("/nonexistent.wav") == ""  # soft-fail, no garbage
+
+
+def test_whisper_config_from_torch_inference():
+    """Shape-derived config covers both bare and `model.`-prefixed HF
+    state dicts; num_heads follows whisper's universal head_dim 64."""
+    from misinfo_tpu.checkpoints.torch_convert import whisper_config_from_torch
+
+    sd = {
+        "model.decoder.embed_tokens.weight": np.zeros((51865, 512)),
+        "model.decoder.embed_positions.weight": np.zeros((448, 512)),
+        "model.encoder.embed_positions.weight": np.zeros((1500, 512)),
+        "model.encoder.layers.0.fc1.weight": np.zeros((2048, 512)),
+        "model.encoder.layers.5.fc1.weight": np.zeros((2048, 512)),
+        "model.decoder.layers.5.fc1.weight": np.zeros((2048, 512)),
+    }
+    got = whisper_config_from_torch(sd)
+    assert got == dict(vocab_size=51865, d_model=512, num_heads=8,
+                       encoder_layers=6, decoder_layers=6, ffn_dim=2048,
+                       max_source_positions=1500, max_target_positions=448)
+    assert whisper_config_from_torch({"unrelated": np.zeros((3,))}) == {}
