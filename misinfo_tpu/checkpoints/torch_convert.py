@@ -545,6 +545,21 @@ def load_detector_from_reference_ckpts(params: Dict, paths) -> Dict[str, Any]:
             report["skipped"].extend(sk)
         return n
 
+    def _load_clip():
+        # CLIP loads in BOTH modes: the reference sources its CLIP tower
+        # from an HF model dir independently of the detector checkpoint
+        # (misinfo_forensics.py:209-212 — the monolithic
+        # full_model_state_dict carries no clip.* keys), so our
+        # clip_detective overlay must not be gated on the detector cascade
+        if os.path.exists(paths.clip_weights):
+            ckpt = load_pth(paths.clip_weights)
+            if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
+                a, sk = apply_updates(
+                    params["clip"],
+                    convert_clip(ckpt["model_state_dict"], "clip."))
+                report["applied"] += a
+                report["skipped"].extend(sk)
+
     if os.path.exists(paths.fusion_weights):
         ckpt = load_pth(paths.fusion_weights)
         if isinstance(ckpt, dict) and "full_model_state_dict" in ckpt:
@@ -552,6 +567,7 @@ def load_detector_from_reference_ckpts(params: Dict, paths) -> Dict[str, Any]:
             report["applied"] = _overlay_full(ckpt["full_model_state_dict"])
             report["epoch"] = ckpt.get("epoch")
             report["accuracy"] = ckpt.get("accuracy")
+            _load_clip()
             return report
 
     report["mode"] = "individual"
@@ -567,11 +583,5 @@ def load_detector_from_reference_ckpts(params: Dict, paths) -> Dict[str, Any]:
             a, sk = apply_updates(params[sub], conv(sd))
             report["applied"] += a
             report["skipped"].extend(sk)
-    if os.path.exists(paths.clip_weights):
-        ckpt = load_pth(paths.clip_weights)
-        if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
-            a, sk = apply_updates(params["clip"],
-                                  convert_clip(ckpt["model_state_dict"], "clip."))
-            report["applied"] += a
-            report["skipped"].extend(sk)
+    _load_clip()
     return report

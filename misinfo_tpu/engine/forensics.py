@@ -260,10 +260,21 @@ class MisinfoForensics:
                                      P(axis, *([None] * (v.ndim - 1)))))
                 for k, v in batch.items()}
 
+    @property
+    def _rb_max(self) -> int:
+        """Effective RoBERTa row length: the configured max clamped to the
+        position table (-2 for the reference's pad-offset rows). The single
+        definition every tokenize/pack/warmup path shares."""
+        return min(self.cfg.seq.roberta_max_len,
+                   self.det_cfg.roberta.max_position_embeddings - 2)
+
+    @property
+    def _cl_len(self) -> int:
+        """Effective CLIP text length (config clamp vs model max)."""
+        return min(self.cfg.seq.clip_max_len, self.det_cfg.clip.max_text_len)
+
     def _tokenize_batch(self, texts: List[str], bucket: int):
-        rb_max = min(self.cfg.seq.roberta_max_len,
-                     self.det_cfg.roberta.max_position_embeddings - 2)
-        cl_len = min(self.cfg.seq.clip_max_len, self.det_cfg.clip.max_text_len)
+        rb_max, cl_len = self._rb_max, self._cl_len
         padded = texts + [""] * (bucket - len(texts))
         rb_ids, rb_mask = self.roberta_tokenizer.batch(padded, rb_max)
         # length bucketing: pad to the smallest bucket covering the batch's
@@ -281,8 +292,7 @@ class MisinfoForensics:
         """Tokenize once and pick the packed row length; shared by the
         packing path and the auto-pack decision."""
         from misinfo_tpu.preprocess.packing import trim_padded
-        rb_max = min(self.cfg.seq.roberta_max_len,
-                     self.det_cfg.roberta.max_position_embeddings - 2)
+        rb_max = self._rb_max
         ids, mask = self.roberta_tokenizer.batch(texts, rb_max)
         seqs = trim_padded(ids, mask)
         longest = max((len(s) for s in seqs), default=1)
@@ -351,6 +361,152 @@ class MisinfoForensics:
         eff = [p[0] for p in pairs] + [None] * pad
         clp = [p[1] for p in pairs] + [None] * pad
         return batch_images(eff, size), batch_images(clp, size)
+
+    # ------------------------------------------------------------ warmup
+
+    _WARMUP_VARIANTS = ("full", "text_only", "visual_only")
+
+    def warmup(self, batch_sizes: Optional[Sequence[int]] = None,
+               text_buckets: Optional[Sequence[int]] = None,
+               variants: Sequence[str] = _WARMUP_VARIANTS,
+               videos: Optional[Sequence[int]] = None,
+               packed: Optional[bool] = None,
+               full_grid: bool = False) -> List[tuple]:
+        """Precompile serving signatures before traffic arrives.
+
+        Cold TPU compiles of the fused programs take minutes through this
+        image's remote tunnel (docs/PERF.md) and a novel
+        (variant × batch bucket × text bucket [× packed rows]) shape pays
+        that price mid-request. Production deployments call this once at
+        startup (CLI/API ``--warmup``): synthetic batches with exactly the
+        shapes ``_dispatch_group`` builds run through the REAL jitted
+        programs, so every warmed signature lands in the in-process jit
+        cache AND the persistent XLA compilation cache (core/cache.py)
+        shared across process restarts.
+
+        Defaults warm the endpoints of each axis — batch buckets
+        ``(1, max)`` (the single-request latency path and the max-
+        throughput path), every reachable text bucket (including the
+        ``rb_max`` fallback length ``_tokenize_batch`` emits), the three
+        request variants, and video buckets ``(1, max)``. Text layouts
+        follow the routing ``pack_text`` makes deterministic: ``True`` →
+        packed only, ``False`` → dense only, ``"auto"`` → dense by default
+        because the packed row count is data-dependent — a packed burst can
+        still compile on first use unless ``packed=True``/``full_grid=True``
+        warms every row bucket auto-pack can route to. Intermediate batch
+        buckets likewise compile on first use unless ``full_grid=True``
+        warms EVERY combination the engine can emit (tens of signatures —
+        a one-time cost thanks to the persistent cache). ``videos=()``
+        skips the video programs; ``variants`` takes only the three
+        request variants (video programs are selected via ``videos``).
+        Returns the warmed ``(variant, batch, text_len, packed_rows)``
+        signatures (``packed_rows=0`` ⇒ dense).
+        """
+        bad = set(variants) - set(self._WARMUP_VARIANTS)
+        if bad:
+            raise ValueError(
+                f"unknown warmup variants {sorted(bad)}; valid: "
+                f"{self._WARMUP_VARIANTS} (video programs are warmed via "
+                "videos=[V, ...], which covers both video and video_text)")
+        rb_max, cl_len = self._rb_max, self._cl_len
+        size = self.cfg.seq.image_size
+        buckets = self.cfg.serving.batch_buckets
+        vbuckets = self.cfg.serving.video_batch_buckets
+        if full_grid:
+            batch_sizes = buckets if batch_sizes is None else batch_sizes
+            videos = vbuckets if videos is None else videos
+        if batch_sizes is None:
+            batch_sizes = (1, buckets[-1])
+        if videos is None:
+            videos = (1, vbuckets[-1])
+        if text_buckets is None:
+            # every length _tokenize_batch can emit: buckets under rb_max
+            # plus the rb_max fallback itself (forensics._tokenize_batch)
+            text_buckets = [b for b in self._TEXT_BUCKETS if b < rb_max] \
+                + [rb_max]
+        pack_mode = self.cfg.serving.pack_text
+        if self.mesh is not None:
+            pack_mode = False  # mesh serving is dense (_dispatch_group)
+        if packed is None:
+            # warm what the routing makes deterministic; "auto" opts in
+            # via packed=True / full_grid (see docstring)
+            packed = pack_mode is True or (full_grid and bool(pack_mode))
+        dense_text = pack_mode is not True  # True-mode never serves dense
+        done: List[tuple] = []
+        seen = set()
+        outs = []
+
+        def _dispatch(variant, batch, sig):
+            if sig in seen:   # e.g. two batch_sizes rounding to one bucket
+                return
+            seen.add(sig)
+            batch = self._place_batch(batch)
+            batch.update(self._vault_device)
+            outs.append(self.programs.get(variant)(self.params, batch))
+            done.append(sig)
+
+        def _clip_tokens(n):
+            return {"clip_ids": jnp.zeros((n, cl_len), jnp.int32),
+                    "clip_mask": jnp.ones((n, cl_len), jnp.int32)}
+
+        def _images(n):
+            return {"image_effnet": jnp.zeros((n, size, size, 3), jnp.uint8),
+                    "image_clip": jnp.zeros((n, size, size, 3), jnp.uint8)}
+
+        for variant in variants:
+            for n in batch_sizes:
+                B = self._req_bucket(n, buckets)
+                if variant == "visual_only":
+                    _dispatch(variant, _images(B), (variant, B, 0, 0))
+                    continue
+                img = _images(B) if variant == "full" else {}
+                for L in text_buckets:
+                    if dense_text:
+                        batch = {
+                            "roberta_ids": jnp.zeros((B, L), jnp.int32),
+                            "roberta_mask": jnp.ones((B, L), jnp.int32),
+                            **_clip_tokens(B), **img,
+                        }
+                        _dispatch(variant, batch, (variant, B, L, 0))
+                    if not packed:
+                        continue
+                    for r in buckets:
+                        # rows auto-pack can actually route to this bucket:
+                        # any r ≤ B when pack_text is forced True, else
+                        # only row counts that win the 25%-margin test
+                        # (_dispatch_group: rows*4 <= bucket*3)
+                        if r > B or (pack_mode is not True and r * 4 > B * 3):
+                            continue
+                        pb = {
+                            "roberta_ids": jnp.zeros((r, L), jnp.int32),
+                            "roberta_mask": jnp.ones((r, L), jnp.int32),
+                            "roberta_pos": jnp.zeros((r, L), jnp.int32),
+                            "roberta_seg": jnp.zeros((r, L), jnp.int32),
+                            "cls_rows": jnp.zeros((B,), jnp.int32),
+                            "cls_cols": jnp.zeros((B,), jnp.int32),
+                            **(_clip_tokens(B) if variant == "full" else {}),
+                            **img,
+                        }
+                        _dispatch(variant, pb, (variant, B, L, r))
+        F = self.cfg.video.max_frames
+        for n in videos:
+            V = self._req_bucket(n, vbuckets)
+            base = {**_images(V * F),
+                    "frame_valid": jnp.ones((V, F), jnp.bool_)}
+            _dispatch("video", dict(base), ("video", V, 0, 0))
+            for L in text_buckets:
+                _dispatch("video_text", {
+                    **base,
+                    "roberta_ids": jnp.zeros((V, L), jnp.int32),
+                    "roberta_mask": jnp.ones((V, L), jnp.int32),
+                    **_clip_tokens(V),
+                }, ("video_text", V, L, 0))
+        jax.block_until_ready(outs)
+        if self.cfg.verbose:
+            print(f"warmup: {len(done)} signatures compiled "
+                  + ", ".join(f"{v}/b{b}/S{s}" + (f"/r{r}" if r else "")
+                              for v, b, s, r in done))
+        return done
 
     # ------------------------------------------------- per-signal methods
     # API parity with reference MisinfoForensics; each rides the batched
@@ -546,8 +702,7 @@ class MisinfoForensics:
             texts = [r.get("text", "") for r in reqs]
             batch.update(self._pack_text_batch(texts, bucket, plan=plan))
             if variant == "full":   # CLIP rows stay per-request (77 tok)
-                cl_len = min(self.cfg.seq.clip_max_len,
-                             self.det_cfg.clip.max_text_len)
+                cl_len = self._cl_len
                 cl_ids, cl_mask = self.clip_tokenizer.batch(
                     texts + [""] * (bucket - len(texts)), cl_len)
                 batch.update(clip_ids=jnp.asarray(cl_ids),
@@ -560,8 +715,7 @@ class MisinfoForensics:
                 rb_ids, rb_mask = dense_rows_from_seqs(
                     plan[0], bucket, plan[1],
                     self.det_cfg.roberta.pad_token_id)
-                cl_len = min(self.cfg.seq.clip_max_len,
-                             self.det_cfg.clip.max_text_len)
+                cl_len = self._cl_len
                 cl_ids, cl_mask = self.clip_tokenizer.batch(
                     texts + [""] * (bucket - len(texts)), cl_len)
             else:
@@ -687,8 +841,7 @@ class MisinfoForensics:
         }
 
     def _caption_title_similarity(self, caption: str, title: str) -> float:
-        cl_len = min(self.cfg.seq.clip_max_len,
-                     self.det_cfg.clip.max_text_len)
+        cl_len = self._cl_len
         ids, mask = self.clip_tokenizer.batch([caption, title], cl_len)
         emb = np.asarray(self._clip_text_jit(self.params["clip"],
                                              jnp.asarray(ids), jnp.asarray(mask)))

@@ -25,7 +25,13 @@ import numpy as np
 
 from misinfo_tpu.ops.common import DEFAULT_POLICY, Policy, dense, dense_init, silu
 
-# (expand_ratio, kernel, stride, in_ch, out_ch, num_blocks) — B0 stage table
+# (expand_ratio, kernel, stride, in_ch, out_ch, num_blocks) — B0 stage table.
+# Stage repeats are the canonical [1, 2, 2, 3, 3, 4, 1] (16 MBConv blocks,
+# torchvision _efficientnet_conf width/depth 1.0); the per-stage block
+# counts and features.N key layout are asserted against that spec in
+# tests/test_efficientnet_parity.py so a table typo cannot silently desync
+# from real torchvision checkpoints again (a 4-block final stage shipped
+# in rounds 1-2 — caught by review, fixed here).
 B0_STAGES = (
     (1, 3, 1, 32, 16, 1),
     (6, 3, 2, 16, 24, 2),
@@ -33,7 +39,7 @@ B0_STAGES = (
     (6, 3, 2, 40, 80, 3),
     (6, 5, 1, 80, 112, 3),
     (6, 5, 2, 112, 192, 4),
-    (6, 3, 1, 192, 320, 4),
+    (6, 3, 1, 192, 320, 1),
 )
 STEM_CH = 32
 HEAD_CH = 1280

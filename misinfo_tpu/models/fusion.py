@@ -14,7 +14,8 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from misinfo_tpu.ops.common import DEFAULT_POLICY, Policy, dense, dense_init
+from misinfo_tpu.ops.common import (
+    DEFAULT_POLICY, F32_POLICY, Policy, dense, dense_init)
 
 FUSION_DIMS = (5, 64, 32, 2)
 FUSION_DROPOUT = 0.2  # reference misinfo_forensics.py:86
@@ -35,14 +36,9 @@ def fusion_apply(params: Dict, scores: jax.Array, *, rng=None,
     """scores [B,5] → logits [B,2] f32. This MLP is tiny (2.6k params);
     it runs in f32 — the cost is negligible and score parity is exact."""
     x = scores.astype(jnp.float32)
-    h = jnp.maximum(dense(params["fc1"], x, policy=_F32), 0)
+    h = jnp.maximum(dense(params["fc1"], x, policy=F32_POLICY), 0)
     if not deterministic and rng is not None:
         keep = jax.random.bernoulli(rng, 1.0 - FUSION_DROPOUT, h.shape)
         h = jnp.where(keep, h / (1.0 - FUSION_DROPOUT), 0.0)
-    h = jnp.maximum(dense(params["fc2"], h, policy=_F32), 0)
-    return dense(params["fc3"], h, policy=_F32).astype(jnp.float32)
-
-
-from misinfo_tpu.core.config import PrecisionConfig as _PC  # noqa: E402
-
-_F32 = Policy(_PC.highest())
+    h = jnp.maximum(dense(params["fc2"], h, policy=F32_POLICY), 0)
+    return dense(params["fc3"], h, policy=F32_POLICY).astype(jnp.float32)

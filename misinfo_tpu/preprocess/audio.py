@@ -9,6 +9,7 @@ log10 clamp + dynamic-range compression).
 
 from __future__ import annotations
 
+import functools
 import subprocess
 from typing import Optional
 
@@ -92,8 +93,11 @@ def _hann(n: int) -> np.ndarray:
     return 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / n)
 
 
+@functools.lru_cache(maxsize=4)
 def _mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
-    """Slaney-style mel filterbank (librosa default, as Whisper uses)."""
+    """Slaney-style mel filterbank (librosa default, as Whisper uses).
+    Cached — it depends only on constants, and rebuilding the 80×201 bank
+    per transcribe() call is pure host-path waste."""
     fmin, fmax = 0.0, sr / 2.0
 
     def hz_to_mel(f):
@@ -144,8 +148,25 @@ def log_mel_spectrogram(audio: np.ndarray, n_mels: int = N_MELS,
     return ((log_mel + 4.0) / 4.0).astype(np.float32)
 
 
+def pad_or_trim_audio(audio: np.ndarray, n_samples: int = 30 * SAMPLE_RATE
+                      ) -> np.ndarray:
+    """Whisper's ``pad_or_trim`` at the RAW-AUDIO level: zero-pad/trim to
+    the fixed 30 s window BEFORE the mel transform. Padding the normalized
+    log-mel with zeros instead (the round-1/2 behavior) writes the wrong
+    value into the padded region — whisper's silence normalizes to
+    ``(log_spec.max() - 8 + 4) / 4``, never 0.0 — leaving a real encoder
+    staring at out-of-distribution 'moderate energy' over most of its
+    positions."""
+    if len(audio) >= n_samples:
+        return audio[:n_samples]
+    return np.pad(audio, (0, n_samples - len(audio)))
+
+
 def pad_or_trim_mel(mel: np.ndarray, target_frames: int = 3000) -> np.ndarray:
-    """Whisper's fixed 30 s context: pad/trim the time axis."""
+    """Fixed-context shape guard on the mel time axis. With audio padded
+    via :func:`pad_or_trim_audio` this only drops the final STFT frame
+    (whisper's ``magnitudes[..., :-1]``); zero-padding here is a fallback
+    for callers feeding unpadded audio."""
     T = mel.shape[0]
     if T >= target_frames:
         return mel[:target_frames]

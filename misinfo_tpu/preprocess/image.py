@@ -78,11 +78,20 @@ def resize_squash(img: "Image.Image", size: int = 224) -> np.ndarray:
     return np.asarray(img.resize((size, size), Image.BILINEAR), dtype=np.uint8)
 
 
+def _hf_resize_dims(w: int, h: int, size: int):
+    """HF ``get_resize_output_image_size`` (shortest_edge mode): the long
+    edge is the TRUNCATING ``int(size * long / short)`` — not a rounded
+    scale multiply, which differs by one pixel for many aspect ratios and
+    shifts every pixel of the resize + crop window."""
+    short, long_ = (w, h) if w <= h else (h, w)
+    new_long = int(size * long_ / short)
+    return (size, new_long) if w <= h else (new_long, size)
+
+
 def resize_center_crop(img: "Image.Image", size: int = 224) -> np.ndarray:
     """CLIPProcessor semantics: shortest edge → `size` (bicubic), center crop."""
     w, h = img.size
-    scale = size / min(w, h)
-    nw, nh = max(size, int(round(w * scale))), max(size, int(round(h * scale)))
+    nw, nh = _hf_resize_dims(w, h, size)
     img = img.resize((nw, nh), Image.BICUBIC)
     left = (nw - size) // 2
     top = (nh - size) // 2
@@ -121,9 +130,8 @@ def _cv2_squash(arr: np.ndarray, size: int) -> np.ndarray:
 
 def _cv2_center_crop(arr: np.ndarray, size: int) -> np.ndarray:
     h, w = arr.shape[:2]
-    scale = size / min(w, h)
-    nw, nh = max(size, int(round(w * scale))), max(size, int(round(h * scale)))
-    interp = cv2.INTER_AREA if scale < 1.0 else cv2.INTER_CUBIC
+    nw, nh = _hf_resize_dims(w, h, size)
+    interp = cv2.INTER_AREA if size < min(w, h) else cv2.INTER_CUBIC
     r = cv2.resize(arr, (nw, nh), interpolation=interp)
     left, top = (nw - size) // 2, (nh - size) // 2
     return np.ascontiguousarray(r[top:top + size, left:left + size])

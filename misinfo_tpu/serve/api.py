@@ -157,6 +157,9 @@ def main(argv=None) -> int:
     p.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto")
     p.add_argument("--mesh", default=None,
                    help="Serve over a device mesh: 'data=N[,model=M]'")
+    p.add_argument("--warmup", action="store_true",
+                   help="Precompile the serving signature grid before "
+                        "accepting traffic (engine.warmup())")
     args = p.parse_args(argv)
 
     if args.device != "auto":
@@ -181,6 +184,8 @@ def main(argv=None) -> int:
         from misinfo_tpu.core.mesh import make_mesh, parse_mesh_spec
         mesh = make_mesh(parse_mesh_spec(args.mesh))
     api = ForensicsAPI(config=cfg, mesh=mesh)
+    if args.warmup:
+        api.engine.warmup()
     httpd = serve(api, args.port, args.host)
     print(f"misinfo_tpu API listening on {args.host}:{httpd.server_address[1]}")
     try:

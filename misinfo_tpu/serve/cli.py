@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(DP batch sharding + optional tensor parallelism; "
                         "vaults past vault_shard_min_rows row-shard "
                         "automatically)")
+    p.add_argument("--warmup", action="store_true",
+                   help="Precompile the serving signature grid before "
+                        "handling requests (engine.warmup(); feeds the "
+                        "persistent XLA cache — avoids minutes-long "
+                        "mid-request TPU compiles)")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -65,6 +70,8 @@ def main(argv=None) -> int:
         from misinfo_tpu.core.mesh import make_mesh, parse_mesh_spec
         mesh = make_mesh(parse_mesh_spec(args.mesh))
     engine = MisinfoForensics(config=cfg, mesh=mesh)
+    if args.warmup:
+        engine.warmup()
 
     if args.batch_file:
         with open(args.batch_file, encoding="utf-8") as f:

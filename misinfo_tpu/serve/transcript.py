@@ -188,7 +188,8 @@ class WhisperTranscriber:
 
     def transcribe(self, media_path: str) -> str:
         from misinfo_tpu.preprocess.audio import (
-            decode_audio, log_mel_spectrogram, pad_or_trim_mel)
+            HOP_LENGTH, decode_audio, log_mel_spectrogram, pad_or_trim_audio,
+            pad_or_trim_mel)
 
         if not self.has_weights or not self.tokenizer_compatible:
             return ""  # capability absent → empty transcript (reference :32-34)
@@ -199,8 +200,11 @@ class WhisperTranscriber:
             import jax
             import jax.numpy as jnp
 
-            mel = pad_or_trim_mel(log_mel_spectrogram(audio),
-                                  2 * self.cfg.max_source_positions)
+            # whisper pads the RAW audio to the fixed window before the mel
+            # transform (silence then normalizes to (max-8+4)/4, not 0.0)
+            frames = 2 * self.cfg.max_source_positions
+            audio = pad_or_trim_audio(audio, frames * HOP_LENGTH)
+            mel = pad_or_trim_mel(log_mel_spectrogram(audio), frames)
             encode, greedy, sampled, nsp_fn = self._programs()
             enc = encode(self.params, jnp.asarray(mel[None]))
             no_speech = float(np.asarray(nsp_fn(self.params, enc))[0])

@@ -153,13 +153,12 @@ def test_export_roundtrip_reference_layout(tmp_path):
     assert report["accuracy"] == 0.9538
 
     # clip ships separately (the reference loads it from an HF dir, not the
-    # monolithic ckpt) — ingest it through the per-branch path
-    from misinfo_tpu.checkpoints.torch_convert import (
-        apply_updates, convert_clip, load_pth)
-    ckpt = load_pth(clip_pth)
-    applied, skipped = apply_updates(
-        dst["clip"], convert_clip(ckpt["model_state_dict"], "clip."))
-    assert applied > 0 and not [s for s in skipped if "shape" in s[1]]
+    # monolithic ckpt) and the cascade must ingest it in monolithic mode
+    # too (round-2 review: the early return used to skip clip_weights,
+    # silently serving a random CLIP tower with the preferred layout)
+    np.testing.assert_allclose(
+        np.asarray(dst["clip"]["visual_projection"]["kernel"]),
+        np.asarray(src["clip"]["visual_projection"]["kernel"]), atol=1e-6)
 
     src_leaves = jax.tree_util.tree_leaves(src)
     dst_leaves = jax.tree_util.tree_leaves(dst)

@@ -65,3 +65,25 @@ def test_softmax_deepfake_score(torch_b0):
     probs = jax.nn.softmax(logits, axis=-1)
     score = float(np.asarray(probs)[0, 1])
     assert 0.0 <= score <= 1.0
+
+
+def test_b0_structure_matches_torchvision_spec():
+    """Independent of B0_STAGES (round-2 review: a 19-block table shipped
+    and the replica-based parity test could not catch it because the
+    replica is built from the same table): torchvision efficientnet_b0 has
+    stage repeats [1, 2, 2, 3, 3, 4, 1] — 16 MBConv blocks — and with a
+    2-class classifier exactly 4,010,110 trainable parameters (published
+    5,288,548 total minus the 1000-class head, plus the 2-class one)."""
+    import jax
+
+    from misinfo_tpu.models.efficientnet import (
+        B0_STAGES, BLOCK_CFGS, effnet_b0_init)
+
+    assert tuple(s[-1] for s in B0_STAGES) == (1, 2, 2, 3, 3, 4, 1)
+    assert len(BLOCK_CFGS) == 16
+    params = effnet_b0_init(jax.random.PRNGKey(0), num_classes=2)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    trainable = sum(
+        x.size for path, x in flat
+        if not any(getattr(k, "key", None) in ("mean", "var") for k in path))
+    assert trainable == 4_010_110

@@ -213,3 +213,65 @@ def test_oversize_batch_chunks_at_max_bucket():
     solo = eng.analyze(text=reqs[9]["text"], verbose=False)
     np.testing.assert_allclose(reports[9]["scores"]["misinfo_score"],
                                solo["scores"]["misinfo_score"], atol=1e-5)
+
+
+def test_warmup_precompiles_serving_signatures():
+    """engine.warmup() compiles the serving signature grid up front; real
+    traffic in the warmed buckets then mints NO new jit signatures (the
+    production guard against minutes-long mid-request TPU compiles)."""
+    from PIL import Image
+
+    det_cfg = DetectorConfig.tiny()
+    cfg = ForensicsConfig(verbose=False).replace(
+        precision=PrecisionConfig.highest())
+    cfg = cfg.replace(seq=cfg.seq.__class__(roberta_max_len=32, image_size=64))
+    params = detector_init(jax.random.PRNGKey(0), det_cfg)
+    eng = MisinfoForensics(config=cfg, det_cfg=det_cfg, params=params)
+
+    sigs = eng.warmup(batch_sizes=(1,), videos=(1,))
+    variants = ("full", "text_only", "visual_only", "video", "video_text")
+    assert {v for v, _, _, _ in sigs} == set(variants)
+    # warmup(batch_sizes=(1, 1)) must not re-dispatch a bucket
+    assert len(sigs) == len(set(sigs))
+    fns = {v: eng.programs.get(v) for v in variants}
+    if not hasattr(fns["full"], "_cache_size"):
+        pytest.skip("jit cache introspection not available on this jax")
+    sizes = {v: f._cache_size() for v, f in fns.items()}
+    assert all(n >= 1 for n in sizes.values())
+
+    img = Image.fromarray(np.zeros((64, 64, 3), np.uint8))
+    out = eng.analyze_batch([
+        {"text": "short text", "image": img},   # full, bucket 1
+        {"text": "another short text"},          # text_only, bucket 1
+        {"image": img},                          # visual_only, bucket 1
+    ])
+    assert len(out) == 3
+    assert {v: f._cache_size() for v, f in fns.items()} == sizes
+
+    with pytest.raises(ValueError):
+        eng.warmup(variants=("full", "video"))   # videos= selects those
+
+
+def test_warmup_covers_packed_signatures():
+    """With pack_text enabled, warmup also compiles the packed-text
+    layouts _dispatch_group routes buckets to — packed traffic after
+    warmup mints no new signature either."""
+    det_cfg = DetectorConfig.tiny()
+    cfg = ForensicsConfig(verbose=False).replace(
+        precision=PrecisionConfig.highest())
+    cfg = cfg.replace(
+        seq=cfg.seq.__class__(roberta_max_len=32, image_size=64),
+        serving=cfg.serving.__class__(pack_text=True))
+    params = detector_init(jax.random.PRNGKey(0), det_cfg)
+    eng = MisinfoForensics(config=cfg, det_cfg=det_cfg, params=params)
+
+    sigs = eng.warmup(batch_sizes=(4,), variants=("text_only",), videos=())
+    packed_rows = {r for _, _, _, r in sigs if r}
+    assert packed_rows == {1, 2, 4}   # every row bucket ≤ the batch bucket
+    fn = eng.programs.get("text_only")
+    if not hasattr(fn, "_cache_size"):
+        pytest.skip("jit cache introspection not available on this jax")
+    size0 = fn._cache_size()
+    out = eng.analyze_batch([{"text": f"short claim {i}"} for i in range(3)])
+    assert len(out) == 3
+    assert fn._cache_size() == size0

@@ -57,3 +57,29 @@ def test_missing_file_raises_cv2():
     I.set_image_backend("cv2")
     with pytest.raises(FileNotFoundError):
         I.image_to_array("/does/not/exist.jpg", "effnet")
+
+
+def test_pil_center_crop_matches_hf_clip_processor():
+    """The PIL path must be bit-exact with HF's CLIPImageProcessor —
+    including the TRUNCATING long-edge formula int(size*long/short)
+    (round-2 review: a rounded scale-multiply differed by one pixel on
+    e.g. 640x480, shifting the whole crop window)."""
+    tr = pytest.importorskip("transformers")
+    from PIL import Image
+
+    proc = tr.CLIPImageProcessor(size={"shortest_edge": 224},
+                                 crop_size={"height": 224, "width": 224})
+    rng = np.random.default_rng(0)
+    for (w, h) in [(640, 480), (480, 640), (333, 500), (224, 224),
+                   (1023, 311), (200, 300)]:
+        img = Image.fromarray(rng.integers(0, 255, (h, w, 3)).astype(np.uint8))
+        hf = proc(img, return_tensors="np")["pixel_values"][0]
+        ours = I.resize_center_crop(img, 224).astype(np.float32) / 255.0
+        ours = ((ours - np.array(I.CLIP_MEAN)) / np.array(I.CLIP_STD))
+        assert np.abs(hf - ours.transpose(2, 0, 1)).max() < 1e-5, (w, h)
+
+
+def test_hf_resize_dims_truncates():
+    assert I._hf_resize_dims(640, 480, 224) == (298, 224)   # int(224*640/480)
+    assert I._hf_resize_dims(480, 640, 224) == (224, 298)
+    assert I._hf_resize_dims(224, 224, 224) == (224, 224)

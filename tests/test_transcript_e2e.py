@@ -300,3 +300,21 @@ def test_whisper_config_from_torch_inference():
                        encoder_layers=6, decoder_layers=6, ffn_dim=2048,
                        max_source_positions=1500, max_target_positions=448)
     assert whisper_config_from_torch({"unrelated": np.zeros((3,))}) == {}
+
+
+def test_audio_padding_matches_whisper_silence_value():
+    """Silence enters at the RAW-audio level (round-2 review): the padded
+    region of the normalized log-mel equals max − 2 — whisper's
+    (log_spec.max() − 8 + 4) / 4 — never 0.0."""
+    from misinfo_tpu.preprocess.audio import (
+        log_mel_spectrogram, pad_or_trim_audio)
+
+    audio = _make_audio()[: SR // 2]            # 0.5 s of tone
+    padded = pad_or_trim_audio(audio, 4 * SR)   # → 4 s window
+    assert len(padded) == 4 * SR
+    mel = log_mel_spectrogram(padded)
+    tail = mel[-200:]                           # fully inside the padding
+    assert np.allclose(tail, mel.max() - 2.0, atol=1e-4)
+    assert float(np.abs(tail).min()) > 0.1      # i.e. NOT zero-padding
+    # trim mode: long audio is cut, not padded
+    assert len(pad_or_trim_audio(padded, SR)) == SR
