@@ -19,7 +19,9 @@ import time
 import numpy as np
 
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
-ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+# 50 iterations amortize the single trailing data-sync round trip
+# (~45 ms on the relay-attached TPU; utils/timing.py) to <3% of the run
+ITERS = int(os.environ.get("BENCH_ITERS", "50"))
 _p = os.environ.get("BENCH_PALLAS", "0")   # "1" ours | "flash" jax kernel
 USE_PALLAS = {"0": False, "1": True}.get(_p, _p)
 SEQ_LEN = int(os.environ.get("BENCH_SEQ", "0"))  # 0 → config default (512)
@@ -44,6 +46,7 @@ def main():
     from misinfo_tpu.engine.signals import signals_program
     from misinfo_tpu.models.detector import DetectorConfig, detector_init
     from misinfo_tpu.ops.common import Policy
+    from misinfo_tpu.utils.timing import time_program
     import functools
 
     cfg = ForensicsConfig(verbose=False)
@@ -95,13 +98,7 @@ def main():
         fn = jax.jit(functools.partial(
             video_program, has_text=VARIANT == "video_text",
             det_cfg=det_cfg, cfg=cfg, policy=policy, use_pallas=USE_PALLAS))
-        out = fn(params, batch)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = fn(params, batch)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
+        dt, _ = time_program(lambda: fn(params, batch), ITERS)
         throughput = V * ITERS / dt
         print(json.dumps({
             "metric": f"analyze_throughput_{VARIANT}",
@@ -127,13 +124,7 @@ def main():
         fn = jax.jit(functools.partial(
             packed_text_program, det_cfg=det_cfg, cfg=cfg, policy=policy,
             use_pallas=USE_PALLAS))
-        out = fn(params, batch)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = fn(params, batch)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
+        dt, _ = time_program(lambda: fn(params, batch), ITERS)
         throughput = B * ITERS / dt
         vs = None
         if os.path.exists(BASELINE_FILE):
@@ -224,15 +215,7 @@ def main():
     fn = jax.jit(functools.partial(signals_program, variant=VARIANT,
                                    det_cfg=det_cfg, cfg=cfg, policy=policy,
                                    use_pallas=USE_PALLAS))
-    # warmup / compile
-    out = fn(params, batch)
-    jax.block_until_ready(out)
-
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(params, batch)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    dt, _ = time_program(lambda: fn(params, batch), ITERS)
     throughput = B * ITERS / dt
     p50_latency_ms = (dt / ITERS) * 1000.0
 

@@ -131,6 +131,11 @@ class MisinfoForensics:
         self.programs = SignalPrograms(
             self.det_cfg, self.cfg, self.policy, use_pallas=use_pallas,
             vault_mesh=self.mesh if self._vault_sharded else None)
+        # Results coalesce into ONE device buffer before the host fetch:
+        # a SignalOutput pytree fetch pays a round trip per leaf (12×),
+        # which dominates e2e latency on remote-attached TPUs
+        from misinfo_tpu.engine.signals import pack_signal_output
+        self._pack_out = jax.jit(pack_signal_output)
         self.explainer = Explainer(self.cfg.gemini_api_key,
                                    self.cfg.gemini_model,
                                    self.cfg.thresholds)
@@ -442,7 +447,8 @@ class MisinfoForensics:
             seen.add(sig)
             batch = self._place_batch(batch)
             batch.update(self._vault_device)
-            outs.append(self.programs.get(variant)(self.params, batch))
+            outs.append(self._pack_out(
+                self.programs.get(variant)(self.params, batch)))
             done.append(sig)
 
         def _clip_tokens(n):
@@ -501,7 +507,8 @@ class MisinfoForensics:
                     "roberta_mask": jnp.ones((V, L), jnp.int32),
                     **_clip_tokens(V),
                 }, ("video_text", V, L, 0))
-        jax.block_until_ready(outs)
+        from misinfo_tpu.utils.timing import sync_fetch
+        sync_fetch(outs)  # data sync: relay block_until_ready can ack early
         if self.cfg.verbose:
             print(f"warmup: {len(done)} signatures compiled "
                   + ", ".join(f"{v}/b{b}/S{s}" + (f"/r{r}" if r else "")
@@ -731,15 +738,17 @@ class MisinfoForensics:
                          image_clip=jnp.asarray(clp))
         batch = self._place_batch(batch)
         batch.update(self._vault_device)
-        out = self.programs.get(variant)(self.params, batch)  # async
+        out = self._pack_out(
+            self.programs.get(variant)(self.params, batch))  # async
         return variant, out, idxs
 
     def _finalize_batch(self, dispatches, results, requests: List[Dict],
                         explanations: bool = False) -> List[Dict]:
         from misinfo_tpu.utils.tracing import stage_timer
+        from misinfo_tpu.engine.signals import unpack_signal_output
         for variant, out, idxs in dispatches:
             with stage_timer(f"program_{variant}", batch_size=len(idxs)):
-                out = jax.tree_util.tree_map(np.asarray, out)
+                out = unpack_signal_output(np.asarray(out))  # ONE transfer
             for row, i in enumerate(idxs):
                 results[i] = self._format_report(out, row, requests[i])
 
@@ -752,10 +761,11 @@ class MisinfoForensics:
                 r.setdefault("explanation", "")
         return results
 
-    def _analyze_video_group(self, reqs: List[Dict], variant: str) -> "SignalOutput":
-        """V video requests → ONE [V·F]-frame program launch. Frame
-        sampling/decoding runs per video on host threads; padded videos
-        carry all-invalid frame masks (their rows are discarded)."""
+    def _analyze_video_group(self, reqs: List[Dict], variant: str):
+        """V video requests → ONE [V·F]-frame program launch → packed
+        result buffer. Frame sampling/decoding runs per video on host
+        threads; padded videos carry all-invalid frame masks (their rows
+        are discarded)."""
         from misinfo_tpu.preprocess.video import sample_video_frames
         F = self.cfg.video.max_frames
         V = self._req_bucket(len(reqs), self.cfg.serving.video_batch_buckets)
@@ -798,7 +808,8 @@ class MisinfoForensics:
                          clip_mask=jnp.asarray(cl_mask))
         batch = self._place_batch(batch)
         batch.update(self._vault_device)
-        return self.programs.get(variant)(self.params, batch)  # async
+        return self._pack_out(
+            self.programs.get(variant)(self.params, batch))  # async
 
     # ------------------------------------------------------- formatting
 

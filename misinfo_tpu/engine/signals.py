@@ -59,6 +59,54 @@ class SignalOutput(NamedTuple):
     vault_top_idx: jax.Array       # [B, K]
 
 
+# Columns of the packed result layout: the ten per-request vectors of
+# SignalOutput, in field order, ahead of the K top-sims and K top-idx.
+_N_VEC_FIELDS = 10
+
+
+def pack_signal_output(out: SignalOutput) -> jax.Array:
+    """Coalesce a SignalOutput into ONE f32 array ``[B, 10 + 2K]``.
+
+    The engine fetches program results to host per batch; a pytree fetch
+    pays one device->host round trip PER LEAF (12 for SignalOutput —
+    ~25 ms each on a relay-attached TPU, docs/PERF.md), so results are
+    packed on device into a single buffer and fetched with a single
+    transfer. Scores cast to f32 (bf16 serving buffers widen losslessly);
+    ``vault_top_idx`` is int32 BITCAST to f32 — exact for every index
+    value, unlike a value cast which would corrupt row ids past 2^24 in
+    billion-row sharded vaults. ``unpack_signal_output`` inverts this on
+    host.
+    """
+    vecs = jnp.stack([
+        out.ai_score, out.misinfo_score, out.deepfake_score,
+        out.clip_similarity, out.vault_discrepancy, out.text_similarity,
+        out.verdict.astype(jnp.float32), out.confidence,
+        out.fake_probability, out.real_probability,
+    ], axis=1).astype(jnp.float32)                                 # [B, 10]
+    idx_f = jax.lax.bitcast_convert_type(
+        out.vault_top_idx.astype(jnp.int32), jnp.float32)          # [B, K]
+    return jnp.concatenate(
+        [vecs, out.vault_top_sims.astype(jnp.float32), idx_f], axis=1)
+
+
+def unpack_signal_output(arr) -> SignalOutput:
+    """Host-side inverse of ``pack_signal_output`` (numpy in, numpy out)."""
+    import numpy as np
+
+    arr = np.asarray(arr, np.float32)
+    K = (arr.shape[1] - _N_VEC_FIELDS) // 2
+    v = arr[:, :_N_VEC_FIELDS]
+    sims = arr[:, _N_VEC_FIELDS:_N_VEC_FIELDS + K]
+    idx = np.ascontiguousarray(
+        arr[:, _N_VEC_FIELDS + K:]).view(np.int32)
+    return SignalOutput(
+        ai_score=v[:, 0], misinfo_score=v[:, 1], deepfake_score=v[:, 2],
+        clip_similarity=v[:, 3], vault_discrepancy=v[:, 4],
+        text_similarity=v[:, 5], verdict=v[:, 6].astype(np.int32),
+        confidence=v[:, 7], fake_probability=v[:, 8],
+        real_probability=v[:, 9], vault_top_sims=sims, vault_top_idx=idx)
+
+
 def _text_branch(params, batch, det_cfg, policy, use_pallas):
     if "roberta_seg" in batch:
         # packed rows (preprocess/packing.py): block-diagonal attention,

@@ -205,7 +205,8 @@ def test_oversize_batch_chunks_at_max_bucket():
     dispatches, _ = eng._dispatch_batch(reqs)
     assert [len(idxs) for _, _, idxs in dispatches] == [4, 4, 4, 1]
     for _, out, _ in dispatches:
-        assert out.ai_score.shape[0] in (1, 2, 4)
+        # dispatches carry the PACKED [B, 10+2K] result buffer
+        assert out.shape[0] in (1, 2, 4)
     reports = eng.analyze_batch(reqs)
     assert len(reports) == 13
     assert all(r["verdict"] in (0, 1) for r in reports)
@@ -275,3 +276,43 @@ def test_warmup_covers_packed_signatures():
     out = eng.analyze_batch([{"text": f"short claim {i}"} for i in range(3)])
     assert len(out) == 3
     assert fn._cache_size() == size0
+
+
+def test_signal_output_pack_roundtrip():
+    """pack_signal_output/unpack_signal_output: exact for scores, verdicts,
+    and vault indices — including row ids past 2^24 (f32 value-cast would
+    corrupt those; the packer bitcasts)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from misinfo_tpu.engine.signals import (SignalOutput, pack_signal_output,
+                                            unpack_signal_output)
+
+    B, K = 3, 4
+    rng = np.random.default_rng(0)
+    vecs = rng.uniform(-1, 1, (10, B)).astype(np.float32)
+    idx = np.array([[0, 1, 2, 3],
+                    [2**24 + 1, 2**30 - 7, -1, 5],
+                    [7, 8, 9, 10]], np.int32)
+    out = SignalOutput(
+        *[jnp.asarray(v) for v in vecs[:6]],
+        verdict=jnp.asarray([1, 0, 1], jnp.int32),
+        confidence=jnp.asarray(vecs[7]),
+        fake_probability=jnp.asarray(vecs[8]),
+        real_probability=jnp.asarray(vecs[9]),
+        vault_top_sims=jnp.asarray(rng.uniform(-1, 1, (B, K)), jnp.float32),
+        vault_top_idx=jnp.asarray(idx))
+    packed = np.asarray(pack_signal_output(out))
+    assert packed.shape == (B, 10 + 2 * K)
+    back = unpack_signal_output(packed)
+    for name in ("ai_score", "misinfo_score", "deepfake_score",
+                 "clip_similarity", "vault_discrepancy", "text_similarity",
+                 "confidence", "fake_probability", "real_probability",
+                 "vault_top_sims"):
+        np.testing.assert_array_equal(np.asarray(getattr(back, name)),
+                                      np.asarray(getattr(out, name)),
+                                      err_msg=name)
+    assert back.verdict.dtype == np.int32
+    np.testing.assert_array_equal(back.verdict, [1, 0, 1])
+    assert back.vault_top_idx.dtype == np.int32
+    np.testing.assert_array_equal(back.vault_top_idx, idx)

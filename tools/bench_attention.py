@@ -72,12 +72,13 @@ def bench(name, fn, args, ref=None):
     maxdiff = (float(jnp.max(jnp.abs(out.astype(jnp.float32)
                                      - ref.astype(jnp.float32))))
                if ref is not None else 0.0)
+    from misinfo_tpu.utils.timing import sync_fetch
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(ITERS):
             out = f(*args)
-        jax.block_until_ready(out)
+        sync_fetch(out)
         times.append((time.perf_counter() - t0) / ITERS * 1000.0)
     ms = min(times)
     print(json.dumps({"variant": name, "ms_per_call": round(ms, 3),

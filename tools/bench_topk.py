@@ -67,10 +67,11 @@ def main():
         else:
             exact = bool(np.array_equal(idx, ref_idx)
                          and np.allclose(vals, ref_vals, atol=0))
+        from misinfo_tpu.utils.timing import sync_fetch
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = fn(q, v)
-        jax.block_until_ready(out)
+        sync_fetch(out)
         ms = (time.perf_counter() - t0) / args.iters * 1000.0
         results[mode] = {"ms": round(ms, 2), "matches_first_mode": exact}
     print(json.dumps({"rows": args.rows, "batch": args.batch, "k": args.k,

@@ -93,16 +93,18 @@ def main():
                 "labels": jnp.asarray(rng.integers(0, 2, (BATCH,)), jnp.int32),
             })
 
+    from misinfo_tpu.utils.timing import sync_fetch
+
     key = jax.random.PRNGKey(0)
     params, opt_state, m = step(params, opt_state, batches[0], key)
-    jax.block_until_ready(m["loss"])  # compile + warmup
+    sync_fetch(m["loss"])  # compile + warmup (data sync — see utils/timing.py)
 
     t0 = time.perf_counter()
     for i in range(STEPS):
         key, k = jax.random.split(key)
         params, opt_state, m = step(params, opt_state,
                                     batches[i % len(batches)], k)
-    jax.block_until_ready(m["loss"])
+    sync_fetch(m["loss"])
     dt = time.perf_counter() - t0
 
     print(json.dumps({

@@ -29,14 +29,9 @@ VAULT_ROWS = int(os.environ.get("BENCH_VAULT", "2176"))
 
 
 def _time(fn, *args):
-    import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / ITERS * 1000.0
+    from misinfo_tpu.utils.timing import time_program
+    dt, _ = time_program(lambda: fn(*args), ITERS)
+    return dt / ITERS * 1000.0
 
 
 def main():

@@ -102,15 +102,17 @@ def main():
         detector_init(jax.random.PRNGKey(0), det), policy)
     fn, batch = _build(cfg, det, policy, params)
 
+    from misinfo_tpu.utils.timing import sync_fetch
+
     out = fn(params, batch)          # compile outside the trace
-    jax.block_until_ready(out)
+    sync_fetch(out)
 
     import shutil
     shutil.rmtree(LOG_DIR, ignore_errors=True)
     with jax.profiler.trace(LOG_DIR):
         for _ in range(ITERS):
             out = fn(params, batch)
-        jax.block_until_ready(out)
+        sync_fetch(out)  # data sync — block_until_ready can ack early here
 
     xplanes = glob.glob(os.path.join(LOG_DIR, "**", "*.xplane.pb"),
                         recursive=True)
