@@ -1,0 +1,85 @@
+"""Whisper serving benchmark: encoder throughput + KV-cached decode rate.
+
+The transcript path (serve/transcript.py, reference
+forensics_dashboard.py:18-87) costs one encoder pass over the 30 s log-mel
+window plus L cached decoder steps per utterance. This measures both on
+the attached device with data-synced timing (utils/timing.py):
+
+    python tools/bench_whisper.py                     # base preset, TPU
+    WHISPER_MODEL=tiny BENCH_BATCH=8 python tools/bench_whisper.py
+    BENCH_DECODE_LEN=448 python tools/bench_whisper.py  # full-window decode
+
+Prints one JSON line: encode ms/utterance, decode steps/s, and the
+utterances/s the combined pipeline sustains at the benchmarked decode
+length (real transcripts stop at EOS; the fori_loop decode always runs
+max_len steps, so steps/s is the honest device rate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SIZE = os.environ.get("WHISPER_MODEL", "base")
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+DECODE_LEN = int(os.environ.get("BENCH_DECODE_LEN", "128"))
+ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from misinfo_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from misinfo_tpu.core.config import ForensicsConfig
+    from misinfo_tpu.models.whisper import (WhisperConfig, decode_transcript,
+                                            whisper_encode, whisper_init)
+    from misinfo_tpu.ops.common import Policy
+    from misinfo_tpu.serve.transcript import _SIZES
+    from misinfo_tpu.utils.timing import time_program
+
+    cfg = WhisperConfig(**_SIZES[SIZE])
+    policy = Policy(ForensicsConfig().precision)
+    params = whisper_init(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.default_rng(0)
+    # 30 s window → 3000 mel frames (conv stride 2 → 1500 encoder positions)
+    T = cfg.max_source_positions * 2
+    mel = jnp.asarray(rng.standard_normal(
+        (BATCH, T, cfg.num_mel_bins)).astype(np.float32))
+
+    enc_fn = jax.jit(lambda p, m: whisper_encode(p, m, cfg, policy))
+    dt_enc, enc_out = time_program(lambda: enc_fn(params, mel), ITERS)
+    enc_ms = dt_enc / ITERS * 1000.0
+
+    dec_fn = jax.jit(lambda p, e: decode_transcript(
+        p, None, cfg, policy, max_len=DECODE_LEN, enc_out=e))
+    dt_dec, _ = time_program(lambda: dec_fn(params, enc_out), ITERS)
+    dec_ms = dt_dec / ITERS * 1000.0
+    # fori_loop runs (max_len - 1) decoder steps regardless of EOS
+    steps = (DECODE_LEN - 1) * BATCH
+    utt_s = BATCH * ITERS / (dt_enc + dt_dec)
+
+    print(json.dumps({
+        "metric": f"whisper_{SIZE}_transcribe",
+        "value": round(utt_s, 2),
+        "unit": f"utterances/sec (30s window, {DECODE_LEN}-token decode)",
+        "batch": BATCH,
+        "encode_ms_per_batch": round(enc_ms, 2),
+        "decode_ms_per_batch": round(dec_ms, 2),
+        "decode_steps_per_sec": round(steps / (dt_dec / ITERS), 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
