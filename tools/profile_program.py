@@ -18,6 +18,11 @@ import json
 import os
 import sys
 
+# tensorboard_plugin_profile ships stale *_pb2.py files that the upb
+# protobuf runtime in this image rejects; the pure-Python runtime accepts
+# them. Must be set before anything imports google.protobuf.
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -120,10 +125,19 @@ def main():
         print(json.dumps({"error": "no xplane captured",
                           "log_dir": LOG_DIR}))
         return 1
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
-
-    data, _ = raw_to_tool_data.xspace_to_tool_data(
-        xplanes, "framework_op_stats", {})
+    try:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data
+    except Exception as e:  # noqa: BLE001 — broken pywrap/proto gen in image
+        print(f"# plugin converter unavailable ({type(e).__name__}); "
+              "using tools/xplane_parse.py wire-format reader")
+        return _fallback_op_table(xplanes)
+    try:
+        data, _ = raw_to_tool_data.xspace_to_tool_data(
+            xplanes, "framework_op_stats", {})
+    except Exception as e:  # noqa: BLE001
+        print(f"# plugin converter failed ({type(e).__name__}: {e}); "
+              "using tools/xplane_parse.py wire-format reader")
+        return _fallback_op_table(xplanes)
     # tool returns CSV-ish JSON; fall back to dumping raw for inspection
     try:
         table = json.loads(data)
@@ -149,6 +163,28 @@ def main():
     print(f"variant={VARIANT} iters={ITERS} top {TOP_N} ops by {key_time}:")
     for r in rows[:TOP_N]:
         print(json.dumps(r, default=str))
+    return 0
+
+
+def _fallback_op_table(xplanes):
+    """Aggregate device-plane op durations via the wire-format reader."""
+    from tools.xplane_parse import op_totals
+
+    rows = op_totals(xplanes, plane_filter="TPU", line_filter="XLA Ops")
+    scope = "plane~TPU line~'XLA Ops'"
+    if not rows:  # line naming varies by runtime; widen progressively
+        rows = op_totals(xplanes, plane_filter="TPU", line_filter="")
+        scope = "plane~TPU all lines"
+    if not rows:
+        rows = op_totals(xplanes, plane_filter="", line_filter="")
+        scope = "all planes"
+    total = sum(r["total_ms"] for r in rows)
+    print(f"variant={VARIANT} iters={ITERS} scope={scope} "
+          f"total {total:.2f} ms ({total / ITERS:.2f} ms/iter); "
+          f"top {TOP_N} ops:")
+    for r in rows[:TOP_N]:
+        print(json.dumps({**r, "total_ms": round(r["total_ms"], 3),
+                          "pct": round(100 * r["total_ms"] / total, 1)}))
     return 0
 
 
