@@ -260,7 +260,9 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
                       temperature=0.0,
                       rng: Optional[jax.Array] = None,
                       enc_out: Optional[jax.Array] = None):
-    """KV-cached transcript decoding, O(L) per step (post-EOS stays EOS).
+    """KV-cached transcript decoding, O(L) per step, early-exiting the
+    decode loop once every batch row has emitted EOS (post-EOS stays EOS,
+    so outputs are identical to running all ``max_len`` steps).
 
     ``temperature == 0`` is greedy argmax; > 0 samples categorically
     (gumbel-max over logits/T) — the retry rungs of the reference's
@@ -290,8 +292,8 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
     if sampled and rng is None:
         rng = jax.random.PRNGKey(0)
 
-    def body(i, carry):
-        tokens, cache, done, sum_lp, cnt = carry
+    def body(carry):
+        i, tokens, cache, done, sum_lp, cnt = carry
         # feed token i-1, predict token i; cache position i-1 gets written
         logits, cache = _cached_decoder_step(
             params, tokens[:, i - 1], i - 1, enc_out, cache, cfg, policy)
@@ -309,7 +311,15 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
         cnt = cnt + active.astype(jnp.float32)
         nxt = jnp.where(done, cfg.eos_token_id, nxt)
         done = jnp.logical_or(done, nxt == cfg.eos_token_id)
-        return tokens.at[:, i].set(nxt), cache, done, sum_lp, cnt
+        return i + 1, tokens.at[:, i].set(nxt), cache, done, sum_lp, cnt
+
+    def not_done(carry):
+        i, _, _, done, _, _ = carry
+        # early exit once every sequence emitted EOS: positions past the
+        # exit are already EOS-filled and sum_lp/cnt freeze (active==0), so
+        # results are bit-identical to running all max_len steps — but a
+        # 10-token utterance no longer pays for 448 decoder passes
+        return jnp.logical_and(i < max_len, jnp.logical_not(jnp.all(done)))
 
     # prompt positions must populate the cache before free-running decode
     def prefill(i, carry):
@@ -321,7 +331,10 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
     zeros = jnp.zeros((B,), jnp.float32)
     carry = (tokens, cache0, done0, zeros, zeros)
     carry = jax.lax.fori_loop(0, start - 1, prefill, carry)
-    tokens, _, _, sum_lp, cnt = jax.lax.fori_loop(start, max_len, body, carry)
+    tokens, cache0, done0, sum_lp, cnt = carry
+    _, tokens, _, _, sum_lp, cnt = jax.lax.while_loop(
+        not_done, body,
+        (jnp.int32(start), tokens, cache0, done0, sum_lp, cnt))
     return tokens, sum_lp / jnp.maximum(cnt, 1.0)
 
 

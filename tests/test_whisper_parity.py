@@ -215,3 +215,33 @@ def test_needs_fallback_thresholds():
                           -0.3)          # compresses too well
     assert needs_fallback("a normal varied sentence of words", -1.5)
     assert not needs_fallback("", -0.3)  # empty text: only logprob applies
+
+
+def test_decode_early_exit_all_eos():
+    """Once every row emits EOS the decode loop exits early; outputs must be
+    identical to the run-all-steps semantics (EOS fill, frozen logprob).
+
+    Deterministic construction: zero token embedding + eos_token_id=0 makes
+    every step's logits uniform, so argmax emits token 0 = EOS immediately."""
+    import dataclasses
+
+    import jax as _jax
+
+    from misinfo_tpu.models.whisper import (WhisperConfig, decode_transcript,
+                                            whisper_init)
+
+    cfg = dataclasses.replace(WhisperConfig.tiny(), eos_token_id=0,
+                              decoder_start_token_id=1)
+    params = whisper_init(_jax.random.PRNGKey(0), cfg)
+    params["decoder"]["token_embedding"] = jnp.zeros_like(
+        params["decoder"]["token_embedding"])
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.normal(size=(2, 64, cfg.num_mel_bins)).astype(np.float32))
+    tokens, avg_lp = decode_transcript(params, mel, cfg, max_len=16)
+    tokens = np.asarray(tokens)
+    assert (tokens[:, 0] == cfg.decoder_start_token_id).all()
+    assert (tokens[:, 1:] == cfg.eos_token_id).all()
+    # exactly one scored token (the EOS emission) per row: avg logprob is
+    # the uniform log(1/V) of the zero-embedding logits
+    np.testing.assert_allclose(np.asarray(avg_lp),
+                               np.log(1.0 / cfg.vocab_size), rtol=1e-5)
