@@ -56,6 +56,15 @@ class WhisperDecodeConfig:
     compression_ratio_threshold: float = 2.4
     logprob_threshold: float = -1.0
     no_speech_threshold: float = 0.6
+    # whisper/transcribe.py loops `while seek < content_frames` over 30 s
+    # windows; we decode ALL windows as ONE batched program (TPU-first),
+    # so a cap bounds the batch. 20 windows = 10 minutes of audio — beyond
+    # any dashboard video the reference serves.
+    max_windows: int = 20
+    # jit signature buckets for the window batch (compiles are minutes on
+    # TPU); the window count is rounded up and padding windows repeat the
+    # last real window so they decode-and-exit like normal speech.
+    window_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 20)
 
 
 @dataclass(frozen=True)

@@ -186,10 +186,39 @@ class WhisperTranscriber:
 
     # -------------------------------------------------------- transcribe
 
+    def _window_mels(self, audio: np.ndarray) -> np.ndarray:
+        """Full audio → [W, frames, n_mels] stacked 30 s mel windows.
+
+        whisper/transcribe.py computes ONE log-mel over the whole clip plus
+        a trailing window of silence (``padding=N_SAMPLES``) — so the
+        normalizing ``log_spec.max()`` is global, not per-window — then
+        slices 30 s segments from it. Mirrored here; window count is capped
+        at decode_cfg.max_windows (10 min of audio)."""
+        from misinfo_tpu.preprocess.audio import (HOP_LENGTH,
+                                                  log_mel_spectrogram)
+
+        frames = 2 * self.cfg.max_source_positions
+        window = frames * HOP_LENGTH
+        n_w = min(max(1, -(-len(audio) // window)), self.decode_cfg.max_windows)
+        padded = np.pad(audio[: n_w * window],
+                        (0, (n_w + 1) * window - min(len(audio), n_w * window)))
+        mel = log_mel_spectrogram(padded)
+        return np.stack([mel[w * frames:(w + 1) * frames] for w in range(n_w)])
+
     def transcribe(self, media_path: str) -> str:
-        from misinfo_tpu.preprocess.audio import (
-            HOP_LENGTH, decode_audio, log_mel_spectrogram, pad_or_trim_audio,
-            pad_or_trim_mel)
+        """Transcribe a media file's audio track.
+
+        Long audio is split into successive 30 s windows like
+        whisper/transcribe.py's seek loop — but decoded as ONE batched
+        program (single encoder pass + one batched KV-cached decode with
+        EOS early-exit) rather than sequentially. Conscious divergence:
+        no ``condition_on_previous_text`` prompt carry — a varying-length
+        prev-text prompt would force a fresh minutes-long TPU compile per
+        window, and dropping it is whisper's own recommended mitigation
+        for repetition loops. The temperature ladder, acceptance checks,
+        and no-speech gate apply PER WINDOW, exactly as whisper applies
+        them per segment."""
+        from misinfo_tpu.preprocess.audio import decode_audio
 
         if not self.has_weights or not self.tokenizer_compatible:
             return ""  # capability absent → empty transcript (reference :32-34)
@@ -200,19 +229,25 @@ class WhisperTranscriber:
             import jax
             import jax.numpy as jnp
 
-            # whisper pads the RAW audio to the fixed window before the mel
-            # transform (silence then normalizes to (max-8+4)/4, not 0.0)
-            frames = 2 * self.cfg.max_source_positions
-            audio = pad_or_trim_audio(audio, frames * HOP_LENGTH)
-            mel = pad_or_trim_mel(log_mel_spectrogram(audio), frames)
-            encode, greedy, sampled, nsp_fn = self._programs()
-            enc = encode(self.params, jnp.asarray(mel[None]))
-            no_speech = float(np.asarray(nsp_fn(self.params, enc))[0])
-            prompt = jnp.asarray(
-                [self.tokenizer.sot_sequence()[1:]], jnp.int32)
-
+            mels = self._window_mels(audio)
+            n_w = mels.shape[0]
             dc = self.decode_cfg
-            text, avg_lp = "", 0.0
+            # round the window batch up to a known jit signature; padding
+            # windows repeat the last real window (decodes like speech →
+            # early-exits; outputs discarded)
+            bucket = next((b for b in dc.window_buckets if b >= n_w),
+                          dc.window_buckets[-1])
+            if bucket > n_w:
+                mels = np.concatenate(
+                    [mels, np.repeat(mels[-1:], bucket - n_w, axis=0)])
+            encode, greedy, sampled, nsp_fn = self._programs()
+            enc = encode(self.params, jnp.asarray(mels))
+            no_speech = np.asarray(nsp_fn(self.params, enc))
+            prompt = jnp.asarray(
+                [self.tokenizer.sot_sequence()[1:]] * bucket, jnp.int32)
+
+            texts: list = [None] * n_w
+            final_lp = np.zeros(n_w, np.float32)
             for t in dc.fallback_temperatures:
                 if t == 0.0:
                     tokens, lp = greedy(self.params, enc, prompt)
@@ -220,22 +255,31 @@ class WhisperTranscriber:
                     tokens, lp = sampled(self.params, enc, prompt,
                                          jnp.float32(t),
                                          jax.random.PRNGKey(int(t * 10)))
-                avg_lp = float(np.asarray(lp)[0])
-                ids = [int(x) for x in np.asarray(tokens)[0]]
-                text = self.tokenizer.decode(ids).strip()
-                if not needs_fallback(text, avg_lp,
-                                      dc.compression_ratio_threshold,
-                                      dc.logprob_threshold):
+                tokens = np.asarray(tokens)
+                lp = np.asarray(lp)
+                last_rung = t == dc.fallback_temperatures[-1]
+                for w in range(n_w):
+                    if texts[w] is not None:
+                        continue
+                    cand = self.tokenizer.decode(
+                        [int(x) for x in tokens[w]]).strip()
+                    if last_rung or not needs_fallback(
+                            cand, float(lp[w]),
+                            dc.compression_ratio_threshold,
+                            dc.logprob_threshold):
+                        texts[w] = cand
+                        final_lp[w] = lp[w]
+                if all(x is not None for x in texts):
                     break
             # whisper's silence rule (transcribe.py): a confidently
-            # no-speech segment is dropped UNLESS the accepted result's
-            # avg_logprob clears the threshold — the FINAL rung's logprob,
-            # exactly as openai-whisper decides it (which likewise runs the
-            # whole ladder on silent audio before discarding it)
-            if (no_speech > dc.no_speech_threshold
-                    and avg_lp <= dc.logprob_threshold):
-                return ""
-            return text
+            # no-speech segment is dropped UNLESS its accepted result's
+            # avg_logprob clears the threshold — decided per window with
+            # the FINAL accepted rung's logprob, exactly as openai-whisper
+            # decides it per segment
+            kept = [texts[w] for w in range(n_w)
+                    if not (no_speech[w] > dc.no_speech_threshold
+                            and final_lp[w] <= dc.logprob_threshold)]
+            return " ".join(x for x in kept if x).strip()
         except Exception as e:
             return f"[transcript error: {e}]"
 

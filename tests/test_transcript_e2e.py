@@ -318,3 +318,45 @@ def test_audio_padding_matches_whisper_silence_value():
     assert float(np.abs(tail).min()) > 0.1      # i.e. NOT zero-padding
     # trim mode: long audio is cut, not padded
     assert len(pad_or_trim_audio(padded, SR)) == SR
+
+
+def test_multi_window_transcription(trained_whisper):
+    """Audio longer than one encoder window transcribes EVERY window
+    (whisper/transcribe.py's seek loop; previously only the first 30 s
+    survived). Windows decode as one batched program; the count is rounded
+    to a window bucket with repeated-last-window padding (discarded)."""
+    import wave as _wave
+
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    ckpt_dir, wav_path = trained_whisper
+    audio = _make_audio()
+    long_path = wav_path.replace("speech.wav", "speech_long.wav")
+    with _wave.open(long_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes(np.tile((audio * 32767).astype(np.int16), 3).tobytes())
+    tr = WhisperTranscriber(ckpt_dir)
+    text = tr.transcribe(long_path)
+    assert text == " ".join([TEXT] * 3)
+
+
+def test_window_mels_shape_and_cap(trained_whisper):
+    """_window_mels: window split, max_windows cap, global-max mel norm."""
+    import dataclasses as _dc
+
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    ckpt_dir, _ = trained_whisper
+    tr = WhisperTranscriber(ckpt_dir)
+    frames = 2 * tr.cfg.max_source_positions
+    window = frames * 160
+    audio = _make_audio()
+    assert tr._window_mels(audio).shape == (1, frames, 80)
+    assert tr._window_mels(np.tile(audio, 5)).shape == (5, frames, 80)
+    # half-window tail rounds up to one extra window
+    assert tr._window_mels(
+        np.concatenate([audio, audio[: window // 2]])).shape[0] == 2
+    tr.decode_cfg = _dc.replace(tr.decode_cfg, max_windows=2)
+    assert tr._window_mels(np.tile(audio, 5)).shape == (2, frames, 80)
