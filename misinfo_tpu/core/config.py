@@ -57,13 +57,15 @@ class WhisperDecodeConfig:
     logprob_threshold: float = -1.0
     no_speech_threshold: float = 0.6
     # whisper/transcribe.py loops `while seek < content_frames` over 30 s
-    # windows; we decode ALL windows as ONE batched program (TPU-first),
-    # so a cap bounds the batch. 20 windows = 10 minutes of audio — beyond
-    # any dashboard video the reference serves.
-    max_windows: int = 20
+    # windows; we decode windows as BATCHED programs (TPU-first). The cap
+    # bounds total work per clip: 120 windows = 1 hour of audio (logged
+    # when it binds — openai-whisper itself has no cap).
+    max_windows: int = 120
     # jit signature buckets for the window batch (compiles are minutes on
     # TPU); the window count is rounded up and padding windows repeat the
-    # last real window so they decode-and-exit like normal speech.
+    # last real window so they decode-and-exit like normal speech. Clips
+    # with more windows than the largest bucket are processed in chunks of
+    # that size, so NO window count ever mints a novel jit signature.
     window_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 20)
 
 

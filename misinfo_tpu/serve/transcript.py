@@ -199,7 +199,14 @@ class WhisperTranscriber:
 
         frames = 2 * self.cfg.max_source_positions
         window = frames * HOP_LENGTH
-        n_w = min(max(1, -(-len(audio) // window)), self.decode_cfg.max_windows)
+        full = max(1, -(-len(audio) // window))
+        n_w = min(full, self.decode_cfg.max_windows)
+        if n_w < full:
+            import logging
+            logging.getLogger(__name__).warning(
+                "transcribe: audio is %d windows but max_windows=%d — "
+                "transcript truncated to the first %.0f s",
+                full, n_w, n_w * window / 16000)
         padded = np.pad(audio[: n_w * window],
                         (0, (n_w + 1) * window - min(len(audio), n_w * window)))
         mel = log_mel_spectrogram(padded)
@@ -226,62 +233,73 @@ class WhisperTranscriber:
         if audio is None or len(audio) == 0:
             return ""
         try:
-            import jax
-            import jax.numpy as jnp
-
             mels = self._window_mels(audio)
-            n_w = mels.shape[0]
             dc = self.decode_cfg
-            # round the window batch up to a known jit signature; padding
-            # windows repeat the last real window (decodes like speech →
-            # early-exits; outputs discarded)
-            bucket = next((b for b in dc.window_buckets if b >= n_w),
-                          dc.window_buckets[-1])
-            if bucket > n_w:
-                mels = np.concatenate(
-                    [mels, np.repeat(mels[-1:], bucket - n_w, axis=0)])
-            encode, greedy, sampled, nsp_fn = self._programs()
-            enc = encode(self.params, jnp.asarray(mels))
-            no_speech = np.asarray(nsp_fn(self.params, enc))
-            prompt = jnp.asarray(
-                [self.tokenizer.sot_sequence()[1:]] * bucket, jnp.int32)
-
-            texts: list = [None] * n_w
-            final_lp = np.zeros(n_w, np.float32)
-            for t in dc.fallback_temperatures:
-                if t == 0.0:
-                    tokens, lp = greedy(self.params, enc, prompt)
-                else:
-                    tokens, lp = sampled(self.params, enc, prompt,
-                                         jnp.float32(t),
-                                         jax.random.PRNGKey(int(t * 10)))
-                tokens = np.asarray(tokens)
-                lp = np.asarray(lp)
-                last_rung = t == dc.fallback_temperatures[-1]
-                for w in range(n_w):
-                    if texts[w] is not None:
-                        continue
-                    cand = self.tokenizer.decode(
-                        [int(x) for x in tokens[w]]).strip()
-                    if last_rung or not needs_fallback(
-                            cand, float(lp[w]),
-                            dc.compression_ratio_threshold,
-                            dc.logprob_threshold):
-                        texts[w] = cand
-                        final_lp[w] = lp[w]
-                if all(x is not None for x in texts):
-                    break
-            # whisper's silence rule (transcribe.py): a confidently
-            # no-speech segment is dropped UNLESS its accepted result's
-            # avg_logprob clears the threshold — decided per window with
-            # the FINAL accepted rung's logprob, exactly as openai-whisper
-            # decides it per segment
-            kept = [texts[w] for w in range(n_w)
-                    if not (no_speech[w] > dc.no_speech_threshold
-                            and final_lp[w] <= dc.logprob_threshold)]
+            # chunk at the largest bucket so no clip length ever mints a
+            # novel jit signature (same rule as the engine's video path)
+            step = max(dc.window_buckets)
+            kept: list = []
+            for off in range(0, mels.shape[0], step):
+                kept.extend(self._decode_window_batch(mels[off:off + step]))
             return " ".join(x for x in kept if x).strip()
         except Exception as e:
             return f"[transcript error: {e}]"
+
+    def _decode_window_batch(self, mels: np.ndarray) -> list:
+        """Temperature ladder + acceptance + silence gate over ≤bucket-max
+        windows in one batched decode; returns the per-window texts that
+        survive whisper's silence rule."""
+        import jax
+        import jax.numpy as jnp
+
+        dc = self.decode_cfg
+        n_w = mels.shape[0]
+        # round the window batch up to a known jit signature; padding
+        # windows repeat the last real window (decodes like speech →
+        # early-exits; outputs discarded)
+        bucket = min(b for b in dc.window_buckets if b >= n_w)
+        if bucket > n_w:
+            mels = np.concatenate(
+                [mels, np.repeat(mels[-1:], bucket - n_w, axis=0)])
+        encode, greedy, sampled, nsp_fn = self._programs()
+        enc = encode(self.params, jnp.asarray(mels))
+        no_speech = np.asarray(nsp_fn(self.params, enc))
+        prompt = jnp.asarray(
+            [self.tokenizer.sot_sequence()[1:]] * bucket, jnp.int32)
+
+        texts: list = [None] * n_w
+        final_lp = np.zeros(n_w, np.float32)
+        for t in dc.fallback_temperatures:
+            if t == 0.0:
+                tokens, lp = greedy(self.params, enc, prompt)
+            else:
+                tokens, lp = sampled(self.params, enc, prompt,
+                                     jnp.float32(t),
+                                     jax.random.PRNGKey(int(t * 10)))
+            tokens = np.asarray(tokens)
+            lp = np.asarray(lp)
+            last_rung = t == dc.fallback_temperatures[-1]
+            for w in range(n_w):
+                if texts[w] is not None:
+                    continue
+                cand = self.tokenizer.decode(
+                    [int(x) for x in tokens[w]]).strip()
+                if last_rung or not needs_fallback(
+                        cand, float(lp[w]),
+                        dc.compression_ratio_threshold,
+                        dc.logprob_threshold):
+                    texts[w] = cand
+                    final_lp[w] = lp[w]
+            if all(x is not None for x in texts):
+                break
+        # whisper's silence rule (transcribe.py): a confidently no-speech
+        # segment is dropped UNLESS its accepted result's avg_logprob
+        # clears the threshold — decided per window with the FINAL
+        # accepted rung's logprob, exactly as openai-whisper decides it
+        # per segment
+        return [texts[w] for w in range(n_w)
+                if not (no_speech[w] > dc.no_speech_threshold
+                        and final_lp[w] <= dc.logprob_threshold)]
 
 
 def extract_transcript(media_path: Optional[str]) -> str:

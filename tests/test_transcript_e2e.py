@@ -360,3 +360,36 @@ def test_window_mels_shape_and_cap(trained_whisper):
         np.concatenate([audio, audio[: window // 2]])).shape[0] == 2
     tr.decode_cfg = _dc.replace(tr.decode_cfg, max_windows=2)
     assert tr._window_mels(np.tile(audio, 5)).shape == (2, frames, 80)
+
+
+def test_window_chunking_beyond_largest_bucket(trained_whisper):
+    """More windows than the largest jit bucket → the decode runs in
+    chunks of that bucket (no novel jit signature), and every window's
+    text still lands in the transcript."""
+    import dataclasses as _dc
+    import wave as _wave
+
+    from misinfo_tpu.core.config import WhisperDecodeConfig
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    ckpt_dir, wav_path = trained_whisper
+    audio = _make_audio()
+    p = wav_path.replace("speech.wav", "speech_5x.wav")
+    with _wave.open(p, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes(np.tile((audio * 32767).astype(np.int16), 5).tobytes())
+    tr = WhisperTranscriber(
+        ckpt_dir, decode_cfg=_dc.replace(WhisperDecodeConfig(),
+                                         window_buckets=(1, 2)))
+    seen = []
+    orig = tr._decode_window_batch
+
+    def spy(mels):
+        seen.append(mels.shape[0])
+        return orig(mels)
+    tr._decode_window_batch = spy
+    text = tr.transcribe(p)
+    assert text == " ".join([TEXT] * 5)
+    assert seen == [2, 2, 1]  # chunks of the largest bucket
