@@ -24,6 +24,7 @@ import argparse
 import base64
 import io
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
@@ -186,6 +187,9 @@ def main(argv=None) -> int:
     api = ForensicsAPI(config=cfg, mesh=mesh)
     if args.warmup:
         api.engine.warmup()
+        if os.getenv("WHISPER_CHECKPOINT"):
+            from misinfo_tpu.serve.transcript import warmup_transcriber
+            warmup_transcriber()
     httpd = serve(api, args.port, args.host)
     print(f"misinfo_tpu API listening on {args.host}:{httpd.server_address[1]}")
     try:

@@ -72,6 +72,9 @@ def main(argv=None) -> int:
     engine = MisinfoForensics(config=cfg, mesh=mesh)
     if args.warmup:
         engine.warmup()
+        if os.getenv("WHISPER_CHECKPOINT"):
+            from misinfo_tpu.serve.transcript import warmup_transcriber
+            warmup_transcriber()
 
     if args.batch_file:
         with open(args.batch_file, encoding="utf-8") as f:

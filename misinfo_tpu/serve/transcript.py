@@ -184,6 +184,40 @@ class WhisperTranscriber:
         self._fns = (encode, greedy, sampled, nsp)
         return self._fns
 
+    # -------------------------------------------------------- warmup
+
+    def warmup(self, buckets=(1,)) -> list:
+        """Precompile the transcription programs for the given window
+        buckets (encoder, greedy + sampled decode, no-speech probe).
+
+        Mirrors the engine's ``warmup()`` contract: cold TPU compiles take
+        minutes through this image's remote tunnel, and the first
+        video-with-audio request would otherwise pay that mid-request.
+        Default warms only the 1-window bucket (a dashboard video ≤30 s);
+        pass more buckets for long-clip deployments. No-op when the
+        capability is degraded (no weights / tokenizer mismatch)."""
+        if not self.has_weights or not self.tokenizer_compatible:
+            return []
+        import jax
+        import jax.numpy as jnp
+
+        frames = 2 * self.cfg.max_source_positions
+        encode, greedy, sampled, nsp_fn = self._programs()
+        warmed = []
+        for b in buckets:
+            mel = jnp.zeros((b, frames, self.cfg.num_mel_bins), jnp.float32)
+            enc = encode(self.params, mel)
+            prompt = jnp.asarray(
+                [self.tokenizer.sot_sequence()[1:]] * b, jnp.int32)
+            tokens, _ = greedy(self.params, enc, prompt)
+            s_tokens, _ = sampled(self.params, enc, prompt, jnp.float32(1.0),
+                                  jax.random.PRNGKey(0))
+            nsp = nsp_fn(self.params, enc)
+            # data fetch = the only reliable sync through the axon relay
+            np.asarray(tokens), np.asarray(s_tokens), np.asarray(nsp)
+            warmed.append(b)
+        return warmed
+
     # -------------------------------------------------------- transcribe
 
     def _window_mels(self, audio: np.ndarray) -> np.ndarray:
@@ -320,6 +354,22 @@ def extract_transcript(media_path: Optional[str]) -> str:
         return _engine.transcribe(media_path)
     except Exception as e:
         return f"[transcript error: {e}]"
+
+
+def warmup_transcriber(buckets=(1,)) -> list:
+    """Build the cached transcriber (WHISPER_CHECKPOINT env) and precompile
+    its programs; called from the CLI/API ``--warmup`` path alongside
+    ``engine.warmup()``. Returns the warmed buckets ([] when the transcript
+    capability is degraded or unconfigured)."""
+    global _engine, _engine_failed
+    with _lock:
+        if _engine is None and not _engine_failed:
+            try:
+                _engine = WhisperTranscriber(os.getenv("WHISPER_CHECKPOINT"))
+            except Exception:
+                _engine_failed = True
+        eng = _engine
+    return eng.warmup(buckets) if eng is not None else []
 
 
 def reset_transcriber() -> None:

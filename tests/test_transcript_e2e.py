@@ -393,3 +393,21 @@ def test_window_chunking_beyond_largest_bucket(trained_whisper):
     text = tr.transcribe(p)
     assert text == " ".join([TEXT] * 5)
     assert seen == [2, 2, 1]  # chunks of the largest bucket
+
+
+def test_warmup_transcriber(trained_whisper, monkeypatch):
+    """--warmup precompiles the transcript programs; degraded installs
+    (no checkpoint) warm nothing instead of erroring."""
+    from misinfo_tpu.serve import transcript as T
+
+    ckpt_dir, _ = trained_whisper
+    monkeypatch.setenv("WHISPER_CHECKPOINT", ckpt_dir)
+    T.reset_transcriber()
+    try:
+        assert T.warmup_transcriber() == [1]
+        tr = T.WhisperTranscriber(ckpt_dir)
+        assert tr.warmup(buckets=(1, 2)) == [1, 2]
+        tr_none = T.WhisperTranscriber(None, size="tiny")
+        assert tr_none.warmup() == []
+    finally:
+        T.reset_transcriber()
