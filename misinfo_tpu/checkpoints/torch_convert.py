@@ -271,15 +271,64 @@ def convert_whisper(sd: Mapping, prefix: str = "",
     return out
 
 
+_OPENAI_WHISPER_RENAMES = (
+    # openai-whisper (whisper/model.py) → HF WhisperModel key fragments
+    (".attn_ln.", ".self_attn_layer_norm."),
+    (".attn.query.", ".self_attn.q_proj."),
+    (".attn.key.", ".self_attn.k_proj."),
+    (".attn.value.", ".self_attn.v_proj."),
+    (".attn.out.", ".self_attn.out_proj."),
+    (".cross_attn_ln.", ".encoder_attn_layer_norm."),
+    (".cross_attn.query.", ".encoder_attn.q_proj."),
+    (".cross_attn.key.", ".encoder_attn.k_proj."),
+    (".cross_attn.value.", ".encoder_attn.v_proj."),
+    (".cross_attn.out.", ".encoder_attn.out_proj."),
+    (".mlp_ln.", ".final_layer_norm."),
+    (".mlp.0.", ".fc1."),
+    (".mlp.2.", ".fc2."),
+)
+
+
+def _openai_whisper_to_hf(sd: Mapping) -> Mapping:
+    """Translate openai-whisper's native key layout (what
+    ``whisper.load_model`` downloads and the reference lazily loads,
+    forensics_dashboard.py:46-49: ``{tower}.blocks.N.attn.query`` …) to the
+    HF layout convert_whisper consumes. No-op for HF dicts."""
+    if not any(k.startswith(("encoder.blocks.", "decoder.blocks."))
+               for k in sd):
+        return sd
+    out = {}
+    for k, v in sd.items():
+        nk = (k.replace(".blocks.", ".layers.")
+               .replace("decoder.token_embedding.weight",
+                        "decoder.embed_tokens.weight")
+               .replace("encoder.positional_embedding",
+                        "encoder.embed_positions.weight")
+               .replace("decoder.positional_embedding",
+                        "decoder.embed_positions.weight")
+               .replace("encoder.ln_post.", "encoder.layer_norm."))
+        if nk.startswith("decoder.ln."):
+            nk = "decoder.layer_norm." + nk[len("decoder.ln."):]
+        # each pattern's leading '.' keeps '.attn.' from matching inside
+        # '_attn.' (cross_attn), so rename order is irrelevant
+        for old, new in _OPENAI_WHISPER_RENAMES:
+            nk = nk.replace(old, new)
+        out[nk] = v
+    return out
+
+
 def whisper_state_dict(path: str) -> Mapping:
-    """Load an HF-format Whisper ``.pt``/``.pth``/``.bin`` file and unwrap
-    it to a flat state dict (handles 'model_state_dict' wrappers and saved
-    nn.Module objects)."""
+    """Load a Whisper ``.pt``/``.pth``/``.bin`` file — HF format or
+    openai-whisper's native download format (``{'dims': …,
+    'model_state_dict': …}`` with ``blocks``-style keys, translated via
+    :func:`_openai_whisper_to_hf`) — and unwrap it to an HF-layout flat
+    state dict (handles 'model_state_dict' wrappers and saved nn.Module
+    objects)."""
     ckpt = load_pth(path)
     sd = ckpt.get("model_state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    return sd
+    return _openai_whisper_to_hf(sd)
 
 
 def whisper_config_from_torch(sd: Mapping) -> Dict[str, int]:

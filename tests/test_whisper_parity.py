@@ -245,3 +245,54 @@ def test_decode_early_exit_all_eos():
     # the uniform log(1/V) of the zero-embedding logits
     np.testing.assert_allclose(np.asarray(avg_lp),
                                np.log(1.0 / cfg.vocab_size), rtol=1e-5)
+
+
+def test_openai_whisper_layout_converts(hf_whisper, tmp_path):
+    """openai-whisper's native download format ({'dims', 'model_state_dict'}
+    with `{tower}.blocks.N.attn.query`-style keys — what the reference's
+    whisper.load_model consumes) converts to the exact same update set as
+    the HF layout."""
+    from misinfo_tpu.checkpoints.torch_convert import (convert_whisper,
+                                                       whisper_state_dict)
+
+    sd = hf_whisper.state_dict()
+    inv = (
+        (".self_attn_layer_norm.", ".attn_ln."),
+        (".self_attn.q_proj.", ".attn.query."),
+        (".self_attn.k_proj.", ".attn.key."),
+        (".self_attn.v_proj.", ".attn.value."),
+        (".self_attn.out_proj.", ".attn.out."),
+        (".encoder_attn_layer_norm.", ".cross_attn_ln."),
+        (".encoder_attn.q_proj.", ".cross_attn.query."),
+        (".encoder_attn.k_proj.", ".cross_attn.key."),
+        (".encoder_attn.v_proj.", ".cross_attn.value."),
+        (".encoder_attn.out_proj.", ".cross_attn.out."),
+        (".final_layer_norm.", ".mlp_ln."),
+        (".fc1.", ".mlp.0."),
+        (".fc2.", ".mlp.2."),
+    )
+    oai = {}
+    for k, v in sd.items():
+        nk = (k.replace(".layers.", ".blocks.")
+               .replace("decoder.embed_tokens.weight",
+                        "decoder.token_embedding.weight")
+               .replace("encoder.embed_positions.weight",
+                        "encoder.positional_embedding")
+               .replace("decoder.embed_positions.weight",
+                        "decoder.positional_embedding"))
+        if nk.startswith("encoder.layer_norm."):
+            nk = "encoder.ln_post." + nk[len("encoder.layer_norm."):]
+        if nk.startswith("decoder.layer_norm."):
+            nk = "decoder.ln." + nk[len("decoder.layer_norm."):]
+        for new, old in inv:
+            nk = nk.replace(new, old)
+        oai[nk] = v
+    path = str(tmp_path / "oai_base.pt")
+    torch.save({"dims": {"n_vocab": TINY.vocab_size},
+                "model_state_dict": oai}, path)
+    got = convert_whisper(whisper_state_dict(path))
+    want = convert_whisper(sd)
+    assert set(got.keys()) == set(want.keys())
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(want[k]))
