@@ -46,8 +46,10 @@ N_TIMESTAMPS = 1501  # <|0.00|> … <|30.00|> at 20 ms steps
 class _WhisperSpecials:
     """Id layout of the special block, anchored at the end-of-text id."""
 
-    def __init__(self, eot: int, languages: Sequence[str] = WHISPER_LANGUAGES):
+    def __init__(self, eot: int, languages: Sequence[str] = WHISPER_LANGUAGES,
+                 multilingual: bool = True):
         self.eot = eot
+        self.multilingual = multilingual
         self.sot = eot + 1
         self.language_ids = {lang: self.sot + 1 + i
                              for i, lang in enumerate(languages)}
@@ -63,10 +65,15 @@ class _WhisperSpecials:
 
     def sot_sequence(self, language: str = "en", task: str = "transcribe",
                      notimestamps: bool = True) -> List[int]:
-        """The decoder prompt openai-whisper feeds before free decoding."""
-        seq = [self.sot, self.language_ids.get(language,
-                                               self.language_ids["en"]),
-               self.transcribe if task == "transcribe" else self.translate]
+        """The decoder prompt openai-whisper feeds before free decoding.
+        English-only models (vocab 51864, `.en` checkpoints) were trained
+        without language/task conditioning — their sot_sequence is just
+        ``[sot]`` (whisper/tokenizer.py), so those ids are omitted."""
+        seq = [self.sot]
+        if self.multilingual:
+            seq += [self.language_ids.get(language, self.language_ids["en"]),
+                    self.transcribe if task == "transcribe"
+                    else self.translate]
         if notimestamps:
             seq.append(self.no_timestamps)
         return seq
@@ -88,7 +95,9 @@ class WhisperTokenizer:
         # 50257; if absent (some exports strip specials) it sits right
         # after the base vocab
         eot = enc.get("<|endoftext|>", len(enc))
-        self.specials = _WhisperSpecials(eot)
+        # English-only assets (.en models) use gpt2's vocab → eot 50256;
+        # their decoder prompt carries no language/task conditioning
+        self.specials = _WhisperSpecials(eot, multilingual=eot != 50256)
         self.language, self.task = language, task
         self.vocab_size = self.specials.vocab_size
 
@@ -138,10 +147,12 @@ def specials_for_vocab(vocab_size: int) -> _WhisperSpecials:
     """The canonical special-token layout implied by a total vocab size:
     vocab = eot + 1 (sot) + 99 (languages) + 6 (task/control) + 1501
     (timestamps) + 1 ⇒ eot = vocab − 1608. Multilingual 51865 → eot 50257,
-    English-only 51864 → eot 50256 — both match openai-whisper. Used when a
-    checkpoint's embedding rows, not the loaded tokenizer, pin the model's
-    vocab (checkpoints/torch_convert.whisper_config_from_torch)."""
-    return _WhisperSpecials(eot=max(vocab_size - 1608, 0))
+    English-only 51864 → eot 50256 (its sot_sequence then omits the
+    language/task ids, like openai-whisper's non-multilingual tokenizer).
+    Used when a checkpoint's embedding rows, not the loaded tokenizer, pin
+    the model's vocab (checkpoints/torch_convert.whisper_config_from_torch)."""
+    return _WhisperSpecials(eot=max(vocab_size - 1608, 0),
+                            multilingual=vocab_size != 51864)
 
 
 def load_whisper_tokenizer(tokenizer_dir: Optional[str] = None,

@@ -153,3 +153,19 @@ def test_clip_bpe_end_of_word(bpe_assets):
         assert ids == ref
     except Exception:
         pass  # HF CLIPTokenizer may require ftfy pathway; algorithm checked above
+
+
+def test_whisper_english_only_sot_sequence():
+    """English-only whisper models (.en, vocab 51864) were trained without
+    language/task conditioning: sot_sequence is [sot, notimestamps]
+    (whisper/tokenizer.py); multilingual keeps [sot, lang, task, nots]."""
+    from misinfo_tpu.preprocess.whisper_tokenizer import specials_for_vocab
+
+    en = specials_for_vocab(51864)
+    assert en.eot == 50256 and not en.multilingual
+    assert en.sot_sequence() == [en.sot, en.no_timestamps]
+    multi = specials_for_vocab(51865)
+    assert multi.eot == 50257 and multi.multilingual
+    seq = multi.sot_sequence()
+    assert seq == [multi.sot, multi.language_ids["en"], multi.transcribe,
+                   multi.no_timestamps]
