@@ -360,6 +360,13 @@ def whisper_config_from_torch(sd: Mapping) -> Dict[str, int]:
                num_heads=max(d_model // 64, 1),
                encoder_layers=_count("encoder"),
                decoder_layers=_count("decoder"))
+    conv1 = sd.get(p + "encoder.conv1.weight")
+    if conv1 is not None:
+        # torch Conv1d weight is [Cout, Cin, K]; Cin = n_mels. The v3
+        # family (large-v3, v3-turbo) uses 128 mel bins — without this the
+        # default-80 model shape-skips conv1 and decodes garbage while
+        # claiming the load succeeded
+        out["num_mel_bins"] = int(conv1.shape[1])
     fc1 = sd.get(p + "encoder.layers.0.fc1.weight")
     if fc1 is not None:
         out["ffn_dim"] = int(fc1.shape[0])

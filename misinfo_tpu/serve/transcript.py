@@ -201,6 +201,8 @@ class WhisperTranscriber:
         import jax
         import jax.numpy as jnp
 
+        from misinfo_tpu.utils.timing import sync_fetch
+
         frames = 2 * self.cfg.max_source_positions
         encode, greedy, sampled, nsp_fn = self._programs()
         warmed = []
@@ -209,12 +211,13 @@ class WhisperTranscriber:
             enc = encode(self.params, mel)
             prompt = jnp.asarray(
                 [self.tokenizer.sot_sequence()[1:]] * b, jnp.int32)
-            tokens, _ = greedy(self.params, enc, prompt)
-            s_tokens, _ = sampled(self.params, enc, prompt, jnp.float32(1.0),
-                                  jax.random.PRNGKey(0))
+            greedy(self.params, enc, prompt)
+            sampled(self.params, enc, prompt, jnp.float32(1.0),
+                    jax.random.PRNGKey(0))
             nsp = nsp_fn(self.params, enc)
-            # data fetch = the only reliable sync through the axon relay
-            np.asarray(tokens), np.asarray(s_tokens), np.asarray(nsp)
+            # one scalar fetch of the LAST enqueued program syncs the whole
+            # in-order stream (utils/timing.py relay semantics)
+            sync_fetch(nsp)
             warmed.append(b)
         return warmed
 
@@ -336,22 +339,29 @@ class WhisperTranscriber:
                         and final_lp[w] <= dc.logprob_threshold)]
 
 
-def extract_transcript(media_path: Optional[str]) -> str:
-    """Module-level cached extraction (reference _extract_transcript)."""
+def _get_engine() -> Optional[WhisperTranscriber]:
+    """Lazily build (once) and return the module-cached transcriber, or
+    None when construction failed (failure is latched like the reference's
+    global whisper model cache, forensics_dashboard.py:15,46-49)."""
     global _engine, _engine_failed
-    if not media_path:
-        return ""
     with _lock:
         if _engine is None and not _engine_failed:
             try:
-                ckpt = os.getenv("WHISPER_CHECKPOINT")
-                _engine = WhisperTranscriber(ckpt)
+                _engine = WhisperTranscriber(os.getenv("WHISPER_CHECKPOINT"))
             except Exception:
                 _engine_failed = True
-        if _engine is None:
-            return ""
+        return _engine
+
+
+def extract_transcript(media_path: Optional[str]) -> str:
+    """Module-level cached extraction (reference _extract_transcript)."""
+    if not media_path:
+        return ""
+    engine = _get_engine()
+    if engine is None:
+        return ""
     try:
-        return _engine.transcribe(media_path)
+        return engine.transcribe(media_path)
     except Exception as e:
         return f"[transcript error: {e}]"
 
@@ -361,15 +371,8 @@ def warmup_transcriber(buckets=(1,)) -> list:
     its programs; called from the CLI/API ``--warmup`` path alongside
     ``engine.warmup()``. Returns the warmed buckets ([] when the transcript
     capability is degraded or unconfigured)."""
-    global _engine, _engine_failed
-    with _lock:
-        if _engine is None and not _engine_failed:
-            try:
-                _engine = WhisperTranscriber(os.getenv("WHISPER_CHECKPOINT"))
-            except Exception:
-                _engine_failed = True
-        eng = _engine
-    return eng.warmup(buckets) if eng is not None else []
+    engine = _get_engine()
+    return engine.warmup(buckets) if engine is not None else []
 
 
 def reset_transcriber() -> None:

@@ -296,3 +296,18 @@ def test_openai_whisper_layout_converts(hf_whisper, tmp_path):
     for k in want:
         np.testing.assert_array_equal(np.asarray(got[k]),
                                       np.asarray(want[k]))
+
+
+def test_whisper_config_infers_mel_bins():
+    """num_mel_bins comes from conv1's input channels — the v3 family
+    (large-v3 / v3-turbo) uses 128 mel bins; without inference the
+    default-80 model silently shape-skips conv1."""
+    from misinfo_tpu.checkpoints.torch_convert import whisper_config_from_torch
+
+    sd = {"decoder.embed_tokens.weight": torch.zeros(51866, 64),
+          "encoder.conv1.weight": torch.zeros(64, 128, 3),
+          "encoder.layers.0.fc1.weight": torch.zeros(128, 64),
+          "decoder.layers.0.fc1.weight": torch.zeros(128, 64)}
+    cfg = whisper_config_from_torch(sd)
+    assert cfg["num_mel_bins"] == 128
+    assert cfg["vocab_size"] == 51866 and cfg["d_model"] == 64
