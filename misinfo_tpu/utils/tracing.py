@@ -83,7 +83,9 @@ def profile_trace(log_dir: str = "/tmp/misinfo_tpu_trace") -> Iterator[None]:
 def nan_guard(enable: bool = True) -> Iterator[None]:
     import jax
 
-    prev = jax.config.read("jax_debug_nans")
+    # NB jax.config.read() refuses contextmanager-backed flags in current
+    # JAX; the attribute read is the supported accessor
+    prev = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", enable)
     try:
         yield

@@ -1,0 +1,59 @@
+"""Direct tests for utils/tracing.py (SURVEY.md §5 observability): event
+accounting, counters, rates, the stage_timer context manager, the JSON
+sink, and the nan_guard toggle. Previously only exercised implicitly by
+the engine."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from misinfo_tpu.utils.tracing import Tracer, nan_guard, stage_timer
+
+
+def test_event_counters_and_rate():
+    t = Tracer()
+    t.event("analyze", 0.5, n_requests=8)
+    t.event("analyze", 0.5, n_requests=8)
+    assert t.counters["analyze_seconds"] == 1.0
+    assert t.counters["analyze_count"] == 2
+    assert t.counters["analyze_n_requests"] == 16
+    assert t.rate("analyze") == 2.0
+    s = t.summary()
+    assert s["verdicts_per_sec"] == 16.0
+    assert Tracer().rate("missing") == 0.0
+
+
+def test_non_numeric_fields_logged_not_counted():
+    t = Tracer()
+    t.event("vault", 0.1, variant="full")
+    assert t.events[0]["variant"] == "full"
+    assert "vault_variant" not in t.counters
+
+
+def test_sink_receives_json_lines():
+    lines = []
+    t = Tracer(sink=lines.append)
+    t.event("stage", 0.25, batch=4)
+    ev = json.loads(lines[0])
+    assert ev["stage"] == "stage" and ev["batch"] == 4
+
+
+def test_stage_timer_records_elapsed():
+    t = Tracer()
+    with stage_timer("work", tracer=t, batch=2):
+        pass
+    assert t.counters["work_count"] == 1
+    assert t.counters["work_seconds"] >= 0.0
+    assert t.events[0]["batch"] == 2
+
+
+def test_nan_guard_raises_then_restores():
+    before = jax.config.jax_debug_nans
+    with nan_guard(True):
+        assert jax.config.jax_debug_nans is True
+        with pytest.raises(FloatingPointError):
+            jnp.zeros(()) / jnp.zeros(())  # nan under the guard
+    assert jax.config.jax_debug_nans == before
+    jnp.zeros(()) / jnp.zeros(())  # outside the guard: no raise
