@@ -50,7 +50,14 @@ class WhisperDecodeConfig:
     reference's transcript call (forensics_dashboard.py:80-83 →
     whisper/transcribe.py): the temperature-fallback ladder, the
     compression-ratio / avg-logprob acceptance checks, and the no-speech
-    silence gate. serve/transcript.py consumes these."""
+    silence gate. serve/transcript.py consumes these.
+
+    Known divergence (documented, conscious): sampled retry rungs draw ONE
+    candidate per window instead of whisper's ``best_of=5``
+    pick-by-logprob, and there is no cross-window
+    ``condition_on_previous_text`` prompt carry — both would multiply jit
+    signatures/compiles for a retry path that only fires on degenerate
+    decodes."""
 
     fallback_temperatures: Tuple[float, ...] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
     compression_ratio_threshold: float = 2.4
