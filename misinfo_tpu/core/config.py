@@ -52,14 +52,16 @@ class WhisperDecodeConfig:
     compression-ratio / avg-logprob acceptance checks, and the no-speech
     silence gate. serve/transcript.py consumes these.
 
-    Known divergence (documented, conscious): sampled retry rungs draw ONE
-    candidate per window instead of whisper's ``best_of=5``
-    pick-by-logprob, and there is no cross-window
-    ``condition_on_previous_text`` prompt carry — both would multiply jit
-    signatures/compiles for a retry path that only fires on degenerate
-    decodes."""
+    Sampled retry rungs draw ``best_of`` independent candidates per window
+    (whisper's GreedyDecoder best_of=5) as repeated calls of the SAME
+    compiled program — no extra jit signatures — and keep the
+    highest-avg-logprob candidate. Known divergence (documented,
+    conscious): no cross-window ``condition_on_previous_text`` prompt
+    carry — a varying-length prompt would mint a fresh minutes-long TPU
+    compile per window."""
 
     fallback_temperatures: Tuple[float, ...] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+    best_of: int = 5
     compression_ratio_threshold: float = 2.4
     logprob_threshold: float = -1.0
     no_speech_threshold: float = 0.6

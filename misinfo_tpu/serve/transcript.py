@@ -309,12 +309,25 @@ class WhisperTranscriber:
         for t in dc.fallback_temperatures:
             if t == 0.0:
                 tokens, lp = greedy(self.params, enc, prompt)
+                tokens, lp = np.asarray(tokens), np.asarray(lp)
             else:
-                tokens, lp = sampled(self.params, enc, prompt,
-                                     jnp.float32(t),
-                                     jax.random.PRNGKey(int(t * 10)))
-            tokens = np.asarray(tokens)
-            lp = np.asarray(lp)
+                # whisper's best_of: independent candidates per window,
+                # keep the highest-avg-logprob one. Repeated calls of ONE
+                # compiled program (not a wider batch) so retries never
+                # mint a new jit signature.
+                tokens, lp = None, None
+                for draw in range(max(dc.best_of, 1)):
+                    dt, dlp = sampled(self.params, enc, prompt,
+                                      jnp.float32(t),
+                                      jax.random.PRNGKey(
+                                          int(t * 10) * 131 + draw))
+                    dt, dlp = np.asarray(dt), np.asarray(dlp)
+                    if tokens is None:
+                        tokens, lp = dt.copy(), dlp.copy()
+                    else:
+                        better = dlp > lp
+                        tokens[better] = dt[better]
+                        lp[better] = dlp[better]
             last_rung = t == dc.fallback_temperatures[-1]
             for w in range(n_w):
                 if texts[w] is not None:

@@ -411,3 +411,34 @@ def test_warmup_transcriber(trained_whisper, monkeypatch):
         assert tr_none.warmup() == []
     finally:
         T.reset_transcriber()
+
+
+def test_best_of_sampled_rung(trained_whisper, monkeypatch):
+    """When a rung fails acceptance, the sampled retry draws best_of
+    candidates through the SAME compiled program and keeps one (whisper's
+    GreedyDecoder best_of semantics)."""
+    import dataclasses as _dc
+
+    from misinfo_tpu.core.config import WhisperDecodeConfig
+    from misinfo_tpu.serve import transcript as T
+
+    ckpt_dir, wav_path = trained_whisper
+    tr = T.WhisperTranscriber(
+        ckpt_dir, decode_cfg=_dc.replace(WhisperDecodeConfig(), best_of=3))
+    calls = []
+
+    def spy(text, lp, *a, **kw):
+        calls.append(lp)
+        return len(calls) == 1  # greedy rung fails, first retry accepted
+    monkeypatch.setattr(T, "needs_fallback", spy)
+    encode, greedy, sampled, nsp = tr._programs()
+    n = {"sampled": 0}
+
+    def counting_sampled(*a, **kw):
+        n["sampled"] += 1
+        return sampled(*a, **kw)
+    tr._fns = (encode, greedy, counting_sampled, nsp)
+    text = tr.transcribe(wav_path)
+    assert n["sampled"] == 3        # one rung × best_of draws
+    assert len(calls) == 2          # greedy + the rung's best candidate
+    assert not text.startswith("[transcript error")
