@@ -81,23 +81,38 @@ def test_vault_gallery_and_metadata(tmp_path):
     assert g5 == [(str(img), "90.0% Match")]
 
 
-def test_dashboard_predict_contract_gradio():
-    """Gradio-gated integration: build_app wires predict() to the 11-output
-    contract in the reference's order (skips when gradio is absent)."""
-    pytest.importorskip("gradio")
+def test_dashboard_predict_contract():
+    """predict() is gradio-free (only build_app needs gr): the 11-output
+    contract in the reference's order runs on every image."""
     from misinfo_tpu.serve import dashboard as D
 
-    app = D.build_app()
-    assert app is not None
     out = D.predict(None, "a plain text claim", None)
     assert len(out) == 11
     badge, verdict, ai, mis, deep, clip, vault, gallery, report_md, \
         vault_md, transcript = out
     assert verdict in ("REAL", "FAKE")
-    assert "N/A (modality not provided)" in deep     # no visual given
+    assert verdict in badge and "confidence" in badge
+    assert set(ai) == {"AI-generated", "Human-written"}   # text given
+    assert "N/A (modality not provided)" in deep          # no visual given
+    assert "N/A (modality not provided)" in clip
+    assert "N/A (modality not provided)" in vault
     assert gallery is None or gallery == []
     assert "Forensic report" in report_md
     assert transcript == ""
+
+    # no modality at all → placeholder outputs, engine never invoked
+    empty = D.predict(None, "", None)
+    assert len(empty) == 11 and empty[1] == "N/A"
+
+
+def test_dashboard_build_app_gradio():
+    """Gradio-gated: build_app constructs the Blocks UI (skips when gradio
+    is absent)."""
+    pytest.importorskip("gradio")
+    from misinfo_tpu.serve import dashboard as D
+
+    app = D.build_app()
+    assert app is not None
 
 
 # ------------------------------------------------------------ transcript
