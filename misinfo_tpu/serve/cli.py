@@ -38,8 +38,28 @@ def build_parser() -> argparse.ArgumentParser:
                         "handling requests (engine.warmup(); feeds the "
                         "persistent XLA cache — avoids minutes-long "
                         "mid-request TPU compiles)")
+    p.add_argument("--transcribe", action="store_true",
+                   help="Extract the video's audio transcript (Whisper, "
+                        "WHISPER_CHECKPOINT env) and merge it into the text "
+                        "before analysis — the dashboard's caption-merge "
+                        "rule (reference forensics_dashboard.py:160-162); "
+                        "the reference CLI itself never transcribes, so "
+                        "this is opt-in")
     p.add_argument("--quiet", action="store_true")
     return p
+
+
+def merge_transcript(text, video_path):
+    """Dashboard merge rule: caption + blank line + transcript, unless the
+    transcript is empty or an error string."""
+    if not video_path:
+        return text
+    from misinfo_tpu.serve.transcript import extract_transcript
+
+    transcript = extract_transcript(video_path)
+    if transcript and not transcript.startswith("[transcript error"):
+        return ((text or "") + "\n\n" + transcript).strip()
+    return text
 
 
 def main(argv=None) -> int:
@@ -79,9 +99,14 @@ def main(argv=None) -> int:
     if args.batch_file:
         with open(args.batch_file, encoding="utf-8") as f:
             requests = [json.loads(line) for line in f if line.strip()]
+        if args.transcribe:
+            for r in requests:
+                r["text"] = merge_transcript(r.get("text"), r.get("video"))
         results = engine.analyze_batch(requests, explanations=True)
     else:
-        results = engine.analyze(text=args.text, image_path=args.image,
+        text = (merge_transcript(args.text, args.video)
+                if args.transcribe else args.text)
+        results = engine.analyze(text=text, image_path=args.image,
                                  video_path=args.video,
                                  verbose=not args.quiet)
 

@@ -90,3 +90,45 @@ def test_cli_vault_and_checkpoint_overrides(tmp_path):
     cfg = _StubEngine.instances[-1].config
     assert cfg.paths.vault_path == "/v.pkl"
     assert cfg.paths.orbax_dir == "/ck"
+
+
+def test_transcribe_flag_merges_transcript(monkeypatch, tmp_path):
+    """--transcribe applies the dashboard's caption-merge rule before
+    analysis; error-string transcripts are dropped (reference
+    forensics_dashboard.py:160-162). Off by default (the reference CLI
+    never transcribes)."""
+    from misinfo_tpu.serve import transcript as T
+
+    monkeypatch.setattr(T, "extract_transcript",
+                        lambda p: "spoken words" if p else "")
+    rc = cli.main(["--text", "caption", "--video", "/tmp/v.mp4",
+                   "--transcribe", "--quiet"])
+    assert rc == 0
+    kind, kw = _StubEngine.instances[-1].calls[-1]
+    assert kind == "analyze"
+    assert kw["text"] == "caption\n\nspoken words"
+
+    # default: no transcription, text passes through untouched
+    cli.main(["--text", "caption", "--video", "/tmp/v.mp4", "--quiet"])
+    _, kw2 = _StubEngine.instances[-1].calls[-1]
+    assert kw2["text"] == "caption"
+
+    # error transcript → dropped
+    monkeypatch.setattr(T, "extract_transcript",
+                        lambda p: "[transcript error: boom]")
+    cli.main(["--text", "caption", "--video", "/tmp/v.mp4",
+              "--transcribe", "--quiet"])
+    _, kw3 = _StubEngine.instances[-1].calls[-1]
+    assert kw3["text"] == "caption"
+
+    # batch path: each request's video merges into its text
+    monkeypatch.setattr(T, "extract_transcript",
+                        lambda p: "heard" if p else "")
+    bf = tmp_path / "reqs.jsonl"
+    bf.write_text(json.dumps({"text": "a", "video": "/tmp/v.mp4"}) + "\n"
+                  + json.dumps({"text": "b"}) + "\n")
+    cli.main(["--batch-file", str(bf), "--transcribe", "--quiet"])
+    kind, reqs = _StubEngine.instances[-1].calls[-1]
+    assert kind == "analyze_batch"
+    assert reqs[0]["text"] == "a\n\nheard"
+    assert reqs[1]["text"] == "b"
