@@ -12,10 +12,12 @@ fused program launch per batching window.
 Endpoints:
   GET  /healthz        → {status, device, vault, checkpoint mode}
   POST /analyze        → report dict for one {text?, image_path?|image_b64?,
-                         video_path?} request
+                         video_path?, transcribe?} request
   POST /analyze_batch  → list of report dicts for a JSON list of requests
 
 Images arrive as server-local paths or base64 bytes (``image_b64``).
+``transcribe: true`` merges the video's Whisper transcript into the text
+before analysis (dashboard caption-merge rule; needs WHISPER_CHECKPOINT).
 """
 
 from __future__ import annotations
@@ -44,6 +46,14 @@ def _decode_request_image(req: Dict):
         out["image"] = out.pop("image_path")
     if "video_path" in out:
         out["video"] = out.pop("video_path")
+    if out.pop("transcribe", False) and out.get("video"):
+        # opt-in per-request Whisper transcript merge (CLI --transcribe /
+        # dashboard caption-merge rule); needs WHISPER_CHECKPOINT
+        from misinfo_tpu.serve.transcript import merge_into_caption
+
+        merged = merge_into_caption(out.get("text"), out["video"])
+        if merged:
+            out["text"] = merged
     return out
 
 

@@ -50,16 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def merge_transcript(text, video_path):
-    """Dashboard merge rule: caption + blank line + transcript, unless the
-    transcript is empty or an error string."""
-    if not video_path:
-        return text
-    from misinfo_tpu.serve.transcript import extract_transcript
+    """Dashboard merge rule — shared helper in serve/transcript.py."""
+    from misinfo_tpu.serve.transcript import merge_into_caption
 
-    transcript = extract_transcript(video_path)
-    if transcript and not transcript.startswith("[transcript error"):
-        return ((text or "") + "\n\n" + transcript).strip()
-    return text
+    return merge_into_caption(text, video_path)
 
 
 def main(argv=None) -> int:

@@ -352,6 +352,20 @@ class WhisperTranscriber:
                         and final_lp[w] <= dc.logprob_threshold)]
 
 
+def merge_into_caption(text: Optional[str], video_path: Optional[str]
+                       ) -> Optional[str]:
+    """Dashboard caption-merge rule (reference forensics_dashboard.py:
+    160-162): caption + blank line + transcript, unless the transcript is
+    empty or an error string. Shared by the dashboard, CLI --transcribe,
+    and the REST API's per-request "transcribe" option."""
+    if not video_path:
+        return text
+    transcript = extract_transcript(video_path)
+    if transcript and not transcript.startswith("[transcript error"):
+        return ((text or "") + "\n\n" + transcript).strip()
+    return text
+
+
 def _get_engine() -> Optional[WhisperTranscriber]:
     """Lazily build (once) and return the module-cached transcriber, or
     None when construction failed (failure is latched like the reference's

@@ -100,3 +100,30 @@ def test_bad_request_maps_to_error(api_server):
 def test_unknown_endpoint(api_server):
     code, body = _post(api_server + "/nope", {"x": 1})
     assert code == 404
+
+
+def test_decode_request_transcribe(monkeypatch):
+    """Per-request transcribe option merges the video transcript into the
+    text (dashboard rule) and strips the flag before the engine sees it."""
+    from misinfo_tpu.serve import transcript as T
+    from misinfo_tpu.serve.api import _decode_request_image
+
+    monkeypatch.setattr(T, "extract_transcript", lambda p: "spoken")
+    out = _decode_request_image({"text": "cap", "video_path": "/v.mp4",
+                                 "transcribe": True})
+    assert out["text"] == "cap\n\nspoken"
+    assert out["video"] == "/v.mp4"
+    assert "transcribe" not in out
+
+    # error transcript → text untouched
+    monkeypatch.setattr(T, "extract_transcript",
+                        lambda p: "[transcript error: x]")
+    out2 = _decode_request_image({"text": "cap", "video_path": "/v.mp4",
+                                  "transcribe": True})
+    assert out2["text"] == "cap"
+
+    # no flag → no transcription attempted
+    monkeypatch.setattr(T, "extract_transcript",
+                        lambda p: (_ for _ in ()).throw(AssertionError))
+    out3 = _decode_request_image({"text": "cap", "video_path": "/v.mp4"})
+    assert out3["text"] == "cap"
