@@ -165,3 +165,79 @@ def test_export_roundtrip_reference_layout(tmp_path):
     assert len(src_leaves) == len(dst_leaves)
     for a, b in zip(src_leaves, dst_leaves):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_converter_cli_detector(tmp_path):
+    """misinfo_tpu.checkpoints.convert: reference .pth assets → native dir
+    that load_checkpoint restores identically (the one-time conversion the
+    migration doc promises)."""
+    import jax
+    import torch
+
+    from misinfo_tpu.checkpoints.convert import convert_detector
+    from misinfo_tpu.checkpoints.io import load_checkpoint, load_metadata
+    from misinfo_tpu.checkpoints.torch_convert import (
+        export_reference_state_dicts)
+    from misinfo_tpu.models.detector import DetectorConfig, detector_init
+
+    det = DetectorConfig.tiny()
+    src = detector_init(jax.random.PRNGKey(3), det)
+    full_sd, clip_sd = export_reference_state_dicts(src)
+    assets = tmp_path / "assets"
+    assets.mkdir()
+    torch.save({"full_model_state_dict":
+                {k: torch.tensor(v) for k, v in full_sd.items()}},
+               str(assets / "forensics_master_final.pth"))
+    torch.save({"model_state_dict":
+                {k: torch.tensor(v) for k, v in clip_sd.items()}},
+               str(assets / "clip_detective_best.pth"))
+
+    out = str(tmp_path / "native")
+    report = convert_detector(str(assets), out, det_cfg=det)
+    assert report["mode"] == "monolithic"
+    assert load_metadata(out)["load_mode"] == "monolithic"
+
+    like = detector_init(jax.random.PRNGKey(9), det)
+    restored = load_checkpoint(out, like)
+    assert restored is not None
+    np.testing.assert_allclose(
+        np.asarray(restored["fusion"]["l1"]["kernel"])
+        if "l1" in restored["fusion"] else
+        np.asarray(jax.tree_util.tree_leaves(restored["fusion"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(src["fusion"])[0]), atol=1e-6)
+
+
+def test_converter_cli_whisper(tmp_path):
+    """--whisper mode: torch whisper file → self-describing native dir
+    that WhisperTranscriber loads with the checkpoint's own architecture."""
+    import torch
+
+    from misinfo_tpu.checkpoints.convert import main as convert_main
+    from misinfo_tpu.checkpoints.io import load_metadata
+
+    # build an HF-layout state dict from a tiny HF model
+    from transformers import WhisperConfig as HFConfig, WhisperModel
+    cfg = HFConfig(vocab_size=51865, num_mel_bins=16, d_model=64,
+                   encoder_layers=2, decoder_layers=2,
+                   encoder_attention_heads=4, decoder_attention_heads=4,
+                   encoder_ffn_dim=128, decoder_ffn_dim=128,
+                   max_source_positions=64, max_target_positions=32,
+                   eos_token_id=50257, decoder_start_token_id=50258,
+                   pad_token_id=0)
+    torch.manual_seed(0)
+    m = WhisperModel(cfg)
+    pth = str(tmp_path / "tiny_whisper.pt")
+    torch.save(m.state_dict(), pth)
+
+    out = str(tmp_path / "wnative")
+    assert convert_main(["--whisper", pth, "--out", out]) == 0
+    meta = load_metadata(out)
+    wc = meta["whisper_config"]
+    assert wc["vocab_size"] == 51865 and wc["d_model"] == 64
+    assert wc["num_mel_bins"] == 16 and wc["encoder_layers"] == 2
+    assert meta["applied"] > 20
+
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+    tr = WhisperTranscriber(out)
+    assert tr.has_weights
+    assert tr.cfg.vocab_size == 51865
