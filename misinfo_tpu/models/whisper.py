@@ -259,7 +259,8 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
                       prompt_tokens: Optional[jax.Array] = None,
                       temperature=0.0,
                       rng: Optional[jax.Array] = None,
-                      enc_out: Optional[jax.Array] = None):
+                      enc_out: Optional[jax.Array] = None,
+                      nospeech_id: Optional[int] = None):
     """KV-cached transcript decoding, O(L) per step, early-exiting the
     decode loop once every batch row has emitted EOS (post-EOS stays EOS,
     so outputs are identical to running all ``max_len`` steps).
@@ -274,7 +275,11 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
     once per utterance, not once per temperature). Returns
     ``(tokens [B, max_len], avg_logprob [B])`` where avg_logprob averages
     the model's log-prob of each emitted token (EOS included, like
-    whisper)."""
+    whisper). With ``nospeech_id`` set, additionally returns
+    ``p(<|nospeech|>)`` [B] captured from the decoder's position-0 step
+    (the SOT logits openai-whisper's silence gate reads) — fused into the
+    decode so the gate costs no extra device dispatch or compiled
+    program."""
     max_len = max_len or cfg.max_target_positions
     if enc_out is None:
         enc_out = whisper_encode(params, mel, cfg, policy)
@@ -293,11 +298,17 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
         rng = jax.random.PRNGKey(0)
 
     def body(carry):
-        i, tokens, cache, done, sum_lp, cnt = carry
+        i, tokens, cache, done, sum_lp, cnt, ns = carry
         # feed token i-1, predict token i; cache position i-1 gets written
         logits, cache = _cached_decoder_step(
             params, tokens[:, i - 1], i - 1, enc_out, cache, cfg, policy)
         logits = logits.astype(jnp.float32)
+        if nospeech_id is not None and start == 1:
+            # promptless decode: the first body step IS the position-0
+            # (SOT) step — capture the silence gate's probability here
+            ns = jnp.where(i == 1,
+                           jax.nn.softmax(logits, axis=-1)[:, nospeech_id],
+                           ns)
         if sampled:
             g = jax.random.gumbel(jax.random.fold_in(rng, i), logits.shape)
             nxt = jnp.argmax(logits / temperature + g, axis=-1)
@@ -311,10 +322,10 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
         cnt = cnt + active.astype(jnp.float32)
         nxt = jnp.where(done, cfg.eos_token_id, nxt)
         done = jnp.logical_or(done, nxt == cfg.eos_token_id)
-        return i + 1, tokens.at[:, i].set(nxt), cache, done, sum_lp, cnt
+        return i + 1, tokens.at[:, i].set(nxt), cache, done, sum_lp, cnt, ns
 
     def not_done(carry):
-        i, _, _, done, _, _ = carry
+        i, _, _, done, _, _, _ = carry
         # early exit once every sequence emitted EOS: positions past the
         # exit are already EOS-filled and sum_lp/cnt freeze (active==0), so
         # results are bit-identical to running all max_len steps — but a
@@ -323,19 +334,28 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
 
     # prompt positions must populate the cache before free-running decode
     def prefill(i, carry):
-        tokens, cache, done, sum_lp, cnt = carry
-        _, cache = _cached_decoder_step(
+        tokens, cache, done, sum_lp, cnt, ns = carry
+        logits, cache = _cached_decoder_step(
             params, tokens[:, i], i, enc_out, cache, cfg, policy)
-        return tokens, cache, done, sum_lp, cnt
+        if nospeech_id is not None and start > 1:
+            # prompted decode: position 0 (SOT fed) is prefill step i == 0
+            ns = jnp.where(i == 0,
+                           jax.nn.softmax(logits.astype(jnp.float32),
+                                          axis=-1)[:, nospeech_id],
+                           ns)
+        return tokens, cache, done, sum_lp, cnt, ns
 
     zeros = jnp.zeros((B,), jnp.float32)
-    carry = (tokens, cache0, done0, zeros, zeros)
+    carry = (tokens, cache0, done0, zeros, zeros, zeros)
     carry = jax.lax.fori_loop(0, start - 1, prefill, carry)
-    tokens, cache0, done0, sum_lp, cnt = carry
-    _, tokens, _, _, sum_lp, cnt = jax.lax.while_loop(
+    tokens, cache0, done0, sum_lp, cnt, ns0 = carry
+    _, tokens, _, _, sum_lp, cnt, ns = jax.lax.while_loop(
         not_done, body,
-        (jnp.int32(start), tokens, cache0, done0, sum_lp, cnt))
-    return tokens, sum_lp / jnp.maximum(cnt, 1.0)
+        (jnp.int32(start), tokens, cache0, done0, sum_lp, cnt, ns0))
+    avg_lp = sum_lp / jnp.maximum(cnt, 1.0)
+    if nospeech_id is not None:
+        return tokens, avg_lp, ns
+    return tokens, avg_lp
 
 
 def no_speech_prob(params: Dict, enc_out: jax.Array, sot_id: int,

@@ -164,24 +164,25 @@ class WhisperTranscriber:
             return self._fns
         import jax
 
-        from misinfo_tpu.models.whisper import (
-            decode_transcript, no_speech_prob, whisper_encode)
+        from misinfo_tpu.models.whisper import decode_transcript, whisper_encode
         from misinfo_tpu.ops.common import DEFAULT_POLICY
 
         cfg, policy = self.cfg, DEFAULT_POLICY
         sp = self.tokenizer.specials
 
         encode = jax.jit(lambda p, mel: whisper_encode(p, mel, cfg, policy))
+        # both decode programs also return p(<|nospeech|>) captured from
+        # the position-0 step inside the decode loop — the silence gate
+        # costs no separate dispatch or compiled program
         greedy = jax.jit(lambda p, enc, prompt: decode_transcript(
-            p, None, cfg, policy, prompt_tokens=prompt, enc_out=enc))
+            p, None, cfg, policy, prompt_tokens=prompt, enc_out=enc,
+            nospeech_id=sp.no_speech))
         # temperature is a TRACED scalar: every sampled rung reuses one
         # compiled program (TPU compiles are minutes; 5 rungs, 1 compile)
         sampled = jax.jit(lambda p, enc, prompt, t, rng: decode_transcript(
             p, None, cfg, policy, prompt_tokens=prompt, temperature=t,
-            rng=rng, enc_out=enc))
-        nsp = jax.jit(lambda p, enc: no_speech_prob(
-            p, enc, sp.sot, sp.no_speech, cfg, policy))
-        self._fns = (encode, greedy, sampled, nsp)
+            rng=rng, enc_out=enc, nospeech_id=sp.no_speech))
+        self._fns = (encode, greedy, sampled)
         return self._fns
 
     # -------------------------------------------------------- warmup
@@ -204,7 +205,7 @@ class WhisperTranscriber:
         from misinfo_tpu.utils.timing import sync_fetch
 
         frames = 2 * self.cfg.max_source_positions
-        encode, greedy, sampled, nsp_fn = self._programs()
+        encode, greedy, sampled = self._programs()
         warmed = []
         for b in buckets:
             mel = jnp.zeros((b, frames, self.cfg.num_mel_bins), jnp.float32)
@@ -212,12 +213,11 @@ class WhisperTranscriber:
             prompt = jnp.asarray(
                 [self.tokenizer.sot_sequence()[1:]] * b, jnp.int32)
             greedy(self.params, enc, prompt)
-            sampled(self.params, enc, prompt, jnp.float32(1.0),
-                    jax.random.PRNGKey(0))
-            nsp = nsp_fn(self.params, enc)
+            out = sampled(self.params, enc, prompt, jnp.float32(1.0),
+                          jax.random.PRNGKey(0))
             # one scalar fetch of the LAST enqueued program syncs the whole
             # in-order stream (utils/timing.py relay semantics)
-            sync_fetch(nsp)
+            sync_fetch(out)
             warmed.append(b)
         return warmed
 
@@ -298,18 +298,22 @@ class WhisperTranscriber:
         if bucket > n_w:
             mels = np.concatenate(
                 [mels, np.repeat(mels[-1:], bucket - n_w, axis=0)])
-        encode, greedy, sampled, nsp_fn = self._programs()
+        encode, greedy, sampled = self._programs()
         enc = encode(self.params, jnp.asarray(mels))
-        no_speech = np.asarray(nsp_fn(self.params, enc))
         prompt = jnp.asarray(
             [self.tokenizer.sot_sequence()[1:]] * bucket, jnp.int32)
 
         texts: list = [None] * n_w
         final_lp = np.zeros(n_w, np.float32)
+        # p(<|nospeech|>) rides along with the first decode rung (fused
+        # into the decode's position-0 step — identical for every rung)
+        no_speech = None
         for t in dc.fallback_temperatures:
             if t == 0.0:
-                tokens, lp = greedy(self.params, enc, prompt)
+                tokens, lp, ns = greedy(self.params, enc, prompt)
                 tokens, lp = np.asarray(tokens), np.asarray(lp)
+                if no_speech is None:
+                    no_speech = np.asarray(ns)
             else:
                 # whisper's best_of: independent candidates per window,
                 # keep the highest-avg-logprob one. Repeated calls of ONE
@@ -317,11 +321,13 @@ class WhisperTranscriber:
                 # mint a new jit signature.
                 tokens, lp = None, None
                 for draw in range(max(dc.best_of, 1)):
-                    dt, dlp = sampled(self.params, enc, prompt,
-                                      jnp.float32(t),
-                                      jax.random.PRNGKey(
-                                          int(t * 10) * 131 + draw))
+                    dt, dlp, ns = sampled(self.params, enc, prompt,
+                                          jnp.float32(t),
+                                          jax.random.PRNGKey(
+                                              int(t * 10) * 131 + draw))
                     dt, dlp = np.asarray(dt), np.asarray(dlp)
+                    if no_speech is None:
+                        no_speech = np.asarray(ns)
                     if tokens is None:
                         tokens, lp = dt.copy(), dlp.copy()
                     else:

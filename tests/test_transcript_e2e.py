@@ -431,14 +431,49 @@ def test_best_of_sampled_rung(trained_whisper, monkeypatch):
         calls.append(lp)
         return len(calls) == 1  # greedy rung fails, first retry accepted
     monkeypatch.setattr(T, "needs_fallback", spy)
-    encode, greedy, sampled, nsp = tr._programs()
+    encode, greedy, sampled = tr._programs()
     n = {"sampled": 0}
 
     def counting_sampled(*a, **kw):
         n["sampled"] += 1
         return sampled(*a, **kw)
-    tr._fns = (encode, greedy, counting_sampled, nsp)
+    tr._fns = (encode, greedy, counting_sampled)
     text = tr.transcribe(wav_path)
     assert n["sampled"] == 3        # one rung × best_of draws
     assert len(calls) == 2          # greedy + the rung's best candidate
     assert not text.startswith("[transcript error")
+
+
+def test_fused_no_speech_matches_standalone(trained_whisper):
+    """The silence-gate probability fused into the decode loop (position-0
+    capture) must equal the standalone SOT-step probe for both the
+    prompted and promptless decode layouts."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from misinfo_tpu.models.whisper import (decode_transcript,
+                                            no_speech_prob, whisper_encode)
+    from misinfo_tpu.ops.common import DEFAULT_POLICY
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    ckpt_dir, _ = trained_whisper
+    tr = WhisperTranscriber(ckpt_dir)
+    sp = tr.tokenizer.specials
+    # eager (unjitted) decode needs device arrays, not the checkpoint's numpy
+    params = jax.tree_util.tree_map(jnp.asarray, tr.params)
+    mels = jnp.asarray(tr._window_mels(_make_audio()))
+    enc = whisper_encode(params, mels, tr.cfg, DEFAULT_POLICY)
+    ref = np.asarray(no_speech_prob(params, enc, sp.sot, sp.no_speech,
+                                    tr.cfg, DEFAULT_POLICY))
+    # prompted (the serving layout: sot_sequence prompt → prefill capture)
+    prompt = jnp.asarray([tr.tokenizer.sot_sequence()[1:]], jnp.int32)
+    _, _, ns_p = decode_transcript(params, None, tr.cfg, DEFAULT_POLICY,
+                                   prompt_tokens=prompt, enc_out=enc,
+                                   nospeech_id=sp.no_speech)
+    np.testing.assert_allclose(np.asarray(ns_p), ref, atol=2e-3)
+    # promptless (start == 1: first body step is the position-0 capture)
+    _, _, ns_b = decode_transcript(params, None, tr.cfg, DEFAULT_POLICY,
+                                   max_len=8, enc_out=enc,
+                                   nospeech_id=sp.no_speech)
+    np.testing.assert_allclose(np.asarray(ns_b), ref, atol=2e-3)
