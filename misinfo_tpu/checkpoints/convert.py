@@ -52,6 +52,13 @@ def convert_detector(assets_dir: str, out_dir: str,
     params = detector_init(jax.random.PRNGKey(0),
                            det_cfg if det_cfg is not None else DetectorConfig())
     report = load_detector_from_reference_ckpts(params, paths)
+    if not report.get("applied"):
+        # a converter that persists pure random init as a "converted"
+        # production artifact is worse than failing
+        raise SystemExit(
+            f"no reference .pth weights found/applied under {assets_dir} "
+            f"(mode={report.get('mode')}); refusing to save a random-init "
+            f"checkpoint")
     save_checkpoint(out_dir, params, metadata={
         "source": "reference-pth-cascade",
         "assets_dir": os.path.abspath(assets_dir),
@@ -91,14 +98,22 @@ def convert_whisper_file(pth: str, out_dir: str,
     save_checkpoint(out_dir, params, metadata=meta)
     if tokenizer_dir:
         # bundle vocab assets so the dir is self-contained (transcript.py
-        # looks for <ckpt>/tokenizer first)
+        # looks for <ckpt>/tokenizer first). A partial bundle is worse
+        # than none: <ckpt>/tokenizer shadows WHISPER_TOKENIZER at load
+        # time, so missing files would silently disable transcription.
+        srcs = {name: os.path.join(tokenizer_dir, name)
+                for name in ("vocab.json", "merges.txt")}
+        missing = [n for n, s in srcs.items() if not os.path.isfile(s)]
+        if missing:
+            raise SystemExit(
+                f"--tokenizer {tokenizer_dir}: missing {', '.join(missing)} "
+                f"(both vocab.json and merges.txt are required); not "
+                f"bundling a partial tokenizer")
         import shutil
         dst = os.path.join(out_dir, "tokenizer")
         os.makedirs(dst, exist_ok=True)
-        for name in ("vocab.json", "merges.txt"):
-            src = os.path.join(tokenizer_dir, name)
-            if os.path.isfile(src):
-                shutil.copy(src, os.path.join(dst, name))
+        for name, src in srcs.items():
+            shutil.copy(src, os.path.join(dst, name))
     return meta
 
 

@@ -303,12 +303,6 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
         logits, cache = _cached_decoder_step(
             params, tokens[:, i - 1], i - 1, enc_out, cache, cfg, policy)
         logits = logits.astype(jnp.float32)
-        if nospeech_id is not None and start == 1:
-            # promptless decode: the first body step IS the position-0
-            # (SOT) step — capture the silence gate's probability here
-            ns = jnp.where(i == 1,
-                           jax.nn.softmax(logits, axis=-1)[:, nospeech_id],
-                           ns)
         if sampled:
             g = jax.random.gumbel(jax.random.fold_in(rng, i), logits.shape)
             nxt = jnp.argmax(logits / temperature + g, axis=-1)
@@ -316,6 +310,11 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
             nxt = jnp.argmax(logits, axis=-1)
         nxt = nxt.astype(jnp.int32)
         logp = jax.nn.log_softmax(logits, axis=-1)
+        if nospeech_id is not None and start == 1:
+            # promptless decode: the first body step IS the position-0
+            # (SOT) step — capture the silence gate's probability from the
+            # log_softmax already computed for scoring (no extra softmax)
+            ns = jnp.where(i == 1, jnp.exp(logp[:, nospeech_id]), ns)
         tok_lp = jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]
         active = jnp.logical_not(done)
         sum_lp = sum_lp + jnp.where(active, tok_lp, 0.0)

@@ -145,12 +145,17 @@ class ByteWhisperTokenizer:
 
 def specials_for_vocab(vocab_size: int) -> _WhisperSpecials:
     """The canonical special-token layout implied by a total vocab size:
-    vocab = eot + 1 (sot) + 99 (languages) + 6 (task/control) + 1501
-    (timestamps) + 1 ⇒ eot = vocab − 1608. Multilingual 51865 → eot 50257,
+    vocab = eot + 1 (sot) + N_languages + 7 (task/control) + 1501
+    (timestamps). Multilingual 51865 → eot 50257 (99 languages);
     English-only 51864 → eot 50256 (its sot_sequence then omits the
-    language/task ids, like openai-whisper's non-multilingual tokenizer).
+    language/task ids, like openai-whisper's non-multilingual tokenizer);
+    the v3 family's 51866 keeps eot 50257 but adds a 100th language
+    (Cantonese) that shifts every id above the language block by one.
     Used when a checkpoint's embedding rows, not the loaded tokenizer, pin
     the model's vocab (checkpoints/torch_convert.whisper_config_from_torch)."""
+    if vocab_size == 51866:  # large-v3 / v3-turbo
+        return _WhisperSpecials(eot=50257,
+                                languages=tuple(WHISPER_LANGUAGES) + ("yue",))
     return _WhisperSpecials(eot=max(vocab_size - 1608, 0),
                             multilingual=vocab_size != 51864)
 

@@ -189,7 +189,8 @@ class WhisperTranscriber:
 
     def warmup(self, buckets=(1,)) -> list:
         """Precompile the transcription programs for the given window
-        buckets (encoder, greedy + sampled decode, no-speech probe).
+        buckets (encoder, greedy + sampled decode — the no-speech gate is
+        fused into the decodes).
 
         Mirrors the engine's ``warmup()`` contract: cold TPU compiles take
         minutes through this image's remote tunnel, and the first

@@ -241,3 +241,39 @@ def test_converter_cli_whisper(tmp_path):
     tr = WhisperTranscriber(out)
     assert tr.has_weights
     assert tr.cfg.vocab_size == 51865
+
+
+def test_converter_refuses_empty_and_partial(tmp_path):
+    """convert_detector refuses to persist random init when no .pth
+    applied; --tokenizer refuses partial vocab bundles (a partial
+    <ckpt>/tokenizer would shadow WHISPER_TOKENIZER and silently disable
+    transcription)."""
+    import pytest
+    import torch
+
+    from misinfo_tpu.checkpoints.convert import (convert_detector,
+                                                 convert_whisper_file)
+    from misinfo_tpu.models.detector import DetectorConfig
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(SystemExit, match="refusing to save"):
+        convert_detector(str(empty), str(tmp_path / "out"),
+                         det_cfg=DetectorConfig.tiny())
+
+    # partial tokenizer dir: vocab.json without merges.txt
+    from transformers import WhisperConfig as HFConfig, WhisperModel
+    cfg = HFConfig(vocab_size=300, num_mel_bins=16, d_model=32,
+                   encoder_layers=1, decoder_layers=1,
+                   encoder_attention_heads=2, decoder_attention_heads=2,
+                   encoder_ffn_dim=64, decoder_ffn_dim=64,
+                   max_source_positions=32, max_target_positions=16,
+                   eos_token_id=1, decoder_start_token_id=2, pad_token_id=0)
+    pth = str(tmp_path / "w.pt")
+    torch.save(WhisperModel(cfg).state_dict(), pth)
+    tok = tmp_path / "tok"
+    tok.mkdir()
+    (tok / "vocab.json").write_text("{}")
+    with pytest.raises(SystemExit, match="merges.txt"):
+        convert_whisper_file(pth, str(tmp_path / "wout"),
+                             tokenizer_dir=str(tok))

@@ -169,3 +169,15 @@ def test_whisper_english_only_sot_sequence():
     seq = multi.sot_sequence()
     assert seq == [multi.sot, multi.language_ids["en"], multi.transcribe,
                    multi.no_timestamps]
+
+
+def test_whisper_v3_vocab_layout():
+    """large-v3/v3-turbo (vocab 51866) add a 100th language while keeping
+    eot at 50257 — every id above the language block shifts by one."""
+    from misinfo_tpu.preprocess.whisper_tokenizer import specials_for_vocab
+
+    v3 = specials_for_vocab(51866)
+    assert v3.eot == 50257 and v3.sot == 50258
+    assert len(v3.language_ids) == 100 and "yue" in v3.language_ids
+    assert v3.no_speech == 50363 and v3.no_timestamps == 50364
+    assert v3.timestamp_begin == 50365 and v3.vocab_size == 51866
