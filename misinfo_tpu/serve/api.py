@@ -10,10 +10,13 @@ fused program launch per batching window.
     curl -X POST localhost:8080/analyze -d '{"text": "some claim"}'
 
 Endpoints:
+  GET  /               → browser dashboard (no-gradio UI, serve/webui.py)
   GET  /healthz        → {status, device, vault, checkpoint mode}
+  GET  /metrics        → serving counters
   POST /analyze        → report dict for one {text?, image_path?|image_b64?,
                          video_path?, transcribe?} request
   POST /analyze_batch  → list of report dicts for a JSON list of requests
+  POST /predict        → dashboard 11-output contract as JSON (webui)
 
 Images arrive as server-local paths or base64 bytes (``image_b64``).
 ``transcribe: true`` merges the video's Whisper transcript into the text
@@ -105,6 +108,13 @@ class ForensicsAPI:
                    for r in reqs]
         return [f.result() for f in futures]
 
+    def predict(self, req: Dict) -> Dict:
+        """Dashboard contract (11 outputs) for the browser UI; rides the
+        micro-batcher so UI clicks batch with concurrent REST traffic."""
+        from misinfo_tpu.serve.webui import predict_payload
+
+        return predict_payload(req, engine=self.batcher)
+
     def close(self) -> None:
         self.batcher.close()
 
@@ -124,6 +134,15 @@ def _make_handler(api: ForensicsAPI):
                 self._send(200, api.health())
             elif self.path == "/metrics":
                 self._send(200, api.metrics())
+            elif self.path in ("/", "/index.html"):
+                from misinfo_tpu.serve.webui import INDEX_HTML
+
+                body = INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": "unknown endpoint"})
 
@@ -135,6 +154,8 @@ def _make_handler(api: ForensicsAPI):
                     self._send(200, api.analyze(payload))
                 elif self.path == "/analyze_batch":
                     self._send(200, api.analyze_batch(payload))
+                elif self.path == "/predict":
+                    self._send(200, api.predict(payload))
                 else:
                     self._send(404, {"error": "unknown endpoint"})
             except ValueError as e:          # bad request (e.g. no modality)

@@ -64,8 +64,13 @@ def normalize_clip_similarity(sim: float) -> float:
     return (float(sim) + 1.0) / 2.0
 
 
-def predict(image_path, user_caption: str, video_path):
-    """Gradio callback → 11 UI outputs (reference predict :143-320)."""
+def predict(image_path, user_caption: str, video_path, engine=None):
+    """Gradio callback → 11 UI outputs (reference predict :143-320).
+
+    `engine` defaults to the module-global lazy engine (gradio wiring);
+    the no-gradio web dashboard (serve/webui.py) injects the API server's
+    BatchingEngine here so browser requests micro-batch with REST traffic.
+    """
     from misinfo_tpu.serve.transcript import extract_transcript
 
     user_caption = (user_caption or "").strip()
@@ -81,7 +86,7 @@ def predict(image_path, user_caption: str, video_path):
         return ("<div>Provide a caption, image, or video.</div>", "N/A",
                 empty, empty, empty, empty, empty, [], "", "", transcript)
 
-    engine = get_engine()
+    engine = engine if engine is not None else get_engine()
     report = engine.analyze(text=combined or None,
                             image_path=image_path,
                             video_path=video_path,
