@@ -114,6 +114,33 @@ def deoptimize_params(tree):
     return unfuse_qkv_params(walk(tree))
 
 
+def optimize_whisper_for_serving(params, policy,
+                                 min_elems: int = MIN_KERNEL_ELEMS):
+    """Whisper's serving transform: bf16 storage for the big dense kernels
+    AND the decoder token embedding.
+
+    The KV-cached decoder is weight-bandwidth-bound (docs/PERF.md): every
+    step re-reads all decoder block kernels plus the FULL [V, D] embedding
+    for the logits matmul (~228 MB/step in f32 for whisper-base). Storage
+    bf16 halves that; the matmul inputs are cast to bf16 by `dense`/the
+    logits dot in bf16 serving mode anyway, so kernel math is unchanged
+    (the embedding-lookup add rounds the embedding row to bf16 before the
+    f32 position add — below bf16 activation noise; greedy decode
+    equality is asserted by tests/test_transcript_e2e.py).
+    Never fuses QKV — Whisper's cross-attention shares the {q,k,v,o}
+    shape that `fuse_qkv_params` would corrupt (see its docstring).
+    No-op in f32 parity mode."""
+    if policy.compute != jnp.dtype(jnp.bfloat16):
+        return params
+    params = cast_big_kernels(params, jnp.bfloat16, min_elems)
+    dec = params.get("decoder", {})
+    emb = dec.get("token_embedding")
+    if emb is not None and emb.size >= min_elems:
+        params = {**params,
+                  "decoder": {**dec, "token_embedding": emb.astype(jnp.bfloat16)}}
+    return params
+
+
 def optimize_for_serving(params, policy, quant: str = "none",
                          fuse: bool = False, cast: bool = True):
     """The engine's standard serving pipeline: optionally fuse QKV, then

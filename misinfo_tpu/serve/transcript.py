@@ -155,6 +155,13 @@ class WhisperTranscriber:
         # byte-fallback tokenizer against a 51865-vocab model (or any other
         # mismatch) is NOT a working capability
         self.tokenizer_compatible = (sp.vocab_size == self.cfg.vocab_size)
+        # serving dtype discipline (same rule as the engine): bf16 storage
+        # for the big kernels + token embedding — the KV-cached decoder
+        # re-reads all of them every step (ops/serving.py; no-op in f32
+        # parity mode)
+        from misinfo_tpu.ops.common import DEFAULT_POLICY
+        from misinfo_tpu.ops.serving import optimize_whisper_for_serving
+        self.params = optimize_whisper_for_serving(self.params, DEFAULT_POLICY)
         self._fns = None  # jitted programs, built lazily on first use
 
     # -------------------------------------------------------- programs

@@ -395,6 +395,36 @@ def test_window_chunking_beyond_largest_bucket(trained_whisper):
     assert seen == [2, 2, 1]  # chunks of the largest bucket
 
 
+def test_serving_cast_preserves_decode(trained_whisper):
+    """bf16 weight storage (ops/serving.optimize_whisper_for_serving, the
+    transcriber's serving transform) leaves the greedy transcript unchanged:
+    matmul inputs are cast to bf16 in bf16 serving mode anyway. The tiny
+    model sits below the size gate, so the cast is forced with min_elems=1
+    here; the no-op-below-gate behavior is asserted alongside."""
+    from misinfo_tpu.ops.common import DEFAULT_POLICY
+    from misinfo_tpu.ops.serving import optimize_whisper_for_serving
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    ckpt_dir, wav_path = trained_whisper
+    tr = WhisperTranscriber(ckpt_dir)
+    # below the size gate nothing is cast (default transcriber path here)
+    assert tr.params["decoder"]["token_embedding"].dtype == jnp.float32
+    base = tr.transcribe(wav_path)
+
+    tr.params = optimize_whisper_for_serving(tr.params, DEFAULT_POLICY,
+                                             min_elems=1)
+    assert tr.params["decoder"]["token_embedding"].dtype == jnp.bfloat16
+    assert (tr.params["decoder"]["blocks"][0]["mlp_in"]["kernel"].dtype
+            == jnp.bfloat16)
+    tr._fns = None  # retrace against the cast pytree
+    assert tr.transcribe(wav_path) == base == TEXT
+
+    # f32 parity policy: transform must be a no-op at ANY threshold
+    f32_kept = optimize_whisper_for_serving(
+        WhisperTranscriber(ckpt_dir).params, F32, min_elems=1)
+    assert f32_kept["decoder"]["token_embedding"].dtype == jnp.float32
+
+
 def test_warmup_transcriber(trained_whisper, monkeypatch):
     """--warmup precompiles the transcript programs; degraded installs
     (no checkpoint) warm nothing instead of erroring."""

@@ -52,6 +52,11 @@ def main():
     cfg = WhisperConfig(**_SIZES[SIZE])
     policy = Policy(ForensicsConfig().precision)
     params = whisper_init(jax.random.PRNGKey(0), cfg)
+    if os.environ.get("BENCH_SERVING_CAST", "1") != "0":
+        # same transform the transcriber applies (bf16 weight storage —
+        # the decoder is weight-bandwidth-bound); =0 measures f32 storage
+        from misinfo_tpu.ops.serving import optimize_whisper_for_serving
+        params = optimize_whisper_for_serving(params, policy)
 
     rng = np.random.default_rng(0)
     # 30 s window → 3000 mel frames (conv stride 2 → 1500 encoder positions)
