@@ -119,14 +119,16 @@ def optimize_whisper_for_serving(params, policy,
     """Whisper's serving transform: bf16 storage for the big dense kernels
     AND the decoder token embedding.
 
-    The KV-cached decoder is weight-bandwidth-bound (docs/PERF.md): every
-    step re-reads all decoder block kernels plus the FULL [V, D] embedding
-    for the logits matmul (~228 MB/step in f32 for whisper-base). Storage
-    bf16 halves that; the matmul inputs are cast to bf16 by `dense`/the
-    logits dot in bf16 serving mode anyway, so kernel math is unchanged
-    (the embedding-lookup add rounds the embedding row to bf16 before the
-    f32 position add — below bf16 activation noise; greedy decode
-    equality is asserted by tests/test_transcript_e2e.py).
+    This is a MEMORY transform, not a throughput one: it halves the
+    param HBM footprint (whisper-base 278→139 MB, large-v3 ~6.2→3.1 GB —
+    room that the detector program shares the chip with). Decode
+    throughput measured parity (77.1 f32 vs 75.5 bf16 utt/s, inside the
+    ±3% relay band, docs/PERF.md): `dense` casts kernels to bf16 inside
+    the decode `while_loop` anyway and XLA hoists that loop-invariant
+    conversion, so the hot loop reads bf16 weights under either storage.
+    Math is unchanged (the embedding-lookup add rounds the embedding row
+    to bf16 before the f32 position add — below bf16 activation noise;
+    greedy decode equality is asserted by tests/test_transcript_e2e.py).
     Never fuses QKV — Whisper's cross-attention shares the {q,k,v,o}
     shape that `fuse_qkv_params` would corrupt (see its docstring).
     No-op in f32 parity mode."""

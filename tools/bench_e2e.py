@@ -21,6 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+# BENCH_PIPELINE=1 measures the pipelined serving loop
+# (engine.analyze_batch_async, the path BatchingEngine drives): batch N+1
+# is prepped + dispatched while batch N executes/fetches, so the tunnel
+# RTT that bounds the synchronous path overlaps with device work.
+PIPELINE = os.environ.get("BENCH_PIPELINE", "0") == "1"
 
 
 def main():
@@ -45,8 +50,17 @@ def main():
 
     engine.analyze_batch(requests)  # warmup/compile
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = engine.analyze_batch(requests)
+    if PIPELINE:
+        pending = None
+        for _ in range(ITERS):
+            fin = engine.analyze_batch_async(requests)
+            if pending is not None:
+                out = pending()
+            pending = fin
+        out = pending()
+    else:
+        for _ in range(ITERS):
+            out = engine.analyze_batch(requests)
     dt = time.perf_counter() - t0
 
     # host-only cost of the same batch (tokenize + decode/resize), no device
@@ -65,7 +79,8 @@ def main():
     device_frac = (summary.get("program_full_seconds", 0.0)
                    / max(1e-9, summary.get("analyze_seconds", 1.0)))
     print(json.dumps({
-        "metric": "analyze_batch_e2e_throughput",
+        "metric": ("analyze_batch_e2e_pipelined" if PIPELINE
+                   else "analyze_batch_e2e_throughput"),
         "value": round(throughput, 2),
         "unit": "verdicts/sec (incl host preprocessing)",
         "batch": BATCH,
