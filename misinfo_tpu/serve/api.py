@@ -198,6 +198,14 @@ def main(argv=None) -> int:
         import jax
         jax.config.update("jax_platforms",
                           "cpu" if args.device == "cpu" else "tpu,axon")
+        if args.device == "cpu" and args.mesh:
+            # --mesh on CPU provisions virtual devices (topology
+            # validation without a TPU slice — same rule as the trainers)
+            from misinfo_tpu.core.mesh import parse_mesh_spec
+            mc = parse_mesh_spec(args.mesh)
+            need = max(mc.data, 1) * max(mc.model, 1)
+            if need > 1:
+                jax.config.update("jax_num_cpu_devices", need)
 
     from misinfo_tpu.core.config import ForensicsConfig
 
@@ -214,7 +222,9 @@ def main(argv=None) -> int:
     mesh = None
     if args.mesh:
         from misinfo_tpu.core.mesh import make_mesh, parse_mesh_spec
+        from misinfo_tpu.serve.transcript import set_transcriber_mesh
         mesh = make_mesh(parse_mesh_spec(args.mesh))
+        set_transcriber_mesh(mesh)  # transcription shards alongside
     api = ForensicsAPI(config=cfg, mesh=mesh)
     if args.warmup:
         api.engine.warmup()

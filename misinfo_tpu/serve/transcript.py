@@ -78,7 +78,8 @@ class WhisperTranscriber:
     def __init__(self, checkpoint_dir: Optional[str] = None,
                  size: Optional[str] = None,
                  tokenizer_dir: Optional[str] = None,
-                 decode_cfg: WhisperDecodeConfig = _DECODE_DEFAULTS):
+                 decode_cfg: WhisperDecodeConfig = _DECODE_DEFAULTS,
+                 mesh=None):
         import jax
 
         from misinfo_tpu.checkpoints.io import load_metadata
@@ -162,7 +163,32 @@ class WhisperTranscriber:
         from misinfo_tpu.ops.common import DEFAULT_POLICY
         from misinfo_tpu.ops.serving import optimize_whisper_for_serving
         self.params = optimize_whisper_for_serving(self.params, DEFAULT_POLICY)
+        # optional jax.sharding.Mesh: params replicate across it and
+        # multi-window decodes shard the window-batch axis over 'data'
+        # (same DP story as the engine, §2.5; long clips batch 30 s
+        # windows, so the batch axis is real work, not padding)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.params = jax.device_put(self.params,
+                                         NamedSharding(mesh, P()))
         self._fns = None  # jitted programs, built lazily on first use
+
+    def _place(self, mel, prompt):
+        """Mesh placement for one window batch: shard the batch axis over
+        the mesh's 'data' axis when it divides evenly, else replicate
+        (the 1-window dashboard case). No-op without a mesh."""
+        if self.mesh is None:
+            return mel, prompt
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = ("data" if "data" in self.mesh.axis_names
+                else self.mesh.axis_names[0])
+        b = axis if mel.shape[0] % self.mesh.shape[axis] == 0 else None
+        mel = jax.device_put(mel, NamedSharding(self.mesh, P(b, None, None)))
+        prompt = jax.device_put(prompt, NamedSharding(self.mesh, P(b, None)))
+        return mel, prompt
 
     # -------------------------------------------------------- programs
 
@@ -217,9 +243,10 @@ class WhisperTranscriber:
         warmed = []
         for b in buckets:
             mel = jnp.zeros((b, frames, self.cfg.num_mel_bins), jnp.float32)
-            enc = encode(self.params, mel)
             prompt = jnp.asarray(
                 [self.tokenizer.sot_sequence()[1:]] * b, jnp.int32)
+            mel, prompt = self._place(mel, prompt)
+            enc = encode(self.params, mel)
             greedy(self.params, enc, prompt)
             out = sampled(self.params, enc, prompt, jnp.float32(1.0),
                           jax.random.PRNGKey(0))
@@ -307,9 +334,10 @@ class WhisperTranscriber:
             mels = np.concatenate(
                 [mels, np.repeat(mels[-1:], bucket - n_w, axis=0)])
         encode, greedy, sampled = self._programs()
-        enc = encode(self.params, jnp.asarray(mels))
         prompt = jnp.asarray(
             [self.tokenizer.sot_sequence()[1:]] * bucket, jnp.int32)
+        mels_j, prompt = self._place(jnp.asarray(mels), prompt)
+        enc = encode(self.params, mels_j)
 
         texts: list = [None] * n_w
         final_lp = np.zeros(n_w, np.float32)
@@ -380,6 +408,19 @@ def merge_into_caption(text: Optional[str], video_path: Optional[str]
     return text
 
 
+_default_mesh = None
+
+
+def set_transcriber_mesh(mesh) -> None:
+    """Make the lazily-built module transcriber ride the given device mesh
+    (the CLI/API ``--mesh`` path plumbs this so transcription shards
+    alongside the engine). Applies to the next ``_get_engine`` build; call
+    ``reset_transcriber()`` first if one already exists."""
+    global _default_mesh
+    with _lock:
+        _default_mesh = mesh
+
+
 def _get_engine() -> Optional[WhisperTranscriber]:
     """Lazily build (once) and return the module-cached transcriber, or
     None when construction failed (failure is latched like the reference's
@@ -388,7 +429,8 @@ def _get_engine() -> Optional[WhisperTranscriber]:
     with _lock:
         if _engine is None and not _engine_failed:
             try:
-                _engine = WhisperTranscriber(os.getenv("WHISPER_CHECKPOINT"))
+                _engine = WhisperTranscriber(os.getenv("WHISPER_CHECKPOINT"),
+                                             mesh=_default_mesh)
             except Exception:
                 _engine_failed = True
         return _engine

@@ -425,6 +425,48 @@ def test_serving_cast_preserves_decode(trained_whisper):
     assert f32_kept["decoder"]["token_embedding"].dtype == jnp.float32
 
 
+def test_mesh_sharded_transcription(trained_whisper):
+    """WhisperTranscriber(mesh=...): params replicate over the mesh and a
+    multi-window decode shards the window-batch axis across 'data' (the
+    same DP story as the engine, SURVEY §2.5) with an identical
+    transcript. The 1-window dashboard case (batch not divisible by the
+    data axis) replicates and still works; a model>1 mesh axis is benign
+    (whisper params are not tensor-sharded)."""
+    import wave as _wave
+
+    from misinfo_tpu.core.config import MeshConfig
+    from misinfo_tpu.core.mesh import make_mesh
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    ckpt_dir, wav_path = trained_whisper
+    audio = _make_audio()
+    p = wav_path.replace("speech.wav", "speech_4x.wav")
+    with _wave.open(p, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes(np.tile((audio * 32767).astype(np.int16), 4).tobytes())
+
+    mesh = make_mesh(MeshConfig(model=2), devices=jax.devices()[:8])  # 4×2
+    tr = WhisperTranscriber(ckpt_dir, mesh=mesh)
+
+    # placement: a 4-window batch shards over data=4 (all 8 devices hold
+    # a piece), a 1-window batch replicates
+    mel4, pr4 = tr._place(
+        jnp.zeros((4, 2 * tr.cfg.max_source_positions, 80)),
+        jnp.zeros((4, 3), jnp.int32))
+    assert not mel4.sharding.is_fully_replicated
+    assert len(mel4.sharding.device_set) == 8
+    mel1, _ = tr._place(
+        jnp.zeros((1, 2 * tr.cfg.max_source_positions, 80)),
+        jnp.zeros((1, 3), jnp.int32))
+    assert mel1.sharding.is_fully_replicated
+
+    assert tr.transcribe(p) == " ".join([TEXT] * 4)
+    assert tr.transcribe(wav_path) == TEXT  # replicated 1-window path
+    assert tr.warmup(buckets=(4,)) == [4]
+
+
 def test_warmup_transcriber(trained_whisper, monkeypatch):
     """--warmup precompiles the transcript programs; degraded installs
     (no checkpoint) warm nothing instead of erroring."""
