@@ -82,6 +82,21 @@ def parse_mesh_spec(spec: str) -> MeshConfig:
     return MeshConfig(data=kv.get("data", -1), model=kv.get("model", 1))
 
 
+def provision_cpu_devices(spec: str) -> MeshConfig:
+    """CPU-backend virtual-device provisioning for a ``--mesh`` spec: parse
+    it and raise JAX's CPU device count to data×model so the topology
+    validates without a TPU slice. The shared rule behind every
+    entrypoint's ``--device cpu --mesh …`` path (trainers, serve CLI, REST
+    API). ``data=-1`` ("all remaining devices") contributes 1 to the count
+    — it provisions nothing by itself. Must run before the JAX backend
+    initializes. Returns the parsed MeshConfig."""
+    mc = parse_mesh_spec(spec)
+    need = max(mc.data, 1) * max(mc.model, 1)
+    if need > 1:
+        jax.config.update("jax_num_cpu_devices", need)
+    return mc
+
+
 _MULTIHOST_READY = False
 
 

@@ -67,12 +67,9 @@ def main(argv=None) -> int:
                           "cpu" if args.device == "cpu" else "tpu,axon")
         if args.device == "cpu" and args.mesh:
             # --mesh on CPU provisions virtual devices (topology
-            # validation without a TPU slice — same rule as the trainers)
-            from misinfo_tpu.core.mesh import parse_mesh_spec
-            mc = parse_mesh_spec(args.mesh)
-            need = max(mc.data, 1) * max(mc.model, 1)
-            if need > 1:
-                jax.config.update("jax_num_cpu_devices", need)
+            # validation without a TPU slice)
+            from misinfo_tpu.core.mesh import provision_cpu_devices
+            provision_cpu_devices(args.mesh)
 
     from misinfo_tpu.core.config import ForensicsConfig
     from misinfo_tpu.engine.forensics import MisinfoForensics

@@ -459,8 +459,12 @@ def warmup_transcriber(buckets=(1,)) -> list:
 
 
 def reset_transcriber() -> None:
-    """Drop the cached engine (tests / checkpoint swaps)."""
-    global _engine, _engine_failed
+    """Drop the cached engine AND the default mesh (tests / checkpoint
+    swaps). Clearing the mesh matters: without it a mesh set once via
+    ``set_transcriber_mesh`` would leak into every later rebuild for the
+    life of the process, with no way back to the no-mesh default."""
+    global _engine, _engine_failed, _default_mesh
     with _lock:
         _engine = None
         _engine_failed = False
+        _default_mesh = None

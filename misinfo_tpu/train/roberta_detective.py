@@ -193,11 +193,8 @@ def main(argv=None):
         jax.config.update("jax_platforms",
                           "cpu" if args.device == "cpu" else "tpu,axon")
         if args.device == "cpu" and args.mesh:
-            from misinfo_tpu.core.mesh import parse_mesh_spec
-            mc = parse_mesh_spec(args.mesh)
-            need = max(mc.data, 1) * max(mc.model, 1)
-            if need > 1:
-                jax.config.update("jax_num_cpu_devices", need)
+            from misinfo_tpu.core.mesh import provision_cpu_devices
+            provision_cpu_devices(args.mesh)
     train(args.csv, args.out, args.epochs, args.batch_size, args.lr,
           args.max_len, max_samples=args.max_samples, pack=args.pack,
           mesh_spec=args.mesh)

@@ -467,6 +467,21 @@ def test_mesh_sharded_transcription(trained_whisper):
     assert tr.warmup(buckets=(4,)) == [4]
 
 
+def test_reset_transcriber_clears_default_mesh():
+    """A mesh set via set_transcriber_mesh must not outlive
+    reset_transcriber(): without the clear, one --mesh invocation leaks
+    its mesh into every later module-transcriber build in the process."""
+    from misinfo_tpu.core.config import MeshConfig
+    from misinfo_tpu.core.mesh import make_mesh
+    from misinfo_tpu.serve import transcript as T
+
+    mesh = make_mesh(MeshConfig(model=1), devices=jax.devices()[:2])
+    T.set_transcriber_mesh(mesh)
+    assert T._default_mesh is mesh
+    T.reset_transcriber()
+    assert T._default_mesh is None
+
+
 def test_warmup_transcriber(trained_whisper, monkeypatch):
     """--warmup precompiles the transcript programs; degraded installs
     (no checkpoint) warm nothing instead of erroring."""
