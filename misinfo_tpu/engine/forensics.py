@@ -599,6 +599,33 @@ class MisinfoForensics:
         whole batch runs in a handful of fused program invocations."""
         return self._analyze_batch_internal(requests, explanations)
 
+    def analyze_stream(self, requests, batch_size: Optional[int] = None,
+                       explanations: bool = False):
+        """Pipelined bulk analyze: iterate `requests` (any iterable of
+        request dicts), run them in `batch_size` groups with ONE batch in
+        flight, and yield report dicts in input order.
+
+        While batch N executes on device, batch N+1's host prep
+        (tokenize, image decode) and dispatch proceed — the
+        `analyze_batch_async` overlap that measured +63% over synchronous
+        `analyze_batch` through a remote-attached TPU (docs/PERF.md). The
+        throughput surface for offline sweeps and `--batch-file`-style
+        callers; concurrent online callers use engine.batching instead."""
+        import itertools
+
+        batch_size = batch_size or max(self.cfg.serving.batch_buckets)
+        it = iter(requests)
+        pending = None
+        while True:
+            chunk = list(itertools.islice(it, batch_size))
+            nxt = (self.analyze_batch_async(chunk, explanations)
+                   if chunk else None)
+            if pending is not None:
+                yield from pending()
+            pending = nxt
+            if nxt is None:
+                return
+
     def _analyze_batch_internal(self, requests: List[Dict],
                                 explanations: bool = False) -> List[Dict]:
         from misinfo_tpu.utils.tracing import stage_timer

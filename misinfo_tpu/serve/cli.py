@@ -103,7 +103,8 @@ def main(argv=None) -> int:
         if args.transcribe:
             for r in requests:
                 r["text"] = merge_transcript(r.get("text"), r.get("video"))
-        results = engine.analyze_batch(requests, explanations=True)
+        # pipelined: batch N+1's host prep overlaps batch N's device run
+        results = list(engine.analyze_stream(requests, explanations=True))
     else:
         text = (merge_transcript(args.text, args.video)
                 if args.transcribe else args.text)

@@ -125,6 +125,37 @@ def test_batching_engine_concurrent(tmp_path):
         single["scores"]["misinfo_score"], abs=1e-5)
 
 
+def test_analyze_stream_matches_batch():
+    """analyze_stream: generator input, in-order results equal to the
+    synchronous path, chunked at batch_size with one batch in flight."""
+    from misinfo_tpu.engine.forensics import MisinfoForensics
+
+    cfg = CFG.replace(seq=CFG.seq.__class__(roberta_max_len=32,
+                                            image_size=DET.clip.image_size))
+    engine = MisinfoForensics(config=cfg, det_cfg=DET,
+                              params=detector_init(jax.random.PRNGKey(0), DET))
+    reqs = [{"text": f"stream claim {i}"} for i in range(7)]
+    sync = engine.analyze_batch(reqs, explanations=True)
+
+    dispatched = []
+    orig = engine.analyze_batch_async
+
+    def spy(batch, explanations=False):
+        dispatched.append(len(batch))
+        return orig(batch, explanations)
+    engine.analyze_batch_async = spy
+
+    streamed = list(engine.analyze_stream(iter(reqs), batch_size=3,
+                                          explanations=True))
+    assert dispatched == [3, 3, 1]
+    assert len(streamed) == 7
+    for a, b in zip(sync, streamed):
+        assert a["scores"]["misinfo_score"] == pytest.approx(
+            b["scores"]["misinfo_score"], abs=1e-6)
+        assert a["explanation"] == b["explanation"]
+    assert list(engine.analyze_stream([], batch_size=3)) == []
+
+
 def test_analyze_batch_async_matches_sync():
     """The pipelined dispatch/finalize split must be result-identical to
     the synchronous path (same programs, same padding)."""
