@@ -35,6 +35,11 @@ class _StubEngine:
         self.calls.append(("analyze_batch", reqs))
         return [self._report() for _ in reqs]
 
+    def analyze_stream(self, reqs, explanations=False):
+        reqs = list(reqs)
+        self.calls.append(("analyze_stream", reqs))
+        return iter([self._report() for _ in reqs])
+
 
 @pytest.fixture(autouse=True)
 def stub_engine(monkeypatch):
@@ -69,7 +74,7 @@ def test_cli_batch_file(tmp_path):
     reports = json.loads(out.read_text())
     assert len(reports) == 2
     kind, reqs = _StubEngine.instances[-1].calls[0]
-    assert kind == "analyze_batch" and len(reqs) == 2
+    assert kind == "analyze_stream" and len(reqs) == 2
 
 
 def test_cli_mesh_flag(tmp_path):
@@ -129,6 +134,6 @@ def test_transcribe_flag_merges_transcript(monkeypatch, tmp_path):
                   + json.dumps({"text": "b"}) + "\n")
     cli.main(["--batch-file", str(bf), "--transcribe", "--quiet"])
     kind, reqs = _StubEngine.instances[-1].calls[-1]
-    assert kind == "analyze_batch"
+    assert kind == "analyze_stream"
     assert reqs[0]["text"] == "a\n\nheard"
     assert reqs[1]["text"] == "b"
