@@ -160,7 +160,13 @@ def main():
                     "ivf_list_len": int(index.lists.shape[1]),
                     "ivf_spill": int(index.spill.shape[0]),
                     "ivf_build_s": round(time.perf_counter() - tb, 1)}
-    if VAULT_DTYPE == "int8":
+    vault_scale = None
+    if VAULT_DTYPE == "int4":
+        from misinfo_tpu.vault.int4 import pad_int4_vault, quantize_rows_int4
+        q4 = pad_int4_vault(quantize_rows_int4(vault_np))
+        vault_rows = q4.packed.shape[0]
+        vault_dev, vault_scale = q4.packed, q4.scale
+    elif VAULT_DTYPE == "int8":
         from misinfo_tpu.vault.search import quantize_rows_int8
         vault_dev = quantize_rows_int8(vault_np)
     elif VAULT_DTYPE == "bfloat16":
@@ -177,8 +183,11 @@ def main():
         "vault_emb": jnp.asarray(vault_dev),
         "vault_valid": jnp.ones((vault_rows,), jnp.bool_),
     }
+    if vault_scale is not None:
+        batch["vault_scale"] = jnp.asarray(vault_scale)
     text_np = rng.standard_normal((vault_rows, 512), dtype=np.float32)
-    if VAULT_DTYPE == "int8":
+    if VAULT_DTYPE in ("int8", "int4"):  # int4 titles ride as int8 (engine)
+        from misinfo_tpu.vault.search import quantize_rows_int8
         batch["vault_text_emb"] = jnp.asarray(quantize_rows_int8(
             text_np / np.maximum(np.linalg.norm(text_np, axis=1,
                                                 keepdims=True), 1e-12)))

@@ -165,7 +165,10 @@ class ServingConfig:
     pack_text: object = "auto"  # False | True | "auto"
     # Vault row storage: "float32" (exact, default), "bfloat16" (2× the
     # articles per chip, ~0.2% sim error), "int8" (4× capacity, MXU
-    # double-rate matmul, ~0.5-1% sim error) — vault/search.py vault_sims
+    # double-rate matmul, ~0.5-1% sim error) — vault/search.py vault_sims —
+    # or "int4" (8× capacity via packed nibbles + per-row scales + a Pallas
+    # unpack-in-VMEM kernel, ~1% sim error; single-chip only — mutually
+    # exclusive with vault_ivf and row-sharding; vault/int4.py)
     vault_dtype: str = "float32"
     # IVF vault search (vault/ivf.py): sub-linear probed-cluster kNN for
     # vaults far beyond the reference's 2,170 rows. Exact search stays the
@@ -251,7 +254,7 @@ class ForensicsConfig:
             cfg = dataclasses.replace(
                 cfg, serving=dataclasses.replace(cfg.serving, pack_text=val))
         vd = os.getenv("MISINFO_TPU_VAULT_DTYPE")
-        if vd in ("float32", "bfloat16", "int8"):
+        if vd in ("float32", "bfloat16", "int8", "int4"):
             cfg = dataclasses.replace(
                 cfg, serving=dataclasses.replace(cfg.serving, vault_dtype=vd))
         # nprobe / bf16-gather parse independently of the VAULT_IVF env:

@@ -167,6 +167,7 @@ class MisinfoForensics:
         self._vault_sharded = (
             self.mesh is not None and self._data_axis_size() > 1
             and self.vault is not None
+            and self.cfg.serving.vault_dtype != "int4"  # single-chip mode
             and self.vault.embeddings.shape[0]
             >= self.cfg.serving.vault_shard_min_rows)
         if self.vault is None:
@@ -183,6 +184,13 @@ class MisinfoForensics:
         # file and invalidated by a content digest (shape alone misses
         # edits within a 128-row pad bucket)
         index = None
+        if (self.cfg.serving.vault_ivf
+                and self.cfg.serving.vault_dtype == "int4"):
+            raise ValueError(
+                "vault_dtype='int4' and vault_ivf are mutually exclusive "
+                "— the IVF gather needs addressable rows; pick one (exact "
+                "int4 already beats IVF at every measured single-chip "
+                "size, docs/PERF.md)")
         if (self.cfg.serving.vault_ivf and self.vault.num_articles > 0
                 and not self._vault_sharded):  # IVF and row-sharding are
             # mutually exclusive search strategies; sharding wins at scale
@@ -203,6 +211,30 @@ class MisinfoForensics:
         # stays f32 (IVF build + digest use it); only the device copies are
         # bf16/int8-quantized
         vdt = self.cfg.serving.vault_dtype
+        if vdt == "int4":
+            # packed-nibble capacity mode (vault/int4.py): 8× f32 articles
+            # per chip. Rows pad to the kernel tile so the Pallas fast path
+            # engages; title embeddings ride as int8 (they're only ever a
+            # [B]-row gather in _gate_and_text — capacity cost is the
+            # image-embedding matmul operand, not the gather source).
+            from misinfo_tpu.vault.int4 import (pad_int4_vault,
+                                                quantize_rows_int4)
+            from misinfo_tpu.vault.search import quantize_rows_int8
+            q4 = pad_int4_vault(quantize_rows_int4(self.vault.embeddings))
+            n_pad = q4.packed.shape[0]
+            valid = np.zeros((n_pad,), bool)
+            valid[: self.vault.row_valid.shape[0]] = self.vault.row_valid
+            text = (self.vault.text_embeddings
+                    if self.vault.text_embeddings is not None
+                    else np.zeros_like(self.vault.embeddings))
+            text8 = np.zeros((n_pad, text.shape[1]), np.int8)
+            text8[: text.shape[0]] = quantize_rows_int8(text)
+            return self._place_vault({
+                "vault_emb": jnp.asarray(q4.packed),
+                "vault_scale": jnp.asarray(q4.scale),
+                "vault_valid": jnp.asarray(valid),
+                "vault_text_emb": jnp.asarray(text8),
+            })
         if vdt == "int8":
             from misinfo_tpu.vault.search import quantize_rows_int8
             cast = quantize_rows_int8

@@ -161,7 +161,8 @@ def _visual_branch(params, batch, det_cfg, cfg, policy, use_pallas,
         caption_text_emb=caption_text_emb,
         vault_text_emb=batch.get("vault_text_emb"),
         has_caption=has_caption,
-        ivf=ivf, nprobe=cfg.serving.ivf_nprobe)
+        ivf=ivf, nprobe=cfg.serving.ivf_nprobe,
+        vault_scale=batch.get("vault_scale"))
     return deepfake_score, image_emb, vr
 
 

@@ -121,7 +121,8 @@ def _dequant(rows: jax.Array) -> jax.Array:
     return rows.astype(jnp.float32)
 
 
-def vault_sims(query: jax.Array, vault_emb: jax.Array) -> jax.Array:
+def vault_sims(query: jax.Array, vault_emb: jax.Array,
+               row_scale: Optional[jax.Array] = None) -> jax.Array:
     """[B,D]×[N,D]ᵀ cosine sims, dtype-polymorphic over the vault storage:
 
     * f32 rows (default): `Precision.HIGHEST` — exact, the 0.85 gate
@@ -130,7 +131,13 @@ def vault_sims(query: jax.Array, vault_emb: jax.Array) -> jax.Array:
     * int8 rows: query quantized to int8 too; int8×int8→int32 rides the
       MXU's double-rate path, rescaled to f32 sims (~0.5-1% error —
       capacity mode, documented in docs/SCALING.md)
+    * packed int4 rows (uint8 storage + per-row scales): pass ``row_scale``
+      — vault/int4.py unpacks nibbles in VMEM via a Pallas kernel so HBM
+      reads stay at 0.5 byte/element (8× f32 capacity, ~1% sim error)
     """
+    if row_scale is not None:
+        from misinfo_tpu.vault.int4 import int4_vault_sims
+        return int4_vault_sims(query, vault_emb, row_scale)
     if vault_emb.dtype == jnp.int8:
         q = jnp.clip(jnp.round(query.astype(jnp.float32) * _INT8_SCALE),
                      -127, 127).astype(jnp.int8)
@@ -158,12 +165,18 @@ def vault_search(
     has_caption: Optional[jax.Array] = None,       # [B] bool
     ivf: Optional[Dict[str, jax.Array]] = None,    # ivf.py device arrays
     nprobe: int = 8,
+    vault_scale: Optional[jax.Array] = None,       # [N] f32 → int4 mode
 ) -> VaultResult:
     """Batched vault search; everything stays on device.
 
     With ``ivf`` (vault/ivf.py arrays), only the probed clusters' rows are
     scored — sub-linear in vault size, exact when the true neighbor's
-    cluster is probed. Default is the exact full matmul."""
+    cluster is probed. Default is the exact full matmul. ``vault_scale``
+    marks ``vault_emb`` as packed-int4 rows (vault/int4.py); int4 is
+    mutually exclusive with IVF."""
+    if ivf is not None and vault_scale is not None:
+        raise ValueError("int4 vault storage and IVF are mutually "
+                         "exclusive (engine enforces this at vault prep)")
     if ivf is not None:
         from misinfo_tpu.vault.ivf import ivf_topk
         top_sims, top_idx = ivf_topk(
@@ -175,7 +188,8 @@ def vault_search(
         # ~4e-3 error could flip the 0.85 reuse gate; bf16/int8 storage
         # (ServingConfig.vault_dtype capacity modes) trade that exactness
         # for 2×/4× more articles per chip
-        sims = vault_sims(query_image_emb, vault_emb)        # [B, N]
+        sims = vault_sims(query_image_emb, vault_emb,
+                          row_scale=vault_scale)              # [B, N]
         sims = jnp.where(row_valid[None, :], sims, -2.0)
         top_sims, top_idx = _topk(sims, top_k)
 
