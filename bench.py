@@ -30,8 +30,25 @@ VARIANT = os.environ.get("BENCH_VARIANT", "full")  # full|text_only|visual_only
 PACK = os.environ.get("BENCH_PACK", "0") == "1"    # pack ragged text rows
 VAULT_ROWS = int(os.environ.get("BENCH_VAULT", "2176"))  # reference ~2170
 IVF = os.environ.get("BENCH_IVF", "0") == "1"  # probed-cluster vault search
-VAULT_DTYPE = os.environ.get("BENCH_VAULT_DTYPE", "float32")  # |bfloat16|int8
+VAULT_DTYPE = os.environ.get("BENCH_VAULT_DTYPE", "float32")  # |bfloat16|int8|int4
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
+
+
+def _tile_rows(base: np.ndarray, n: int) -> np.ndarray:
+    """Tile a base block to n rows, rolling each tile's columns so rows
+    stay distinct. Multi-million-row capacity benches synthesize their
+    vault this way: the 1-core bench host draws only ~2M normals/s, so a
+    fresh 4M×512 draw alone costs ~20 min of wall clock, while the
+    matmul/top-k being timed is content-independent."""
+    m = base.shape[0]
+    if n <= m:
+        return base[:n]
+    out = np.empty((n,) + base.shape[1:], base.dtype)
+    for i in range(-(-n // m)):
+        lo = i * m
+        hi = min(lo + m, n)
+        out[lo:hi] = np.roll(base[: hi - lo], i, axis=1)
+    return out
 
 
 def main():
@@ -140,12 +157,19 @@ def main():
             "device": str(jax.devices()[0]),
         }))
         return
-    vault_np = rng.standard_normal((vault_rows, 512), dtype=np.float32)
+    vault_base = rng.standard_normal(
+        (min(vault_rows, 1 << 16), 512), dtype=np.float32)
     if IVF or VAULT_DTYPE != "float32":
         # engine vaults are pre-normalized; IVF and the quantized storage
         # modes (|element| ≤ 1 for int8) assume that too
-        vault_np /= np.maximum(
-            np.linalg.norm(vault_np, axis=1, keepdims=True), 1e-12)
+        vault_base /= np.maximum(
+            np.linalg.norm(vault_base, axis=1, keepdims=True), 1e-12)
+    # f32 rows materialize lazily: the quantized modes tile the (cheap)
+    # quantized base instead — column rolls commute with per-row-scaled
+    # elementwise quantization, so tiled-then-quantized ≡ quantized-then-
+    # tiled, at memcpy cost
+    vault_np = _tile_rows(vault_base, vault_rows) if (
+        IVF or VAULT_DTYPE in ("float32", "bfloat16")) else None
     if IVF:
         # build the index BEFORE the batch arrays occupy HBM (the k-means
         # keeps a transient bf16 row copy on device)
@@ -162,13 +186,17 @@ def main():
                     "ivf_build_s": round(time.perf_counter() - tb, 1)}
     vault_scale = None
     if VAULT_DTYPE == "int4":
-        from misinfo_tpu.vault.int4 import pad_int4_vault, quantize_rows_int4
-        q4 = pad_int4_vault(quantize_rows_int4(vault_np))
+        from misinfo_tpu.vault.int4 import (Int4Vault, pad_int4_vault,
+                                            quantize_rows_int4)
+        q4b = quantize_rows_int4(vault_base)
+        q4 = pad_int4_vault(Int4Vault(
+            packed=_tile_rows(q4b.packed, vault_rows),
+            scale=np.resize(q4b.scale, vault_rows)))
         vault_rows = q4.packed.shape[0]
         vault_dev, vault_scale = q4.packed, q4.scale
     elif VAULT_DTYPE == "int8":
         from misinfo_tpu.vault.search import quantize_rows_int8
-        vault_dev = quantize_rows_int8(vault_np)
+        vault_dev = _tile_rows(quantize_rows_int8(vault_base), vault_rows)
     elif VAULT_DTYPE == "bfloat16":
         vault_dev = jnp.asarray(vault_np, jnp.bfloat16)
     else:
@@ -185,17 +213,20 @@ def main():
     }
     if vault_scale is not None:
         batch["vault_scale"] = jnp.asarray(vault_scale)
-    text_np = rng.standard_normal((vault_rows, 512), dtype=np.float32)
+    text_base = rng.standard_normal(
+        (min(vault_rows, 1 << 16), 512), dtype=np.float32)
     if VAULT_DTYPE in ("int8", "int4"):  # int4 titles ride as int8 (engine)
         from misinfo_tpu.vault.search import quantize_rows_int8
-        batch["vault_text_emb"] = jnp.asarray(quantize_rows_int8(
-            text_np / np.maximum(np.linalg.norm(text_np, axis=1,
-                                                keepdims=True), 1e-12)))
+        batch["vault_text_emb"] = jnp.asarray(_tile_rows(quantize_rows_int8(
+            text_base / np.maximum(np.linalg.norm(text_base, axis=1,
+                                                  keepdims=True), 1e-12)),
+            vault_rows))
     elif VAULT_DTYPE == "bfloat16":
-        batch["vault_text_emb"] = jnp.asarray(text_np, jnp.bfloat16)
+        batch["vault_text_emb"] = jnp.asarray(
+            _tile_rows(text_base, vault_rows), jnp.bfloat16)
     else:
-        batch["vault_text_emb"] = jnp.asarray(text_np)
-    del text_np
+        batch["vault_text_emb"] = jnp.asarray(_tile_rows(text_base, vault_rows))
+    del text_base
 
     if IVF:
         batch.update(index.device_arrays())
