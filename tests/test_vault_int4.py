@@ -66,6 +66,24 @@ def test_pallas_kernel_matches_reference_interpret():
     np.testing.assert_allclose(ker, ref, atol=1e-5)
 
 
+def test_pallas_i8_variant_within_band_interpret():
+    """Double-rate int8-MXU variant: query quantization adds ~0.5% on top
+    of the rows' int4 grid — still inside the documented band vs exact
+    f32, and close to the bf16 kernel."""
+    from misinfo_tpu.vault.int4 import int4_sims_pallas_i8
+    n = INT4_TILE_ROWS
+    v, q = _rows(n, 512, seed=6), _rows(8, 512, seed=8)
+    i4 = quantize_rows_int4(v)
+    args = (jnp.asarray(q), jnp.asarray(i4.packed), jnp.asarray(i4.scale))
+    got = np.asarray(int4_sims_pallas_i8(*args, interpret=True))
+    exact = q @ v.T
+    err = got - exact
+    assert np.sqrt((err ** 2).mean()) < 0.02
+    assert np.abs(err).max() < 0.05
+    bf16 = np.asarray(int4_sims_pallas(*args, interpret=True))
+    assert np.abs(got - bf16).max() < 0.03
+
+
 def test_pallas_rejects_unpadded_rows():
     v, q = _rows(100, 512), _rows(2, 512)
     i4 = quantize_rows_int4(v)

@@ -45,6 +45,7 @@ def main():
     from bench import _tile_rows
     from misinfo_tpu.utils.timing import sync_fetch
     from misinfo_tpu.vault.int4 import (Int4Vault, int4_sims_pallas,
+                                        int4_sims_pallas_i8,
                                         int4_sims_reference, pad_int4_vault,
                                         quantize_rows_int4)
 
@@ -71,15 +72,20 @@ def main():
         return (time.time() - t) / args.iters * 1000.0, out
 
     on_tpu = jax.devices()[0].platform == "tpu"
+    # off-TPU the kernels only run interpreted (numerics check, not perf)
     pallas = (int4_sims_pallas if on_tpu else
-              # off-TPU the kernel only runs interpreted (numerics check,
-              # not a perf number)
               lambda *a: int4_sims_pallas(*a, interpret=True))
+    pallas_i8 = (int4_sims_pallas_i8 if on_tpu else
+                 lambda *a: int4_sims_pallas_i8(*a, interpret=True))
     ms_pl, out_pl = timed(pallas)
+    ms_i8, out_i8 = timed(pallas_i8)
     rec = {
         "rows": int(pk.shape[0]), "batch": B,
         "pallas_ms": round(ms_pl, 3),
+        "pallas_i8_ms": round(ms_i8, 3),
         "packed_read_gbs": round(pk.nbytes / (ms_pl / 1e3) / 1e9, 1),
+        "i8_vs_bf16_max_diff": float(
+            np.abs(np.asarray(out_i8) - np.asarray(out_pl)).max()),
         "device": str(jax.devices()[0]),
     }
     if not args.skip_xla:
