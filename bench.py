@@ -215,7 +215,15 @@ def main():
         batch["vault_scale"] = jnp.asarray(vault_scale)
     text_base = rng.standard_normal(
         (min(vault_rows, 1 << 16), 512), dtype=np.float32)
-    if VAULT_DTYPE in ("int8", "int4"):  # int4 titles ride as int8 (engine)
+    if VAULT_DTYPE == "int4":  # packed titles, gathered+unpacked inline
+        t4b = quantize_rows_int4(
+            text_base / np.maximum(np.linalg.norm(text_base, axis=1,
+                                                  keepdims=True), 1e-12))
+        batch["vault_text_emb"] = jnp.asarray(
+            _tile_rows(t4b.packed, vault_rows))
+        batch["vault_text_scale"] = jnp.asarray(
+            np.resize(t4b.scale, vault_rows))
+    elif VAULT_DTYPE == "int8":
         from misinfo_tpu.vault.search import quantize_rows_int8
         batch["vault_text_emb"] = jnp.asarray(_tile_rows(quantize_rows_int8(
             text_base / np.maximum(np.linalg.norm(text_base, axis=1,

@@ -213,13 +213,12 @@ class MisinfoForensics:
         vdt = self.cfg.serving.vault_dtype
         if vdt == "int4":
             # packed-nibble capacity mode (vault/int4.py): 8× f32 articles
-            # per chip. Rows pad to the kernel tile so the Pallas fast path
-            # engages; title embeddings ride as int8 (they're only ever a
-            # [B]-row gather in _gate_and_text — capacity cost is the
-            # image-embedding matmul operand, not the gather source).
+            # per chip across BOTH planes — image rows feed the Pallas
+            # sims kernel, title rows are only ever a [B]-row gather in
+            # _gate_and_text and unpack inline. Rows pad to the kernel
+            # tile so the fast path engages.
             from misinfo_tpu.vault.int4 import (pad_int4_vault,
                                                 quantize_rows_int4)
-            from misinfo_tpu.vault.search import quantize_rows_int8
             q4 = pad_int4_vault(quantize_rows_int4(self.vault.embeddings))
             n_pad = q4.packed.shape[0]
             valid = np.zeros((n_pad,), bool)
@@ -227,13 +226,13 @@ class MisinfoForensics:
             text = (self.vault.text_embeddings
                     if self.vault.text_embeddings is not None
                     else np.zeros_like(self.vault.embeddings))
-            text8 = np.zeros((n_pad, text.shape[1]), np.int8)
-            text8[: text.shape[0]] = quantize_rows_int8(text)
+            t4 = pad_int4_vault(quantize_rows_int4(text))
             return self._place_vault({
                 "vault_emb": jnp.asarray(q4.packed),
                 "vault_scale": jnp.asarray(q4.scale),
                 "vault_valid": jnp.asarray(valid),
-                "vault_text_emb": jnp.asarray(text8),
+                "vault_text_emb": jnp.asarray(t4.packed),
+                "vault_text_scale": jnp.asarray(t4.scale),
             })
         if vdt == "int8":
             from misinfo_tpu.vault.search import quantize_rows_int8

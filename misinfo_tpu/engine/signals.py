@@ -162,7 +162,8 @@ def _visual_branch(params, batch, det_cfg, cfg, policy, use_pallas,
         vault_text_emb=batch.get("vault_text_emb"),
         has_caption=has_caption,
         ivf=ivf, nprobe=cfg.serving.ivf_nprobe,
-        vault_scale=batch.get("vault_scale"))
+        vault_scale=batch.get("vault_scale"),
+        vault_text_scale=batch.get("vault_text_scale"))
     return deepfake_score, image_emb, vr
 
 

@@ -166,13 +166,15 @@ def vault_search(
     ivf: Optional[Dict[str, jax.Array]] = None,    # ivf.py device arrays
     nprobe: int = 8,
     vault_scale: Optional[jax.Array] = None,       # [N] f32 → int4 mode
+    vault_text_scale: Optional[jax.Array] = None,  # [N] f32 → int4 titles
 ) -> VaultResult:
     """Batched vault search; everything stays on device.
 
     With ``ivf`` (vault/ivf.py arrays), only the probed clusters' rows are
     scored — sub-linear in vault size, exact when the true neighbor's
     cluster is probed. Default is the exact full matmul. ``vault_scale``
-    marks ``vault_emb`` as packed-int4 rows (vault/int4.py); int4 is
+    marks ``vault_emb`` as packed-int4 rows (vault/int4.py) and
+    ``vault_text_scale`` likewise marks ``vault_text_emb``; int4 is
     mutually exclusive with IVF."""
     if ivf is not None and vault_scale is not None:
         raise ValueError("int4 vault storage and IVF are mutually "
@@ -194,12 +196,13 @@ def vault_search(
         top_sims, top_idx = _topk(sims, top_k)
 
     return _gate_and_text(top_sims, top_idx, reuse_threshold,
-                          caption_text_emb, vault_text_emb, has_caption)
+                          caption_text_emb, vault_text_emb, has_caption,
+                          vault_text_scale=vault_text_scale)
 
 
 def _gate_and_text(top_sims, top_idx, reuse_threshold,
                    caption_text_emb=None, vault_text_emb=None,
-                   has_caption=None) -> VaultResult:
+                   has_caption=None, vault_text_scale=None) -> VaultResult:
     """Shared tail of every search flavor: the exact 0.85 reuse gate
     (reference misinfo_forensics.py:462-464) + the conditional
     caption-vs-headline text similarity (:468-484)."""
@@ -208,7 +211,16 @@ def _gate_and_text(top_sims, top_idx, reuse_threshold,
     vault_discrepancy = jnp.where(gate, max_sim, 0.0)
 
     if caption_text_emb is not None and vault_text_emb is not None:
-        matched_title_emb = _dequant(vault_text_emb[top_idx[:, 0]])  # [B, D]
+        if vault_text_scale is not None:
+            # int4-packed titles: gather only the B matched packed rows,
+            # unpack inline (tiny — the capacity win is the [N, D/2]
+            # storage plane, vault/int4.py)
+            from misinfo_tpu.vault.int4 import unpack_int4
+            matched_title_emb = (
+                unpack_int4(vault_text_emb[top_idx[:, 0]]).astype(jnp.float32)
+                * vault_text_scale[top_idx[:, 0]][:, None])
+        else:
+            matched_title_emb = _dequant(vault_text_emb[top_idx[:, 0]])
         tsim = jnp.sum(caption_text_emb * matched_title_emb, axis=-1)
         if has_caption is not None:
             gate = jnp.logical_and(gate, has_caption)

@@ -114,6 +114,21 @@ def test_vault_search_int4_gate_semantics():
     np.testing.assert_allclose(np.asarray(got.top_sims),
                                np.asarray(exact.top_sims), atol=0.05)
     assert (np.asarray(got.vault_discrepancy) > 0.9).all()
+    # int4-packed titles: caption-vs-headline sim within the band of the
+    # f32-title path (the gate is open for these near-duplicate queries)
+    titles = _rows(256, 512, seed=17)
+    t4 = quantize_rows_int4(titles)
+    cap = jnp.asarray(_rows(4, 512, seed=18))
+    f32_r = vault_search(q, jnp.asarray(emb), jnp.ones((256,), bool),
+                         top_k=3, caption_text_emb=cap,
+                         vault_text_emb=jnp.asarray(titles))
+    i4_r = vault_search(q, jnp.asarray(i4.packed), jnp.ones((256,), bool),
+                        top_k=3, vault_scale=jnp.asarray(i4.scale),
+                        caption_text_emb=cap,
+                        vault_text_emb=jnp.asarray(t4.packed),
+                        vault_text_scale=jnp.asarray(t4.scale))
+    np.testing.assert_allclose(np.asarray(i4_r.text_similarity),
+                               np.asarray(f32_r.text_similarity), atol=0.05)
     # far query: random unit vector, sims ≈ N(0, 1/sqrt(512)) — gate closed
     far = vault_search(jnp.asarray(_rows(2, 512, seed=99)),
                        jnp.asarray(i4.packed), jnp.ones((256,), bool),
@@ -156,7 +171,9 @@ def test_engine_vault_dtype_int4(tmp_path, monkeypatch):
     assert dev["vault_emb"].dtype == jnp.uint8
     assert dev["vault_emb"].shape == (INT4_TILE_ROWS, d // 2)
     assert dev["vault_scale"].shape == (INT4_TILE_ROWS,)
-    assert dev["vault_text_emb"].dtype == jnp.int8
+    assert dev["vault_text_emb"].dtype == jnp.uint8          # packed titles
+    assert dev["vault_text_emb"].shape == (INT4_TILE_ROWS, d // 2)
+    assert dev["vault_text_scale"].shape == (INT4_TILE_ROWS,)
     assert not np.asarray(dev["vault_valid"])[30:].any()
 
     from PIL import Image
