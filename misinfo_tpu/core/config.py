@@ -167,8 +167,8 @@ class ServingConfig:
     # articles per chip, ~0.2% sim error), "int8" (4× capacity, MXU
     # double-rate matmul, ~0.5-1% sim error) — vault/search.py vault_sims —
     # or "int4" (8× capacity via packed nibbles + per-row scales + a Pallas
-    # unpack-in-VMEM kernel, ~1% sim error; single-chip only — mutually
-    # exclusive with vault_ivf and row-sharding; vault/int4.py)
+    # unpack-in-VMEM kernel, ~1% sim error; composes with row-sharding,
+    # mutually exclusive with vault_ivf; vault/int4.py)
     vault_dtype: str = "float32"
     # IVF vault search (vault/ivf.py): sub-linear probed-cluster kNN for
     # vaults far beyond the reference's 2,170 rows. Exact search stays the

@@ -167,7 +167,6 @@ class MisinfoForensics:
         self._vault_sharded = (
             self.mesh is not None and self._data_axis_size() > 1
             and self.vault is not None
-            and self.cfg.serving.vault_dtype != "int4"  # single-chip mode
             and self.vault.embeddings.shape[0]
             >= self.cfg.serving.vault_shard_min_rows)
         if self.vault is None:
@@ -216,17 +215,22 @@ class MisinfoForensics:
             # per chip across BOTH planes — image rows feed the Pallas
             # sims kernel, title rows are only ever a [B]-row gather in
             # _gate_and_text and unpack inline. Rows pad to the kernel
-            # tile so the fast path engages.
-            from misinfo_tpu.vault.int4 import (pad_int4_vault,
+            # tile so the fast path engages; under row-sharding, to
+            # tile × data-axis so every shard stays tile-aligned.
+            from misinfo_tpu.vault.int4 import (INT4_TILE_ROWS,
+                                                pad_int4_vault,
                                                 quantize_rows_int4)
-            q4 = pad_int4_vault(quantize_rows_int4(self.vault.embeddings))
+            mult = INT4_TILE_ROWS * (self._data_axis_size()
+                                     if self._vault_sharded else 1)
+            q4 = pad_int4_vault(quantize_rows_int4(self.vault.embeddings),
+                                multiple=mult)
             n_pad = q4.packed.shape[0]
             valid = np.zeros((n_pad,), bool)
             valid[: self.vault.row_valid.shape[0]] = self.vault.row_valid
             text = (self.vault.text_embeddings
                     if self.vault.text_embeddings is not None
                     else np.zeros_like(self.vault.embeddings))
-            t4 = pad_int4_vault(quantize_rows_int4(text))
+            t4 = pad_int4_vault(quantize_rows_int4(text), multiple=mult)
             return self._place_vault({
                 "vault_emb": jnp.asarray(q4.packed),
                 "vault_scale": jnp.asarray(q4.scale),
@@ -266,7 +270,8 @@ class MisinfoForensics:
         axis = self.mesh.axis_names[0]
         for k in list(out):
             if self._vault_sharded and k in ("vault_emb", "vault_valid",
-                                             "vault_text_emb"):
+                                             "vault_text_emb", "vault_scale",
+                                             "vault_text_scale"):
                 spec = P(axis, *([None] * (out[k].ndim - 1)))
             else:
                 spec = P()

@@ -148,7 +148,9 @@ def _visual_branch(params, batch, det_cfg, cfg, policy, use_pallas,
             reuse_threshold=cfg.thresholds.vault_reuse,
             caption_text_emb=caption_text_emb,
             vault_text_emb=batch.get("vault_text_emb"),
-            has_caption=has_caption)
+            has_caption=has_caption,
+            vault_scale=batch.get("vault_scale"),
+            vault_text_scale=batch.get("vault_text_scale"))
         return deepfake_score, image_emb, vr
     ivf = ({k: batch[k]
             for k in ("ivf_centroids", "ivf_lists", "ivf_spill", "ivf_emb16")

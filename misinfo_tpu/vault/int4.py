@@ -35,9 +35,10 @@ Design notes (TPU-first):
   all paths are equality/band-tested in interpret mode
   (tests/test_vault_int4.py).
 
-Row-sharded (>HBM) vaults keep f32/bf16/int8 storage — int4 is a
-single-chip capacity mode, mutually exclusive with IVF and row-sharding
-(engine/forensics.py enforces this at vault prep).
+Row-sharding composes: `vault_search_sharded` scores int4-packed shards
+(per-shard scales ride the same row sharding), so >HBM vaults get ~25M
+articles per chip per shard. IVF stays mutually exclusive (the probed
+gather needs addressable unpacked rows; engine/forensics.py enforces it).
 """
 
 from __future__ import annotations

@@ -244,6 +244,8 @@ def vault_search_sharded(
     vault_text_emb: Optional[jax.Array] = None,  # row-sharded like vault_emb
     has_caption: Optional[jax.Array] = None,
     axis_name: str = "data",
+    vault_scale: Optional[jax.Array] = None,       # [N] → int4-packed rows
+    vault_text_scale: Optional[jax.Array] = None,  # [N] → int4 titles
 ) -> VaultResult:
     """The engine's >HBM vault path: the vault lives ROW-SHARDED across the
     mesh's data axis, each device scores the full query batch against its
@@ -259,9 +261,10 @@ def vault_search_sharded(
     """
     from jax.sharding import PartitionSpec as P
 
-    def body(q, v, valid):
+    def body(q, v, valid, *scale):
         q = jax.lax.all_gather(q, axis_name, axis=0, tiled=True)     # [B, D]
-        sims = vault_sims(q, v)                                      # [B, N/d]
+        sims = vault_sims(q, v,                                      # [B, N/d]
+                          row_scale=scale[0] if scale else None)
         sims = jnp.where(valid[None, :], sims, -2.0)
         k_local = min(top_k, v.shape[0])
         loc_s, loc_i = jax.lax.top_k(sims, k_local)
@@ -273,20 +276,24 @@ def vault_search_sharded(
         top_i = jnp.take_along_axis(all_i, pos, axis=1)
         return top_s, top_i
 
-    sm_kw = dict(mesh=mesh,
-                 in_specs=(P(axis_name, None), P(axis_name, None),
-                           P(axis_name)),
+    operands = [query_image_emb, vault_emb, row_valid]
+    in_specs = [P(axis_name, None), P(axis_name, None), P(axis_name)]
+    if vault_scale is not None:   # int4-packed shards (vault/int4.py)
+        operands.append(vault_scale)
+        in_specs.append(P(axis_name))
+    sm_kw = dict(mesh=mesh, in_specs=tuple(in_specs),
                  out_specs=(P(None, None), P(None, None)))
     try:
         mapped = jax.shard_map(body, check_vma=False, **sm_kw)  # JAX ≥ 0.8
     except (AttributeError, TypeError):  # pragma: no cover
         from jax.experimental.shard_map import shard_map as _sm
         mapped = _sm(body, check_rep=False, **sm_kw)
-    top_sims, top_idx = mapped(query_image_emb, vault_emb, row_valid)
+    top_sims, top_idx = mapped(*operands)
     # text-sim gather runs at the GSPMD level: B indices into the
     # row-sharded title embeddings — a tiny cross-shard gather
     return _gate_and_text(top_sims, top_idx, reuse_threshold,
-                          caption_text_emb, vault_text_emb, has_caption)
+                          caption_text_emb, vault_text_emb, has_caption,
+                          vault_text_scale=vault_text_scale)
 
 
 def sharded_vault_sims(query: jax.Array, vault_shard: jax.Array,

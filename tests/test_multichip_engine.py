@@ -184,6 +184,34 @@ def test_engine_sharded_vault_int8_combo(vault_path, shared_params):
                           int8_shard.analyze_batch(reqs))
 
 
+def test_engine_sharded_vault_int4_combo(vault_path, shared_params):
+    """Row sharding composes with the int4 capacity mode: ~25M articles
+    per chip per shard (docs/SCALING.md). As with int8, quantization
+    error means the sharded int4 engine is compared against the
+    REPLICATED int4 engine (identical packed rows) — exact match.
+    Shards stay INT4_TILE_ROWS-aligned (engine pads to tile × data)."""
+    from misinfo_tpu.vault.int4 import INT4_TILE_ROWS
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(MeshConfig(model=1))
+    rep = MisinfoForensics(
+        config=_cfg(vault_path, vault_dtype="int4"), det_cfg=DET,
+        params=_copy(shared_params))
+    shard = MisinfoForensics(
+        config=_cfg(vault_path, vault_dtype="int4", vault_shard_min_rows=64),
+        det_cfg=DET, params=_copy(shared_params), mesh=mesh)
+    assert shard._vault_sharded
+    dev = shard._vault_device
+    assert dev["vault_emb"].dtype == jnp.uint8
+    assert dev["vault_emb"].shape[0] % (INT4_TILE_ROWS * 8) == 0
+    assert dev["vault_scale"].shape == (dev["vault_emb"].shape[0],)
+    reqs = [{"image": _img(7)}, {"image": _img(8)},
+            {"text": "caption for the vault image", "image": _img(9)}]
+    _assert_reports_match(rep.analyze_batch(reqs),
+                          shard.analyze_batch(reqs))
+
+
 def test_vault_search_sharded_function_equals_exact():
     """Direct function-level equality: row-sharded shard_map search vs the
     exact replicated vault_search on identical inputs."""

@@ -136,6 +136,50 @@ def test_vault_search_int4_gate_semantics():
     assert (np.asarray(far.vault_discrepancy) == 0.0).all()
 
 
+def test_vault_search_sharded_int4_equals_replicated():
+    """Row-sharded shard_map search over int4-packed shards (per-shard
+    scales ride the same sharding) equals the replicated int4 search —
+    the >HBM ~25M-articles/chip/shard combo in docs/SCALING.md."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from misinfo_tpu.core.config import MeshConfig
+    from misinfo_tpu.core.mesh import make_mesh
+    from misinfo_tpu.vault.search import vault_search_sharded
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(MeshConfig(model=1))
+    N, B, K = 1024, 8, 5
+    emb, temb = _rows(N, 512, seed=21), _rows(N, 512, seed=22)
+    q = jnp.asarray(emb[100:100 + B])     # planted duplicates
+    cap = jnp.asarray(_rows(B, 512, seed=23))
+    i4, t4 = quantize_rows_int4(emb), quantize_rows_int4(temb)
+    valid = np.arange(N) < 1000
+
+    exact = vault_search(q, jnp.asarray(i4.packed), jnp.asarray(valid),
+                         top_k=K, vault_scale=jnp.asarray(i4.scale),
+                         caption_text_emb=cap,
+                         vault_text_emb=jnp.asarray(t4.packed),
+                         vault_text_scale=jnp.asarray(t4.scale))
+
+    put = lambda a, spec: jax.device_put(jnp.asarray(a),
+                                         NamedSharding(mesh, spec))
+    sharded = jax.jit(lambda qq, v, rv, s, c, t, ts: vault_search_sharded(
+        qq, v, rv, mesh=mesh, top_k=K, vault_scale=s,
+        caption_text_emb=c, vault_text_emb=t, vault_text_scale=ts))(
+            put(q, P("data", None)), put(i4.packed, P("data", None)),
+            put(valid, P("data")), put(i4.scale, P("data")),
+            put(cap, P("data", None)), put(t4.packed, P("data", None)),
+            put(t4.scale, P("data")))
+
+    np.testing.assert_array_equal(np.asarray(sharded.top_idx),
+                                  np.asarray(exact.top_idx))
+    np.testing.assert_allclose(np.asarray(sharded.top_sims),
+                               np.asarray(exact.top_sims), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sharded.text_similarity),
+                               np.asarray(exact.text_similarity), atol=1e-5)
+
+
 def test_int4_ivf_mutually_exclusive():
     with pytest.raises(ValueError, match="exclusive"):
         vault_search(jnp.asarray(_rows(2, 512)), jnp.zeros((8, 256), jnp.uint8),
