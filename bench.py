@@ -157,6 +157,10 @@ def main():
             "device": str(jax.devices()[0]),
         }))
         return
+    if IVF and VAULT_DTYPE == "int4":
+        raise SystemExit("BENCH_IVF=1 and BENCH_VAULT_DTYPE=int4 are "
+                         "mutually exclusive (engine rule; refuse before "
+                         "the k-means build, not at trace time)")
     vault_base = rng.standard_normal(
         (min(vault_rows, 1 << 16), 512), dtype=np.float32)
     if IVF or VAULT_DTYPE != "float32":
@@ -185,15 +189,15 @@ def main():
                     "ivf_spill": int(index.spill.shape[0]),
                     "ivf_build_s": round(time.perf_counter() - tb, 1)}
     vault_scale = None
+    n_real = vault_rows
     if VAULT_DTYPE == "int4":
-        from misinfo_tpu.vault.int4 import (Int4Vault, pad_int4_vault,
-                                            quantize_rows_int4)
+        from misinfo_tpu.vault.int4 import INT4_TILE_ROWS, quantize_rows_int4
+        # tile straight to the kernel-aligned row count (one allocation;
+        # pad rows are masked invalid below, mirroring the engine)
+        vault_rows += (-vault_rows) % INT4_TILE_ROWS
         q4b = quantize_rows_int4(vault_base)
-        q4 = pad_int4_vault(Int4Vault(
-            packed=_tile_rows(q4b.packed, vault_rows),
-            scale=np.resize(q4b.scale, vault_rows)))
-        vault_rows = q4.packed.shape[0]
-        vault_dev, vault_scale = q4.packed, q4.scale
+        vault_dev = _tile_rows(q4b.packed, vault_rows)
+        vault_scale = np.resize(q4b.scale, vault_rows)
     elif VAULT_DTYPE == "int8":
         from misinfo_tpu.vault.search import quantize_rows_int8
         vault_dev = _tile_rows(quantize_rows_int8(vault_base), vault_rows)
@@ -209,7 +213,7 @@ def main():
         "image_effnet": jnp.asarray(rng.integers(0, 255, (B, 224, 224, 3)), jnp.uint8),
         "image_clip": jnp.asarray(rng.integers(0, 255, (B, 224, 224, 3)), jnp.uint8),
         "vault_emb": jnp.asarray(vault_dev),
-        "vault_valid": jnp.ones((vault_rows,), jnp.bool_),
+        "vault_valid": jnp.asarray(np.arange(vault_rows) < n_real),
     }
     if vault_scale is not None:
         batch["vault_scale"] = jnp.asarray(vault_scale)

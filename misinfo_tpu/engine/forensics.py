@@ -183,16 +183,19 @@ class MisinfoForensics:
         # file and invalidated by a content digest (shape alone misses
         # edits within a 128-row pad bucket)
         index = None
-        if (self.cfg.serving.vault_ivf
-                and self.cfg.serving.vault_dtype == "int4"):
+        ivf_engages = (self.cfg.serving.vault_ivf
+                       and self.vault.num_articles > 0
+                       and not self._vault_sharded)  # IVF and row-sharding
+        # are mutually exclusive search strategies; sharding wins at scale
+        if ivf_engages and self.cfg.serving.vault_dtype == "int4":
+            # refuse only when IVF would actually run — a sharded/empty
+            # vault ignores vault_ivf exactly as the other dtypes do
             raise ValueError(
                 "vault_dtype='int4' and vault_ivf are mutually exclusive "
                 "— the IVF gather needs addressable rows; pick one (exact "
                 "int4 already beats IVF at every measured single-chip "
                 "size, docs/PERF.md)")
-        if (self.cfg.serving.vault_ivf and self.vault.num_articles > 0
-                and not self._vault_sharded):  # IVF and row-sharding are
-            # mutually exclusive search strategies; sharding wins at scale
+        if ivf_engages:
             from misinfo_tpu.vault.ivf import IVFIndex, build_ivf, vault_digest
             sidecar = self.cfg.paths.vault_path + ".ivf.npz"
             index = IVFIndex.load(sidecar)
@@ -227,10 +230,17 @@ class MisinfoForensics:
             n_pad = q4.packed.shape[0]
             valid = np.zeros((n_pad,), bool)
             valid[: self.vault.row_valid.shape[0]] = self.vault.row_valid
-            text = (self.vault.text_embeddings
-                    if self.vault.text_embeddings is not None
-                    else np.zeros_like(self.vault.embeddings))
-            t4 = pad_int4_vault(quantize_rows_int4(text), multiple=mult)
+            if self.vault.text_embeddings is not None:
+                t4 = pad_int4_vault(quantize_rows_int4(
+                    self.vault.text_embeddings), multiple=mult)
+            else:
+                # no titles: the packed-zero plane directly — don't
+                # materialize an [N, D] f32 zeros array through the
+                # quantizer at capacity scale
+                from misinfo_tpu.vault.int4 import Int4Vault
+                t4 = Int4Vault(
+                    packed=np.zeros_like(q4.packed),
+                    scale=np.zeros((n_pad,), np.float32))
             return self._place_vault({
                 "vault_emb": jnp.asarray(q4.packed),
                 "vault_scale": jnp.asarray(q4.scale),

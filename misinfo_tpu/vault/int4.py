@@ -253,10 +253,13 @@ def int4_vault_sims(query: jax.Array, packed: jax.Array,
     env = os.getenv("MISINFO_TPU_INT4_PALLAS", "auto")
     n = packed.shape[0]
     on_tpu = jax.devices()[0].platform == "tpu"
+    # forced kernels off-TPU run interpreted (Mosaic only lowers on TPU —
+    # keeps the env var usable for numerics checks on the CPU backend)
+    interp = not on_tpu
     if env in ("i8", "1", "on", "true") or (
             env == "auto" and on_tpu
             and n >= _PALLAS_MIN_ROWS and n % INT4_TILE_ROWS == 0):
-        return int4_sims_pallas_i8(query, packed, scale)
+        return int4_sims_pallas_i8(query, packed, scale, interpret=interp)
     if env == "bf16":
-        return int4_sims_pallas(query, packed, scale)
+        return int4_sims_pallas(query, packed, scale, interpret=interp)
     return int4_sims_reference(query, packed, scale)
