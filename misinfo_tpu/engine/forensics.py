@@ -220,24 +220,26 @@ class MisinfoForensics:
             # _gate_and_text and unpack inline. Rows pad to the kernel
             # tile so the fast path engages; under row-sharding, to
             # tile × data-axis so every shard stays tile-aligned.
-            from misinfo_tpu.vault.int4 import (INT4_TILE_ROWS,
-                                                pad_int4_vault,
-                                                quantize_rows_int4)
+            from misinfo_tpu.vault.int4 import (INT4_TILE_ROWS, Int4Vault,
+                                                pad_int4_vault)
+            from misinfo_tpu.vault.prepack import get_or_build
             mult = INT4_TILE_ROWS * (self._data_axis_size()
                                      if self._vault_sharded else 1)
-            q4 = pad_int4_vault(quantize_rows_int4(self.vault.embeddings),
-                                multiple=mult)
+            # quantization is host-bound O(N·D) (~40 s/M rows on a 1-core
+            # host) — the digest-validated <vault>.int4.npz sidecar makes
+            # it a one-time cost (vault/prepack.py; padding stays here
+            # since the multiple depends on the mesh)
+            pre = get_or_build(self.cfg.paths.vault_path, self.vault)
+            q4 = pad_int4_vault(pre.image, multiple=mult)
             n_pad = q4.packed.shape[0]
             valid = np.zeros((n_pad,), bool)
             valid[: self.vault.row_valid.shape[0]] = self.vault.row_valid
-            if self.vault.text_embeddings is not None:
-                t4 = pad_int4_vault(quantize_rows_int4(
-                    self.vault.text_embeddings), multiple=mult)
+            if pre.text is not None:
+                t4 = pad_int4_vault(pre.text, multiple=mult)
             else:
                 # no titles: the packed-zero plane directly — don't
                 # materialize an [N, D] f32 zeros array through the
                 # quantizer at capacity scale
-                from misinfo_tpu.vault.int4 import Int4Vault
                 t4 = Int4Vault(
                     packed=np.zeros_like(q4.packed),
                     scale=np.zeros((n_pad,), np.float32))
