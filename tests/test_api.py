@@ -91,6 +91,23 @@ def test_analyze_batch_endpoint(api_server):
     assert code == 200 and len(body) == 2
 
 
+def test_concurrent_clients_consistent(api_server):
+    """ThreadingHTTPServer handles each request on its own thread; the
+    micro-batcher funnels them through one collector, so concurrent
+    clients must all succeed and identical payloads must score
+    identically (no cross-request state bleed)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    payload = {"text": "the same claim from every client"}
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(
+            lambda _: _post(api_server + "/analyze", payload), range(16)))
+    assert all(code == 200 for code, _ in results)
+    scores = [json.dumps(body["scores"], sort_keys=True)
+              for _, body in results]
+    assert len(set(scores)) == 1
+
+
 def test_bad_request_maps_to_error(api_server):
     code, body = _post(api_server + "/analyze", {})
     assert code in (400, 500)

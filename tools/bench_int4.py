@@ -11,6 +11,12 @@ content-independent).
 Measured (TPU v5e-1, 1M rows, b32): Pallas 2.47 ms/call (~109 GB/s packed
 HBM read) vs XLA unpack path 37.1 ms — the kernel avoids materializing the
 unpacked [N,D] plane in HBM. Max |pallas−xla| = 3e-8 (same cast chain).
+The double-rate i8 variant measured 2.23 ms vs 3.43 ms bf16 same-session.
+
+Tile sweep (--tile, same shapes): {1024: bf16 2.01/i8 3.58,
+2048 (default): bf16 3.43/i8 2.23, 4096: bf16 3.10/i8 2.05} ms — spreads
+sit inside the relay's run-to-run variance with no robust winner, and
+8192 exceeds VMEM; the 2048 default stands.
 """
 
 from __future__ import annotations
@@ -32,6 +38,8 @@ def main():
     ap.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
     ap.add_argument("--skip-xla", action="store_true",
                     help="skip the (slow at scale) XLA unpack path")
+    ap.add_argument("--tile", type=int, default=0,
+                    help="override INT4_TILE_ROWS for a tile-size sweep")
     args = ap.parse_args()
 
     import jax
@@ -44,10 +52,13 @@ def main():
     enable_compilation_cache()
     from bench import _tile_rows
     from misinfo_tpu.utils.timing import sync_fetch
+    from misinfo_tpu.vault import int4 as int4_mod
     from misinfo_tpu.vault.int4 import (Int4Vault, int4_sims_pallas,
                                         int4_sims_pallas_i8,
                                         int4_sims_reference, pad_int4_vault,
                                         quantize_rows_int4)
+    if args.tile:
+        int4_mod.INT4_TILE_ROWS = args.tile
 
     B, D, N = args.batch, 512, args.rows
     rng = np.random.default_rng(0)
@@ -57,7 +68,8 @@ def main():
     base /= np.linalg.norm(base, axis=1, keepdims=True)
     q4b = quantize_rows_int4(base)
     q4 = pad_int4_vault(Int4Vault(packed=_tile_rows(q4b.packed, N),
-                                  scale=np.resize(q4b.scale, N)))
+                                  scale=np.resize(q4b.scale, N)),
+                        multiple=int4_mod.INT4_TILE_ROWS)
     qd = jnp.asarray(q)
     pk, sc = jnp.asarray(q4.packed), jnp.asarray(q4.scale)
     sync_fetch(pk)
