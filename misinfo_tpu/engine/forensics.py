@@ -125,8 +125,9 @@ class MisinfoForensics:
         # Truth Vault (soft-fail, reference misinfo_forensics.py:243-246)
         self.vault = TruthVault.load(self.cfg.paths.vault_path)
         self.vault_loaded = self.vault is not None
-        self._vault_device = self._prepare_vault()
+        self._vault_device, self._vault_sharded = self._prepare_vault()
         self._prep_pool = None  # lazy image-prep thread pool (_image_batch)
+        self._use_pallas = use_pallas
 
         self.programs = SignalPrograms(
             self.det_cfg, self.cfg, self.policy, use_pallas=use_pallas,
@@ -160,23 +161,28 @@ class MisinfoForensics:
             return 1
         return int(self.mesh.shape[self.mesh.axis_names[0]])
 
-    def _prepare_vault(self):
+    def _prepare_vault(self, vault=None):
+        """Build the device-resident vault arrays for ``vault`` (defaults
+        to ``self.vault``). Pure staging — returns ``(device_dict,
+        sharded)`` without touching engine state, so `reload_vault` can
+        do minutes of host quantization while the old vault serves."""
+        vault = vault if vault is not None else self.vault
         # mesh serving: vaults beyond the single-chip comfort zone are
         # row-sharded across the data axis and searched via shard_map
         # (vault/search.py vault_search_sharded); smaller vaults replicate
-        self._vault_sharded = (
+        sharded = (
             self.mesh is not None and self._data_axis_size() > 1
-            and self.vault is not None
-            and self.vault.embeddings.shape[0]
+            and vault is not None
+            and vault.embeddings.shape[0]
             >= self.cfg.serving.vault_shard_min_rows)
-        if self.vault is None:
+        if vault is None:
             # 128-row dummy so program shapes stay static; row_valid all-False
             d = self.det_cfg.clip.projection_dim
             return self._place_vault({
                 "vault_emb": jnp.zeros((128, d), jnp.float32),
                 "vault_valid": jnp.zeros((128,), jnp.bool_),
                 "vault_text_emb": jnp.zeros((128, d), jnp.float32),
-            })
+            }, sharded), sharded
         # IVF index build FIRST (vault/ivf.py): the device-side k-means
         # needs a transient row copy, so it runs before the vault arrays
         # occupy HBM; the index is cached in a sidecar next to the vault
@@ -184,8 +190,8 @@ class MisinfoForensics:
         # edits within a 128-row pad bucket)
         index = None
         ivf_engages = (self.cfg.serving.vault_ivf
-                       and self.vault.num_articles > 0
-                       and not self._vault_sharded)  # IVF and row-sharding
+                       and vault.num_articles > 0
+                       and not sharded)  # IVF and row-sharding
         # are mutually exclusive search strategies; sharding wins at scale
         if ivf_engages and self.cfg.serving.vault_dtype == "int4":
             # refuse only when IVF would actually run — a sharded/empty
@@ -200,10 +206,10 @@ class MisinfoForensics:
             sidecar = self.cfg.paths.vault_path + ".ivf.npz"
             index = IVFIndex.load(sidecar)
             if (index is None
-                    or index.n_rows != self.vault.embeddings.shape[0]
-                    or index.digest != vault_digest(self.vault.embeddings,
-                                                    self.vault.row_valid)):
-                index = build_ivf(self.vault.embeddings, self.vault.row_valid)
+                    or index.n_rows != vault.embeddings.shape[0]
+                    or index.digest != vault_digest(vault.embeddings,
+                                                    vault.row_valid)):
+                index = build_ivf(vault.embeddings, vault.row_valid)
                 try:
                     index.save(sidecar)
                 except Exception:
@@ -224,16 +230,16 @@ class MisinfoForensics:
                                                 pad_int4_vault)
             from misinfo_tpu.vault.prepack import get_or_build
             mult = INT4_TILE_ROWS * (self._data_axis_size()
-                                     if self._vault_sharded else 1)
+                                     if sharded else 1)
             # quantization is host-bound O(N·D) (~40 s/M rows on a 1-core
             # host) — the digest-validated <vault>.int4.npz sidecar makes
             # it a one-time cost (vault/prepack.py; padding stays here
             # since the multiple depends on the mesh)
-            pre = get_or_build(self.cfg.paths.vault_path, self.vault)
+            pre = get_or_build(self.cfg.paths.vault_path, vault)
             q4 = pad_int4_vault(pre.image, multiple=mult)
             n_pad = q4.packed.shape[0]
             valid = np.zeros((n_pad,), bool)
-            valid[: self.vault.row_valid.shape[0]] = self.vault.row_valid
+            valid[: vault.row_valid.shape[0]] = vault.row_valid
             if pre.text is not None:
                 t4 = pad_int4_vault(pre.text, multiple=mult)
             else:
@@ -249,7 +255,7 @@ class MisinfoForensics:
                 "vault_valid": jnp.asarray(valid),
                 "vault_text_emb": jnp.asarray(t4.packed),
                 "vault_text_scale": jnp.asarray(t4.scale),
-            })
+            }, sharded), sharded
         if vdt == "int8":
             from misinfo_tpu.vault.search import quantize_rows_int8
             cast = quantize_rows_int8
@@ -258,22 +264,22 @@ class MisinfoForensics:
         else:
             cast = lambda a: a  # noqa: E731
         out = {
-            "vault_emb": jnp.asarray(cast(self.vault.embeddings)),
-            "vault_valid": jnp.asarray(self.vault.row_valid),
+            "vault_emb": jnp.asarray(cast(vault.embeddings)),
+            "vault_valid": jnp.asarray(vault.row_valid),
         }
-        if self.vault.text_embeddings is not None:
-            out["vault_text_emb"] = jnp.asarray(cast(self.vault.text_embeddings))
+        if vault.text_embeddings is not None:
+            out["vault_text_emb"] = jnp.asarray(cast(vault.text_embeddings))
         else:
             out["vault_text_emb"] = jnp.zeros_like(out["vault_emb"])
         if index is not None:
             out.update(index.device_arrays())
             if self.cfg.serving.ivf_bf16_gather:
-                out["ivf_emb16"] = jnp.asarray(self.vault.embeddings,
+                out["ivf_emb16"] = jnp.asarray(vault.embeddings,
                                                jnp.bfloat16)
-        return self._place_vault(out)
+        return self._place_vault(out, sharded), sharded
 
-    def _place_vault(self, out: Dict) -> Dict:
-        """Pin vault array placement once at startup: row-sharded across
+    def _place_vault(self, out: Dict, sharded: bool) -> Dict:
+        """Pin vault array placement once at prep time: row-sharded across
         `data` when the vault outgrows one chip (rows are 128-aligned,
         divisible by any power-of-two data axis), replicated otherwise."""
         if self.mesh is None:
@@ -281,14 +287,56 @@ class MisinfoForensics:
         from jax.sharding import NamedSharding, PartitionSpec as P
         axis = self.mesh.axis_names[0]
         for k in list(out):
-            if self._vault_sharded and k in ("vault_emb", "vault_valid",
-                                             "vault_text_emb", "vault_scale",
-                                             "vault_text_scale"):
+            if sharded and k in ("vault_emb", "vault_valid",
+                                 "vault_text_emb", "vault_scale",
+                                 "vault_text_scale"):
                 spec = P(axis, *([None] * (out[k].ndim - 1)))
             else:
                 spec = P()
             out[k] = jax.device_put(out[k], NamedSharding(self.mesh, spec))
         return out
+
+    def reload_vault(self, path: Optional[str] = None) -> Dict:
+        """Hot-swap the Truth Vault without restarting the engine.
+
+        Production archives grow continuously; the reference loads its
+        pickle once at init (misinfo_forensics.py:216-246) and needs a
+        process restart to pick up new articles. Here the replacement is
+        fully STAGED first — host load, normalization, quantization /
+        IVF / sidecar via `_prepare_vault` (minutes at capacity scale) —
+        while requests keep serving the old vault; only then do a few
+        reference assignments publish it. Vaults whose rows pad to the
+        same 128-aligned bucket reuse every compiled program (no
+        recompile for same-bucket growth); a larger bucket jits fresh
+        signatures on first use, and a flip across
+        `vault_shard_min_rows` rebuilds the program set.
+
+        Consistency: a batch already in flight during the swap may map
+        its scores onto the NEW metadata (scores computed against the old
+        rows) — append-only growth keeps existing indices stable so this
+        is benign; full row reshuffles briefly mis-title matches for that
+        one batch. Returns ``{articles, rows, sharded}``.
+        """
+        import dataclasses as _dc
+        if path is not None:
+            self.cfg = self.cfg.replace(
+                paths=_dc.replace(self.cfg.paths, vault_path=path))
+        new_vault = TruthVault.load(self.cfg.paths.vault_path)
+        dev, sharded = self._prepare_vault(new_vault)   # staged; old serves
+        rebuild = sharded != self._vault_sharded
+        # publish: plain attribute stores are atomic under the GIL
+        self.vault = new_vault
+        self.vault_loaded = new_vault is not None
+        self._vault_device = dev
+        self._vault_sharded = sharded
+        if rebuild:
+            self.programs = SignalPrograms(
+                self.det_cfg, self.cfg, self.policy,
+                use_pallas=self._use_pallas,
+                vault_mesh=self.mesh if sharded else None)
+        return {"articles": 0 if new_vault is None else new_vault.num_articles,
+                "rows": int(dev["vault_emb"].shape[0]),
+                "sharded": bool(sharded)}
 
     _TEXT_BUCKETS = (64, 128, 256, 512)
 

@@ -16,6 +16,9 @@ Endpoints:
   POST /analyze        → report dict for one {text?, image_path?|image_b64?,
                          video_path?, transcribe?} request
   POST /analyze_batch  → list of report dicts for a JSON list of requests
+  POST /reload_vault   → hot vault refresh {path?} → {articles, rows,
+                         sharded}; stages fully while traffic serves the
+                         old vault
   POST /predict        → dashboard 11-output contract as JSON (webui)
 
 Images arrive as server-local paths or base64 bytes (``image_b64``).
@@ -115,6 +118,12 @@ class ForensicsAPI:
 
         return predict_payload(req, engine=self.batcher)
 
+    def reload_vault(self, req: Dict) -> Dict:
+        """Hot vault refresh: `{"path": ...}` (optional — default re-reads
+        the configured vault file). The replacement stages fully while
+        traffic keeps serving the old vault (engine.reload_vault)."""
+        return self.engine.reload_vault(path=req.get("path"))
+
     def close(self) -> None:
         self.batcher.close()
 
@@ -156,6 +165,8 @@ def _make_handler(api: ForensicsAPI):
                     self._send(200, api.analyze_batch(payload))
                 elif self.path == "/predict":
                     self._send(200, api.predict(payload))
+                elif self.path == "/reload_vault":
+                    self._send(200, api.reload_vault(payload))
                 else:
                     self._send(404, {"error": "unknown endpoint"})
             except ValueError as e:          # bad request (e.g. no modality)
