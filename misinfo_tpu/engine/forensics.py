@@ -467,6 +467,46 @@ class MisinfoForensics:
 
     _WARMUP_VARIANTS = ("full", "text_only", "visual_only")
 
+    def memory_report(self) -> Dict:
+        """Device-memory accounting for capacity planning (docs/SCALING.md
+        sizing tables): detector params, vault planes by key, and — where
+        the backend reports it (TPU) — per-device HBM in-use/limit.
+        Array sizes are GLOBAL logical bytes (divide sharded entries by
+        the data-axis size for per-device residency). The reference has
+        no analogue (host torch; its vault is host numpy)."""
+        def _tree_bytes(tree) -> int:
+            return int(sum(
+                np.prod(x.shape) * x.dtype.itemsize
+                for x in jax.tree_util.tree_leaves(tree)
+                if hasattr(x, "shape")))
+
+        vault_by_key = {k: int(np.prod(v.shape) * v.dtype.itemsize)
+                        for k, v in self._vault_device.items()}
+        out = {
+            "params_bytes": _tree_bytes(self.params),
+            "vault_bytes": sum(vault_by_key.values()),
+            "vault_bytes_by_key": vault_by_key,
+            "vault_dtype": self.cfg.serving.vault_dtype,
+            "vault_articles": (self.vault.num_articles
+                               if self.vault is not None else 0),
+            "vault_rows_padded": int(
+                self._vault_device["vault_emb"].shape[0]),
+            "vault_sharded": bool(self._vault_sharded),
+            "devices": jax.device_count(),
+        }
+        stats = {}
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+        except Exception:
+            pass  # CPU/interpret backends report nothing
+        if stats:
+            out["hbm_in_use_bytes"] = int(stats.get("bytes_in_use", 0))
+            if "bytes_limit" in stats:
+                out["hbm_limit_bytes"] = int(stats["bytes_limit"])
+                out["hbm_headroom_bytes"] = (out["hbm_limit_bytes"]
+                                             - out["hbm_in_use_bytes"])
+        return out
+
     def warmup(self, batch_sizes: Optional[Sequence[int]] = None,
                text_buckets: Optional[Sequence[int]] = None,
                variants: Sequence[str] = _WARMUP_VARIANTS,

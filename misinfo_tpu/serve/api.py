@@ -101,6 +101,10 @@ class ForensicsAPI:
             if k.endswith("_seconds") or k.endswith("_count") \
                     or k.endswith("_n_requests"):
                 out[k] = round(float(v), 6)
+        try:
+            out["memory"] = self.engine.memory_report()
+        except Exception:
+            pass
         return out
 
     def analyze(self, req: Dict) -> Dict:

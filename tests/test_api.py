@@ -61,6 +61,10 @@ def test_metrics_endpoint(api_server):
     assert body["verdicts_per_sec"] > 0
     assert body.get("analyze_count", 0) >= 1
     assert body.get("analyze_seconds", 0) > 0
+    mem = body["memory"]
+    assert mem["params_bytes"] > 0
+    assert mem["vault_bytes"] == sum(mem["vault_bytes_by_key"].values())
+    assert mem["vault_dtype"] == "float32" and mem["devices"] >= 1
 
 
 def test_analyze_text(api_server):
