@@ -111,6 +111,27 @@ def test_vault_gating_threshold(tiny_engine):
         assert s["vault_discrepancy"] == 0.0
 
 
+def test_edge_inputs(tiny_engine):
+    """Hostile-but-legal inputs must produce valid reports: emoji/CJK
+    text, text far beyond the max sequence length (truncates), RGBA and
+    grayscale images (converted to RGB), and a 1×1 image (resized)."""
+    from PIL import Image
+
+    for text in ["🚨🔥 ШОК! 突发新闻 ‮ reversed", "word " * 5000, " "]:
+        rep = tiny_engine.analyze(text=text, verbose=False)
+        assert rep["verdict_text"] in ("REAL", "FAKE")
+        assert 0.0 <= rep["confidence"] <= 1.0
+
+    rgba = Image.fromarray(
+        np.dstack([_img(3), np.full((64, 64), 128, np.uint8)]), "RGBA")
+    gray = Image.fromarray(_img(4)[:, :, 0], "L")
+    tiny = Image.fromarray(_img(5, size=1))
+    for img in (rgba, gray, tiny):
+        rep = tiny_engine.analyze(image_path=img, verbose=False)
+        assert rep["verdict_text"] in ("REAL", "FAKE")
+        assert 0.0 <= rep["scores"]["deepfake_score"] <= 1.0
+
+
 def test_requires_modality(tiny_engine):
     with pytest.raises(ValueError):
         tiny_engine.analyze(verbose=False)
