@@ -16,6 +16,7 @@ one engine (SURVEY.md §7 design move 2).
 from __future__ import annotations
 
 import os
+import threading
 import time
 from typing import Dict, List, Optional, Sequence, Union
 
@@ -39,6 +40,9 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
         if n <= b:
             return b
     return buckets[-1]
+
+
+_UNSET = object()  # distinguishes "default to self.vault" from vault=None
 
 
 class MisinfoForensics:
@@ -128,6 +132,7 @@ class MisinfoForensics:
         self._vault_device, self._vault_sharded = self._prepare_vault()
         self._prep_pool = None  # lazy image-prep thread pool (_image_batch)
         self._use_pallas = use_pallas
+        self._reload_lock = threading.Lock()  # serializes reload_vault
 
         self.programs = SignalPrograms(
             self.det_cfg, self.cfg, self.policy, use_pallas=use_pallas,
@@ -161,12 +166,16 @@ class MisinfoForensics:
             return 1
         return int(self.mesh.shape[self.mesh.axis_names[0]])
 
-    def _prepare_vault(self, vault=None):
+    def _prepare_vault(self, vault=_UNSET, vault_path=_UNSET):
         """Build the device-resident vault arrays for ``vault`` (defaults
-        to ``self.vault``). Pure staging — returns ``(device_dict,
-        sharded)`` without touching engine state, so `reload_vault` can
-        do minutes of host quantization while the old vault serves."""
-        vault = vault if vault is not None else self.vault
+        to ``self.vault``; pass None explicitly for the empty dummy).
+        ``vault_path`` locates the IVF / int4-prepack sidecars. Pure
+        staging — returns ``(device_dict, sharded)`` without touching
+        engine state, so `reload_vault` can do minutes of host
+        quantization while the old vault serves."""
+        vault = self.vault if vault is _UNSET else vault
+        vault_path = (self.cfg.paths.vault_path
+                      if vault_path is _UNSET else vault_path)
         # mesh serving: vaults beyond the single-chip comfort zone are
         # row-sharded across the data axis and searched via shard_map
         # (vault/search.py vault_search_sharded); smaller vaults replicate
@@ -203,17 +212,18 @@ class MisinfoForensics:
                 "size, docs/PERF.md)")
         if ivf_engages:
             from misinfo_tpu.vault.ivf import IVFIndex, build_ivf, vault_digest
-            sidecar = self.cfg.paths.vault_path + ".ivf.npz"
-            index = IVFIndex.load(sidecar)
+            sidecar = (vault_path + ".ivf.npz") if vault_path else None
+            index = IVFIndex.load(sidecar) if sidecar else None
             if (index is None
                     or index.n_rows != vault.embeddings.shape[0]
                     or index.digest != vault_digest(vault.embeddings,
                                                     vault.row_valid)):
                 index = build_ivf(vault.embeddings, vault.row_valid)
-                try:
-                    index.save(sidecar)
-                except Exception:
-                    pass  # read-only vault dir — rebuild next start
+                if sidecar:
+                    try:
+                        index.save(sidecar)
+                    except Exception:
+                        pass  # read-only vault dir — rebuild next start
 
         # capacity modes (ServingConfig.vault_dtype): the host-side vault
         # stays f32 (IVF build + digest use it); only the device copies are
@@ -235,7 +245,7 @@ class MisinfoForensics:
             # host) — the digest-validated <vault>.int4.npz sidecar makes
             # it a one-time cost (vault/prepack.py; padding stays here
             # since the multiple depends on the mesh)
-            pre = get_or_build(self.cfg.paths.vault_path, vault)
+            pre = get_or_build(vault_path, vault)
             q4 = pad_int4_vault(pre.image, multiple=mult)
             n_pad = q4.packed.shape[0]
             valid = np.zeros((n_pad,), bool)
@@ -296,7 +306,22 @@ class MisinfoForensics:
             out[k] = jax.device_put(out[k], NamedSharding(self.mesh, spec))
         return out
 
-    def reload_vault(self, path: Optional[str] = None) -> Dict:
+    def _publish_vault(self, vault, dev: Dict, sharded: bool) -> None:
+        """Swap the serving vault in a few reference assignments (atomic
+        under the GIL); a shard-threshold flip rebuilds the programs."""
+        rebuild = sharded != self._vault_sharded
+        self.vault_loaded = vault is not None
+        self.vault = vault
+        self._vault_device = dev
+        self._vault_sharded = sharded
+        if rebuild:
+            self.programs = SignalPrograms(
+                self.det_cfg, self.cfg, self.policy,
+                use_pallas=self._use_pallas,
+                vault_mesh=self.mesh if sharded else None)
+
+    def reload_vault(self, path: Optional[str] = None,
+                     drop_first: bool = False) -> Dict:
         """Hot-swap the Truth Vault without restarting the engine.
 
         Production archives grow continuously; the reference loads its
@@ -305,11 +330,20 @@ class MisinfoForensics:
         fully STAGED first — host load, normalization, quantization /
         IVF / sidecar via `_prepare_vault` (minutes at capacity scale) —
         while requests keep serving the old vault; only then do a few
-        reference assignments publish it. Vaults whose rows pad to the
-        same 128-aligned bucket reuse every compiled program (no
-        recompile for same-bucket growth); a larger bucket jits fresh
-        signatures on first use, and a flip across
-        `vault_shard_min_rows` rebuilds the program set.
+        atomic assignments publish it (and, for an explicit ``path``, the
+        engine config — a failed reload leaves both untouched). Vaults
+        whose rows pad to the same 128-aligned bucket reuse every
+        compiled program (no recompile for same-bucket growth); a larger
+        bucket jits fresh signatures on first use, and a flip across
+        `vault_shard_min_rows` rebuilds the program set. Concurrent
+        reloads serialize on a lock.
+
+        HBM: the default staged swap holds BOTH vaults' device arrays
+        briefly, so it needs headroom for 2× the vault footprint
+        (`memory_report()` shows the current one). At capacity scale
+        pass ``drop_first=True`` to free the old planes before staging —
+        requests during the swap then soft-degrade to vault-less serving
+        (exactly the missing-vault mode) instead of OOMing.
 
         Consistency: a batch already in flight during the swap may map
         its scores onto the NEW metadata (scores computed against the old
@@ -318,25 +352,22 @@ class MisinfoForensics:
         one batch. Returns ``{articles, rows, sharded}``.
         """
         import dataclasses as _dc
-        if path is not None:
-            self.cfg = self.cfg.replace(
-                paths=_dc.replace(self.cfg.paths, vault_path=path))
-        new_vault = TruthVault.load(self.cfg.paths.vault_path)
-        dev, sharded = self._prepare_vault(new_vault)   # staged; old serves
-        rebuild = sharded != self._vault_sharded
-        # publish: plain attribute stores are atomic under the GIL
-        self.vault = new_vault
-        self.vault_loaded = new_vault is not None
-        self._vault_device = dev
-        self._vault_sharded = sharded
-        if rebuild:
-            self.programs = SignalPrograms(
-                self.det_cfg, self.cfg, self.policy,
-                use_pallas=self._use_pallas,
-                vault_mesh=self.mesh if sharded else None)
-        return {"articles": 0 if new_vault is None else new_vault.num_articles,
-                "rows": int(dev["vault_emb"].shape[0]),
-                "sharded": bool(sharded)}
+        with self._reload_lock:
+            new_path = path if path is not None else self.cfg.paths.vault_path
+            new_vault = TruthVault.load(new_path)
+            if drop_first:
+                dev0, sh0 = self._prepare_vault(None, vault_path=None)
+                self._publish_vault(None, dev0, sh0)
+            dev, sharded = self._prepare_vault(new_vault,
+                                               vault_path=new_path)
+            if path is not None:  # publish config only after staging worked
+                self.cfg = self.cfg.replace(
+                    paths=_dc.replace(self.cfg.paths, vault_path=path))
+            self._publish_vault(new_vault, dev, sharded)
+            return {"articles": (0 if new_vault is None
+                                 else new_vault.num_articles),
+                    "rows": int(dev["vault_emb"].shape[0]),
+                    "sharded": bool(sharded)}
 
     _TEXT_BUCKETS = (64, 128, 256, 512)
 
@@ -986,17 +1017,17 @@ class MisinfoForensics:
             "text_similarity": float(out.text_similarity[row]),
         }
         matches: List[Dict] = []
-        if self.vault_loaded and "image" in req or (self.vault_loaded and "video" in req):
+        vault = self.vault  # snapshot: hot reload may swap it mid-request
+        if vault is not None and ("image" in req or "video" in req):
             idxs = out.vault_top_idx[row]
             sims = out.vault_top_sims[row]
             if idxs[0] >= 0:
-                matches = self.vault.matches_from_indices(idxs, sims)
+                matches = vault.matches_from_indices(idxs, sims)
         # on-demand caption-vs-headline similarity when the vault lacks
         # precomputed title text embeddings (reference :468-484 parity path)
         if (matches and req.get("text")
                 and scores["vault_discrepancy"] > self.cfg.thresholds.vault_reuse
-                and self.vault is not None
-                and self.vault.text_embeddings is None):
+                and vault.text_embeddings is None):
             scores["text_similarity"] = self._caption_title_similarity(
                 req["text"], matches[0]["title"])
         verdict = int(out.verdict[row])

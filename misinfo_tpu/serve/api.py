@@ -66,12 +66,18 @@ def _decode_request_image(req: Dict):
 class ForensicsAPI:
     """Holds the engine + batching server; handler delegates here."""
 
-    def __init__(self, engine=None, config=None, mesh=None):
+    def __init__(self, engine=None, config=None, mesh=None,
+                 allow_reload: bool = False):
         from misinfo_tpu.engine.batching import BatchingEngine
         from misinfo_tpu.engine.forensics import MisinfoForensics
 
         self.engine = engine or MisinfoForensics(config=config, mesh=mesh)
         self.batcher = BatchingEngine(self.engine)
+        # /reload_vault is a MUTATION endpoint that reads operator-named
+        # files (incl. reference pickles) — it stays 403 unless the
+        # operator opts in (--allow-reload); never expose it on an
+        # untrusted network
+        self.allow_reload = allow_reload
 
     def health(self) -> Dict:
         import jax
@@ -123,10 +129,17 @@ class ForensicsAPI:
         return predict_payload(req, engine=self.batcher)
 
     def reload_vault(self, req: Dict) -> Dict:
-        """Hot vault refresh: `{"path": ...}` (optional — default re-reads
-        the configured vault file). The replacement stages fully while
-        traffic keeps serving the old vault (engine.reload_vault)."""
-        return self.engine.reload_vault(path=req.get("path"))
+        """Hot vault refresh: `{"path"?, "drop_first"?}` (path defaults to
+        re-reading the configured vault file; drop_first frees the old
+        planes before staging — see engine.reload_vault). Disabled unless
+        the server was started with --allow-reload."""
+        if not self.allow_reload:
+            raise PermissionError(
+                "vault reload is disabled; start the API with "
+                "--allow-reload to enable this mutation endpoint")
+        return self.engine.reload_vault(
+            path=req.get("path"),
+            drop_first=bool(req.get("drop_first", False)))
 
     def close(self) -> None:
         self.batcher.close()
@@ -175,6 +188,8 @@ def _make_handler(api: ForensicsAPI):
                     self._send(404, {"error": "unknown endpoint"})
             except ValueError as e:          # bad request (e.g. no modality)
                 self._send(400, {"error": str(e)})
+            except PermissionError as e:     # gated endpoint not enabled
+                self._send(403, {"error": str(e)})
             except Exception as e:           # noqa: BLE001
                 self._send(500, {"error": str(e)})
 
@@ -207,6 +222,10 @@ def main(argv=None) -> int:
     p.add_argument("--warmup", action="store_true",
                    help="Precompile the serving signature grid before "
                         "accepting traffic (engine.warmup())")
+    p.add_argument("--allow-reload", action="store_true",
+                   help="Enable POST /reload_vault (a mutation endpoint "
+                        "that reads operator-named files — only behind a "
+                        "trusted network)")
     args = p.parse_args(argv)
 
     if args.device != "auto":
@@ -237,7 +256,8 @@ def main(argv=None) -> int:
         from misinfo_tpu.serve.transcript import set_transcriber_mesh
         mesh = make_mesh(parse_mesh_spec(args.mesh))
         set_transcriber_mesh(mesh)  # transcription shards alongside
-    api = ForensicsAPI(config=cfg, mesh=mesh)
+    api = ForensicsAPI(config=cfg, mesh=mesh,
+                       allow_reload=args.allow_reload)
     if args.warmup:
         api.engine.warmup()
         if os.getenv("WHISPER_CHECKPOINT"):

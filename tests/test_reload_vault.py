@@ -75,11 +75,30 @@ def test_reload_swaps_matches_and_soft_fails(tmp_path, shared_params):
     np.testing.assert_allclose(after["scores"]["vault_discrepancy"],
                                ref["scores"]["vault_discrepancy"], atol=1e-5)
 
-    # missing path → soft-fail exactly like a missing vault at init
+    # missing path → soft-fail exactly like a missing vault at init: the
+    # device arrays become the all-invalid dummy (not a silently
+    # re-staged copy of the old vault), so discrepancy is 0 too
     info = eng.reload_vault(path=str(tmp_path / "missing.npz"))
     assert info["articles"] == 0 and not eng.vault_loaded
+    assert info["rows"] == 128  # the dummy, not vault B's rows
     rep = eng.analyze(image_path=img, verbose=False)
     assert rep["vault_matches"] == []
+    assert rep["scores"]["vault_discrepancy"] == 0.0
+
+
+def test_reload_drop_first_frees_before_staging(tmp_path, shared_params):
+    """drop_first=True publishes the vault-less dummy before staging the
+    replacement (1× HBM headroom instead of 2×), then serves the new
+    vault normally."""
+    pa = _vault(tmp_path, "a.npz", "alpha-", seed=1)
+    pb = _vault(tmp_path, "b.npz", "beta-", seed=2)
+    eng = MisinfoForensics(config=_cfg(pa), det_cfg=DET,
+                           params=shared_params)
+    img = _img(tmp_path)
+    info = eng.reload_vault(path=pb, drop_first=True)
+    assert info["articles"] == 40
+    rep = eng.analyze(image_path=img, verbose=False)
+    assert rep["vault_matches"][0]["title"].startswith("beta-")
 
 
 def test_reload_staging_keeps_old_vault_on_failure(tmp_path, shared_params,
@@ -93,11 +112,12 @@ def test_reload_staging_keeps_old_vault_on_failure(tmp_path, shared_params,
     img = _img(tmp_path)
     old_dev = eng._vault_device
     monkeypatch.setattr(eng, "_prepare_vault",
-                        lambda v=None: (_ for _ in ()).throw(
+                        lambda *a, **k: (_ for _ in ()).throw(
                             RuntimeError("staging boom")))
     with pytest.raises(RuntimeError, match="staging boom"):
         eng.reload_vault(path=pb)
     assert eng._vault_device is old_dev
+    assert eng.cfg.paths.vault_path == pa  # config publishes only on success
     assert eng.analyze(image_path=img,
                        verbose=False)["vault_matches"][0]["title"].startswith(
         "alpha-")
@@ -133,7 +153,30 @@ def test_rest_reload_endpoint(tmp_path, shared_params):
     pb = _vault(tmp_path, "b.npz", "beta-", seed=2)
     eng = MisinfoForensics(config=_cfg(pa), det_cfg=DET,
                            params=shared_params)
+    # mutation endpoint is 403 unless the operator opted in
     api = ForensicsAPI(engine=eng)
+    httpd = serve(api, port=0)
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/reload_vault"
+
+        def post(payload):
+            req = urllib.request.Request(
+                url, data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        code, body = post({"path": pb})
+        assert code == 403 and "allow-reload" in body["error"]
+        assert eng.cfg.paths.vault_path == pa  # untouched
+    finally:
+        httpd.shutdown()
+        api.close()
+
+    api = ForensicsAPI(engine=eng, allow_reload=True)
     httpd = serve(api, port=0)
     try:
         url = f"http://127.0.0.1:{httpd.server_address[1]}/reload_vault"
