@@ -96,8 +96,9 @@ class ForensicsAPI:
 
     def metrics(self) -> Dict:
         """Serving counters from the structured tracer (SURVEY §5 metrics
-        subsystem): cumulative per-stage seconds/counts and the aggregate
-        verdicts/sec since process start."""
+        subsystem): cumulative per-stage seconds/counts, rolling-window
+        p50/p95/p99 stage latencies, and the aggregate verdicts/sec since
+        process start."""
         from misinfo_tpu.utils.tracing import GLOBAL_TRACER
 
         summary = GLOBAL_TRACER.summary()
@@ -105,7 +106,7 @@ class ForensicsAPI:
                                                      0.0), 3)}
         for k, v in sorted(summary.items()):
             if k.endswith("_seconds") or k.endswith("_count") \
-                    or k.endswith("_n_requests"):
+                    or k.endswith("_n_requests") or k.endswith("_ms"):
                 out[k] = round(float(v), 6)
         try:
             out["memory"] = self.engine.memory_report()

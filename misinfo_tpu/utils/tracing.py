@@ -4,8 +4,8 @@ The reference's only visibility is tqdm bars and emoji prints; this module
 provides the designed replacements:
 
   * `Tracer` — structured per-stage event log (one event per analyze stage)
-    with counters: verdicts/sec, per-signal latency — the BASELINE.json
-    metrics surface
+    with counters: verdicts/sec, per-signal latency, and rolling-window
+    p50/p95/p99 stage latency — the BASELINE.json metrics surface
   * `stage_timer` — context manager feeding the tracer
   * `profile_trace` — jax.profiler wrapper emitting a Perfetto-compatible
     trace directory for TPU kernel-level inspection
@@ -18,14 +18,23 @@ from __future__ import annotations
 import contextlib
 import json
 import time
-from collections import defaultdict
-from typing import Dict, Iterator, List, Optional
+from collections import defaultdict, deque
+from typing import Dict, Iterator, Optional
+
+# Bounds for a long-running server: the event log and the per-stage latency
+# reservoirs are rolling windows, so tracer memory is O(1) in uptime (the
+# cumulative counters remain exact since process start).
+MAX_EVENTS = 4096
+RESERVOIR = 512
 
 
 class Tracer:
     def __init__(self, sink=None):
-        self.events: List[Dict] = []
+        self.events = deque(maxlen=MAX_EVENTS)
         self.counters: Dict[str, float] = defaultdict(float)
+        # recent per-stage durations backing the latency percentiles
+        self._durations: Dict[str, deque] = defaultdict(
+            lambda: deque(maxlen=RESERVOIR))
         self.sink = sink
 
     def event(self, stage: str, seconds: float, **fields) -> None:
@@ -33,6 +42,7 @@ class Tracer:
         self.events.append(ev)
         self.counters[f"{stage}_seconds"] += seconds
         self.counters[f"{stage}_count"] += 1
+        self._durations[stage].append(seconds)
         for k, v in fields.items():
             if isinstance(v, (int, float)):
                 self.counters[f"{stage}_{k}"] += v
@@ -44,8 +54,24 @@ class Tracer:
         n = self.counters.get(f"{stage}_count", 0.0)
         return n / secs if secs > 0 else 0.0
 
+    def quantiles(self, stage: str) -> Dict[str, float]:
+        """p50/p95/p99 latency (ms) over the last ≤RESERVOIR events of
+        ``stage`` (nearest-rank on the rolling window — the live-dashboard
+        companion to the exact cumulative mean in the counters)."""
+        window = self._durations.get(stage)
+        if not window:
+            return {}
+        xs = sorted(window)
+        n = len(xs)
+        pick = lambda q: xs[min(n - 1, max(0, int(q * n + 0.5) - 1))]  # noqa: E731
+        return {f"{stage}_p50_ms": pick(0.50) * 1e3,
+                f"{stage}_p95_ms": pick(0.95) * 1e3,
+                f"{stage}_p99_ms": pick(0.99) * 1e3}
+
     def summary(self) -> Dict[str, float]:
         out = dict(self.counters)
+        for stage in self._durations:
+            out.update(self.quantiles(stage))
         secs = self.counters.get("analyze_seconds", 0.0)
         reqs = self.counters.get("analyze_n_requests",
                                  self.counters.get("analyze_count", 0.0))

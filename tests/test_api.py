@@ -61,6 +61,9 @@ def test_metrics_endpoint(api_server):
     assert body["verdicts_per_sec"] > 0
     assert body.get("analyze_count", 0) >= 1
     assert body.get("analyze_seconds", 0) > 0
+    # rolling-window stage latency percentiles ride the same scrape
+    assert body.get("analyze_p50_ms", 0) > 0
+    assert body.get("analyze_p99_ms", 0) >= body["analyze_p50_ms"]
     mem = body["memory"]
     assert mem["params_bytes"] > 0
     assert mem["vault_bytes"] == sum(mem["vault_bytes_by_key"].values())

@@ -9,7 +9,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from misinfo_tpu.utils.tracing import Tracer, nan_guard, stage_timer
+from misinfo_tpu.utils.tracing import (MAX_EVENTS, RESERVOIR, Tracer,
+                                       nan_guard, stage_timer)
 
 
 def test_event_counters_and_rate():
@@ -47,6 +48,36 @@ def test_stage_timer_records_elapsed():
     assert t.counters["work_count"] == 1
     assert t.counters["work_seconds"] >= 0.0
     assert t.events[0]["batch"] == 2
+
+
+def test_latency_percentiles_nearest_rank():
+    t = Tracer()
+    for ms in range(1, 101):  # 1..100 ms, uniform
+        t.event("analyze", ms / 1e3)
+    q = t.quantiles("analyze")
+    assert q["analyze_p50_ms"] == pytest.approx(50.0)
+    assert q["analyze_p95_ms"] == pytest.approx(95.0)
+    assert q["analyze_p99_ms"] == pytest.approx(99.0)
+    s = t.summary()  # summary carries the same keys for /metrics
+    assert s["analyze_p50_ms"] == q["analyze_p50_ms"]
+    assert Tracer().quantiles("missing") == {}
+
+
+def test_percentiles_track_rolling_window_and_memory_is_bounded():
+    t = Tracer()
+    # fill the reservoir with slow events, then displace them with fast
+    # ones: percentiles must reflect only the recent window, while the
+    # cumulative counters keep the exact totals
+    for _ in range(RESERVOIR):
+        t.event("analyze", 1.0)
+    for _ in range(RESERVOIR):
+        t.event("analyze", 0.001)
+    assert t.quantiles("analyze")["analyze_p99_ms"] == pytest.approx(1.0)
+    assert t.counters["analyze_seconds"] == pytest.approx(RESERVOIR * 1.001)
+    # the event log is a rolling window too (no per-request growth in a
+    # long-running server)
+    assert len(t.events) == min(2 * RESERVOIR, MAX_EVENTS)
+    assert t.events.maxlen == MAX_EVENTS
 
 
 def test_nan_guard_raises_then_restores():
