@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import contextlib
 import json
+import math
+import threading
 import time
 from collections import defaultdict, deque
 from typing import Dict, Iterator, Optional
@@ -36,45 +38,59 @@ class Tracer:
         self._durations: Dict[str, deque] = defaultdict(
             lambda: deque(maxlen=RESERVOIR))
         self.sink = sink
+        # event() runs on request threads while /metrics scrapes call
+        # summary() from the ThreadingHTTPServer — snapshot under a lock so
+        # a scrape never observes a deque/dict mid-mutation.
+        self._lock = threading.Lock()
 
     def event(self, stage: str, seconds: float, **fields) -> None:
         ev = {"stage": stage, "seconds": seconds, "ts": time.time(), **fields}
-        self.events.append(ev)
-        self.counters[f"{stage}_seconds"] += seconds
-        self.counters[f"{stage}_count"] += 1
-        self._durations[stage].append(seconds)
-        for k, v in fields.items():
-            if isinstance(v, (int, float)):
-                self.counters[f"{stage}_{k}"] += v
+        with self._lock:
+            self.events.append(ev)
+            self.counters[f"{stage}_seconds"] += seconds
+            self.counters[f"{stage}_count"] += 1
+            self._durations[stage].append(seconds)
+            for k, v in fields.items():
+                if isinstance(v, (int, float)):
+                    self.counters[f"{stage}_{k}"] += v
         if self.sink:
             self.sink(json.dumps(ev))
 
     def rate(self, stage: str) -> float:
-        secs = self.counters.get(f"{stage}_seconds", 0.0)
-        n = self.counters.get(f"{stage}_count", 0.0)
+        with self._lock:
+            secs = self.counters.get(f"{stage}_seconds", 0.0)
+            n = self.counters.get(f"{stage}_count", 0.0)
         return n / secs if secs > 0 else 0.0
+
+    @staticmethod
+    def _quantiles_of(stage: str, xs) -> Dict[str, float]:
+        if not xs:
+            return {}
+        xs = sorted(xs)
+        n = len(xs)
+        # nearest-rank: rank = ceil(q*n), 1-indexed
+        pick = lambda q: xs[min(n - 1, max(0, math.ceil(q * n) - 1))]  # noqa: E731
+        return {f"{stage}_p50_ms": pick(0.50) * 1e3,
+                f"{stage}_p95_ms": pick(0.95) * 1e3,
+                f"{stage}_p99_ms": pick(0.99) * 1e3}
 
     def quantiles(self, stage: str) -> Dict[str, float]:
         """p50/p95/p99 latency (ms) over the last ≤RESERVOIR events of
         ``stage`` (nearest-rank on the rolling window — the live-dashboard
         companion to the exact cumulative mean in the counters)."""
-        window = self._durations.get(stage)
-        if not window:
-            return {}
-        xs = sorted(window)
-        n = len(xs)
-        pick = lambda q: xs[min(n - 1, max(0, int(q * n + 0.5) - 1))]  # noqa: E731
-        return {f"{stage}_p50_ms": pick(0.50) * 1e3,
-                f"{stage}_p95_ms": pick(0.95) * 1e3,
-                f"{stage}_p99_ms": pick(0.99) * 1e3}
+        with self._lock:
+            window = self._durations.get(stage)
+            xs = list(window) if window else []
+        return self._quantiles_of(stage, xs)
 
     def summary(self) -> Dict[str, float]:
-        out = dict(self.counters)
-        for stage in self._durations:
-            out.update(self.quantiles(stage))
-        secs = self.counters.get("analyze_seconds", 0.0)
-        reqs = self.counters.get("analyze_n_requests",
-                                 self.counters.get("analyze_count", 0.0))
+        with self._lock:
+            out = dict(self.counters)
+            windows = {s: list(w) for s, w in self._durations.items()}
+        for stage, xs in windows.items():
+            out.update(self._quantiles_of(stage, xs))
+        secs = out.get("analyze_seconds", 0.0)
+        reqs = out.get("analyze_n_requests", out.get("analyze_count", 0.0))
         out["verdicts_per_sec"] = reqs / secs if secs > 0 else 0.0
         return out
 

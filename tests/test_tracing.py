@@ -80,6 +80,43 @@ def test_percentiles_track_rolling_window_and_memory_is_bounded():
     assert t.events.maxlen == MAX_EVENTS
 
 
+def test_concurrent_event_and_summary_do_not_race():
+    # ADVICE r2: /metrics scrapes (summary/quantiles) run on the HTTP-server
+    # thread while request threads mutate the deques via event(); without
+    # the tracer lock this raised "deque mutated during iteration".
+    import threading
+
+    t = Tracer()
+    stop = threading.Event()
+    errors = []
+
+    def writer():
+        i = 0
+        while not stop.is_set():
+            t.event("analyze", 0.001 * (i % 7 + 1), n_requests=1)
+            i += 1
+
+    def reader():
+        try:
+            while not stop.is_set():
+                t.summary()
+                t.quantiles("analyze")
+        except RuntimeError as e:  # pragma: no cover - the race itself
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer) for _ in range(2)] + [
+        threading.Thread(target=reader) for _ in range(2)]
+    for th in threads:
+        th.start()
+    import time
+    time.sleep(0.5)
+    stop.set()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert t.summary()["analyze_count"] > 0
+
+
 def test_nan_guard_raises_then_restores():
     before = jax.config.jax_debug_nans
     with nan_guard(True):
