@@ -16,9 +16,12 @@ pipeline (explanations for a batch are generated after scores return).
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, List, Optional
 
 from misinfo_tpu.core.config import Thresholds
+
+logger = logging.getLogger("misinfo_tpu.explain")
 
 try:
     import google.generativeai as _genai
@@ -133,23 +136,75 @@ def rule_based_explanation(all_scores: Dict, vault_matches: List[Dict],
             f"database checks support this assessment.")
 
 
+# Error-class → operator guidance, matching the reference's diagnostic
+# branches (misinfo_forensics.py:725-740): auth and quota blips need
+# DIFFERENT operator action, so they must be distinguishable in /metrics.
+_ERROR_HINTS = {
+    "auth": "check the GOOGLE_API_KEY (env or .env)",
+    "quota": "API quota exceeded — wait for the window or raise the quota",
+    "timeout": "Gemini API timeout — transient; retry or check egress",
+    "empty": "Gemini returned an empty response",
+    "other": "unclassified Gemini API error",
+}
+
+
+def classify_gemini_error(exc: BaseException) -> str:
+    """Reference's substring classification (misinfo_forensics.py:727-736):
+    'api key'/'authentication' → auth, 'quota'/'limit' → quota,
+    'timeout' → timeout, else other."""
+    msg = str(exc).lower()
+    if "api key" in msg or "authentication" in msg:
+        return "auth"
+    if "quota" in msg or "limit" in msg:
+        return "quota"
+    if "timeout" in msg:
+        return "timeout"
+    return "other"
+
+
 class Explainer:
     """Soft-fail explanation generator (error classes → rules, reference
-    misinfo_forensics.py:725-740)."""
+    misinfo_forensics.py:725-740).
+
+    Every LLM-path outcome is observable (VERDICT r2 #5): successes and
+    each failure class feed per-class tracer counters —
+    ``gemini_ok_count`` / ``gemini_error_{auth,quota,timeout,empty,other}_count``
+    in ``/metrics`` — plus a structured warning log carrying the operator
+    hint, so a bad key is distinguishable from a quota blip without
+    reading fallback prose."""
 
     def __init__(self, api_key: Optional[str] = None,
                  model_name: str = "gemini-2.5-flash",
-                 thresholds: Thresholds = Thresholds()):
+                 thresholds: Thresholds = Thresholds(), tracer=None):
         self.thresholds = thresholds
         self.available = False
         self._model = None
+        if tracer is None:
+            from misinfo_tpu.utils.tracing import GLOBAL_TRACER
+            tracer = GLOBAL_TRACER
+        self.tracer = tracer
+        self.last_error: Optional[Dict] = None
         if GEMINI_AVAILABLE and api_key:
             try:
                 _genai.configure(api_key=api_key)
                 self._model = _genai.GenerativeModel(model_name)
                 self.available = True
-            except Exception:
+            except Exception as e:
                 self.available = False
+                self._record_error(e, stage="configure")
+
+    def _record_error(self, exc: Optional[BaseException], *,
+                      cls: Optional[str] = None, stage: str = "generate"):
+        cls = cls or classify_gemini_error(exc)
+        hint = _ERROR_HINTS[cls]
+        self.last_error = {"class": cls, "hint": hint,
+                           "error": str(exc) if exc else "",
+                           "stage": stage}
+        self.tracer.event(f"gemini_error_{cls}", 0.0,
+                          error=str(exc) if exc else "", hint=hint)
+        logger.warning("gemini %s failed [%s]: %s — %s "
+                       "(falling back to rule-based explanation)",
+                       stage, cls, exc if exc else "empty response", hint)
 
     def explain(self, all_scores: Dict, vault_matches: List[Dict]) -> str:
         if not self.available:
@@ -159,7 +214,10 @@ class Explainer:
             response = self._model.generate_content(prompt)
             text = getattr(response, "text", None)
             if text:
+                self.tracer.event("gemini_ok", 0.0)
                 return text.strip()
-        except Exception:
-            pass
+            # valid call, empty payload (reference :721-723)
+            self._record_error(None, cls="empty")
+        except Exception as e:
+            self._record_error(e)
         return rule_based_explanation(all_scores, vault_matches, self.thresholds)

@@ -111,17 +111,17 @@ class MisinfoForensics:
             self.load_report = {"mode": "provided"}
         self.load_report["tokenizer_parity"] = self.tokenizer_parity
         self.load_report["tokenizer_grades"] = dict(self.tokenizer_grades)
-        if mesh is None:
-            # single-chip serving: fuse QKV projections (exact math) and
-            # store big kernels in the serving dtype / int8 (ops/serving.py)
-            from misinfo_tpu.ops.serving import optimize_for_serving
-            params = optimize_for_serving(
-                params, self.policy,
-                quant=getattr(self.cfg.precision, "quant", "none"))
-        else:
-            if getattr(self.cfg.precision, "quant", "none") == "int8":
-                from misinfo_tpu.ops.quant import quantize_params
-                params = quantize_params(params)
+        # Serving transforms apply identically on the single-chip AND mesh
+        # paths (VERDICT r2 #1): store big kernels in the serving dtype /
+        # int8 (ops/serving.py), THEN shard — cast/quantize are per-leaf
+        # pytree rewrites, so they commute with parameter placement, and
+        # each chip of a mesh deployment reads the same bf16/int8 weights
+        # the single-chip path measured (docs/PERF.md serving-dtype rows).
+        from misinfo_tpu.ops.serving import optimize_for_serving
+        params = optimize_for_serving(
+            params, self.policy,
+            quant=getattr(self.cfg.precision, "quant", "none"))
+        if mesh is not None:
             from misinfo_tpu.parallel.sharding import shard_params
             params = shard_params(mesh, params)
         self.params = params
@@ -136,7 +136,8 @@ class MisinfoForensics:
 
         self.programs = SignalPrograms(
             self.det_cfg, self.cfg, self.policy, use_pallas=use_pallas,
-            vault_mesh=self.mesh if self._vault_sharded else None)
+            vault_mesh=self.mesh if self._vault_sharded else None,
+            data_mesh=self.mesh)
         # Results coalesce into ONE device buffer before the host fetch:
         # a SignalOutput pytree fetch pays a round trip per leaf (12×),
         # which dominates e2e latency on remote-attached TPUs
@@ -318,7 +319,8 @@ class MisinfoForensics:
             self.programs = SignalPrograms(
                 self.det_cfg, self.cfg, self.policy,
                 use_pallas=self._use_pallas,
-                vault_mesh=self.mesh if sharded else None)
+                vault_mesh=self.mesh if sharded else None,
+                data_mesh=self.mesh)
 
     def reload_vault(self, path: Optional[str] = None,
                      drop_first: bool = False) -> Dict:
@@ -441,8 +443,10 @@ class MisinfoForensics:
         packed = pack_token_rows(seqs, row_len,
                                  self.det_cfg.roberta.pad_token_id,
                                  n_slots=n_slots)
-        return packed, packed_row_bucket(packed.ids.shape[0],
-                                         self.cfg.serving.batch_buckets)
+        # under a mesh the packed row axis is data-sharded, so the row
+        # bucket rounds up to a data-axis multiple like every batch axis
+        return packed, self._req_bucket(packed.ids.shape[0],
+                                        self.cfg.serving.batch_buckets)
 
     def _pack_text_batch(self, texts: List[str], n_slots: int,
                          plan=None) -> Dict:
@@ -513,9 +517,22 @@ class MisinfoForensics:
 
         vault_by_key = {k: int(np.prod(v.shape) * v.dtype.itemsize)
                         for k, v in self._vault_device.items()}
+
+        def _device0_bytes(v) -> int:
+            # actual per-device residency from the placed shards (equals
+            # the global bytes for replicated arrays, global/D for
+            # row-sharded ones — the 1/D scaling SCALING.md claims)
+            try:
+                sh = v.addressable_shards[0].data
+                return int(np.prod(sh.shape) * sh.dtype.itemsize)
+            except Exception:
+                return int(np.prod(v.shape) * v.dtype.itemsize)
+
         out = {
             "params_bytes": _tree_bytes(self.params),
             "vault_bytes": sum(vault_by_key.values()),
+            "vault_bytes_per_device": sum(
+                _device0_bytes(v) for v in self._vault_device.values()),
             "vault_bytes_by_key": vault_by_key,
             "vault_dtype": self.cfg.serving.vault_dtype,
             "vault_articles": (self.vault.num_articles
@@ -597,8 +614,6 @@ class MisinfoForensics:
             text_buckets = [b for b in self._TEXT_BUCKETS if b < rb_max] \
                 + [rb_max]
         pack_mode = self.cfg.serving.pack_text
-        if self.mesh is not None:
-            pack_mode = False  # mesh serving is dense (_dispatch_group)
         if packed is None:
             # warm what the routing makes deterministic; "auto" opts in
             # via packed=True / full_grid (see docstring)
@@ -879,10 +894,6 @@ class MisinfoForensics:
         reqs = [requests[i] for i in idxs]
         bucket = self._req_bucket(len(reqs), self.cfg.serving.batch_buckets)
         pack_mode = self.cfg.serving.pack_text
-        if self.mesh is not None:
-            # mesh serving stays dense: packed CLS gathers cross shard
-            # boundaries (GSPMD would serialize them) — not yet profiled
-            pack_mode = False
         pack = pack_mode is True and variant in ("full", "text_only")
         plan = None
         if pack_mode == "auto" and variant in ("full", "text_only"):

@@ -107,7 +107,8 @@ def unpack_signal_output(arr) -> SignalOutput:
         real_probability=v[:, 9], vault_top_sims=sims, vault_top_idx=idx)
 
 
-def _text_branch(params, batch, det_cfg, policy, use_pallas):
+def _text_branch(params, batch, det_cfg, policy, use_pallas,
+                 mesh_gather: bool = False):
     if "roberta_seg" in batch:
         # packed rows (preprocess/packing.py): block-diagonal attention,
         # per-segment positions, CLS scores gathered per request
@@ -117,7 +118,23 @@ def _text_branch(params, batch, det_cfg, policy, use_pallas):
             det_cfg.roberta, policy, use_pallas=use_pallas,
             position_ids=batch["roberta_pos"],
             segment_ids=batch["roberta_seg"])
-        pooled = hidden[batch["cls_rows"], batch["cls_cols"]]      # [N, D]
+        if mesh_gather:
+            # Mesh serving (VERDICT r2 #1): the (row, col) CLS gather
+            # crosses shard boundaries when rows are data-sharded, which
+            # GSPMD resolves by all-gathering the FULL [R, L, D] hidden
+            # states (~R·L·D·2 bytes over ICI). A one-hot contraction is
+            # the collective-friendly form: each shard contracts its local
+            # rows and GSPMD reduces only the [N, D] result. Exact math —
+            # one nonzero per one-hot row selects the value unchanged.
+            R, L, D = hidden.shape
+            flat_idx = batch["cls_rows"] * L + batch["cls_cols"]   # [N]
+            onehot = jax.nn.one_hot(flat_idx, R * L, dtype=hidden.dtype)
+            # policy precision: f32 parity mode must not round the selected
+            # CLS values through a default-precision (bf16-pass) contraction
+            pooled = jnp.dot(onehot, hidden.reshape(R * L, D),
+                             precision=policy.precision).astype(hidden.dtype)
+        else:
+            pooled = hidden[batch["cls_rows"], batch["cls_cols"]]  # [N, D]
         ai_logits = head_apply(params["ai_head"], pooled, policy=policy)
         mis_logits = head_apply(params["misinfo_head"], pooled, policy=policy)
     else:
@@ -197,6 +214,7 @@ def signals_program(
     policy: Policy,
     use_pallas: bool = False,
     vault_mesh=None,
+    mesh_gather: bool = False,
 ) -> SignalOutput:
     B = (batch["cls_rows"].shape[0] if "cls_rows" in batch  # packed: N requests
          else batch["roberta_ids"].shape[0] if "roberta_ids" in batch
@@ -205,7 +223,8 @@ def signals_program(
     K = cfg.seq.vault_top_k
 
     if variant == "text_only":
-        ai, mis = _text_branch(params, batch, det_cfg, policy, use_pallas)
+        ai, mis = _text_branch(params, batch, det_cfg, policy, use_pallas,
+                               mesh_gather=mesh_gather)
         verdict, conf, fake_p, real_p = _verdict_from_prob(mis)
         return SignalOutput(ai, mis, zeros, zeros, zeros, zeros,
                             verdict, conf, fake_p, real_p,
@@ -221,7 +240,8 @@ def signals_program(
                             vr.top_sims, vr.top_idx)
 
     if variant == "full":
-        ai, mis = _text_branch(params, batch, det_cfg, policy, use_pallas)
+        ai, mis = _text_branch(params, batch, det_cfg, policy, use_pallas,
+                               mesh_gather=mesh_gather)
         cap_emb = l2_normalize(clip_text_features(
             params["clip"], batch["clip_ids"], batch["clip_mask"],
             det_cfg.clip, policy, use_pallas))
@@ -248,6 +268,7 @@ def packed_text_program(
     cfg: ForensicsConfig,
     policy: Policy,
     use_pallas: bool = False,
+    mesh_gather: bool = False,
 ) -> SignalOutput:
     """text_only variant over a PACKED token matrix (preprocess/packing.py):
     multiple ragged requests per row, block-diagonal attention, per-segment
@@ -258,7 +279,7 @@ def packed_text_program(
     too (engine pack_text handles both)."""
     return signals_program(params, batch, variant="text_only",
                            det_cfg=det_cfg, cfg=cfg, policy=policy,
-                           use_pallas=use_pallas)
+                           use_pallas=use_pallas, mesh_gather=mesh_gather)
 
 
 def video_program(
@@ -271,6 +292,7 @@ def video_program(
     policy: Policy,
     use_pallas: bool = False,
     vault_mesh=None,
+    mesh_gather: bool = False,
 ) -> SignalOutput:
     """Video forensics: frames stacked on the batch axis (SURVEY.md §7
     design move 3), generalized to V videos per launch. `frame_valid` is
@@ -286,7 +308,8 @@ def video_program(
     n = jnp.maximum(jnp.sum(fv, axis=1), 1.0)               # [V]
 
     if has_text:
-        ai, mis = _text_branch(params, batch, det_cfg, policy, use_pallas)
+        ai, mis = _text_branch(params, batch, det_cfg, policy, use_pallas,
+                               mesh_gather=mesh_gather)
         ai, mis = ai[:V], mis[:V]
         cap_emb = l2_normalize(clip_text_features(
             params["clip"], batch["clip_ids"], batch["clip_mask"],
@@ -333,12 +356,15 @@ class SignalPrograms:
 
     def __init__(self, det_cfg: DetectorConfig, cfg: ForensicsConfig,
                  policy: Policy, use_pallas: bool = False,
-                 vault_mesh=None):
+                 vault_mesh=None, data_mesh=None):
         self.det_cfg = det_cfg
         self.cfg = cfg
         self.policy = policy
         self.use_pallas = use_pallas
         self.vault_mesh = vault_mesh  # set → vault rows are mesh-sharded
+        # set → request batches are data-sharded: packed CLS extraction
+        # switches to the collective-friendly one-hot contraction
+        self.data_mesh = data_mesh
         self._jitted: Dict[str, object] = {}
 
     def get(self, variant: str):
@@ -348,15 +374,19 @@ class SignalPrograms:
                 fn = functools.partial(
                     video_program, has_text=has_text, det_cfg=self.det_cfg,
                     cfg=self.cfg, policy=self.policy,
-                    use_pallas=self.use_pallas, vault_mesh=self.vault_mesh)
+                    use_pallas=self.use_pallas, vault_mesh=self.vault_mesh,
+                    mesh_gather=self.data_mesh is not None)
             elif variant == "text_packed":
                 fn = functools.partial(
                     packed_text_program, det_cfg=self.det_cfg,
-                    cfg=self.cfg, policy=self.policy, use_pallas=self.use_pallas)
+                    cfg=self.cfg, policy=self.policy,
+                    use_pallas=self.use_pallas,
+                    mesh_gather=self.data_mesh is not None)
             else:
                 fn = functools.partial(
                     signals_program, variant=variant, det_cfg=self.det_cfg,
                     cfg=self.cfg, policy=self.policy,
-                    use_pallas=self.use_pallas, vault_mesh=self.vault_mesh)
+                    use_pallas=self.use_pallas, vault_mesh=self.vault_mesh,
+                    mesh_gather=self.data_mesh is not None)
             self._jitted[variant] = jax.jit(fn)
         return self._jitted[variant]

@@ -36,24 +36,30 @@ def _spec_for_path(path, leaf) -> P:
     joined = "/".join(keys)
     ndim = getattr(leaf, "ndim", 0)
 
-    # transformer tensor parallelism (roberta + clip towers)
+    # transformer tensor parallelism (roberta + clip towers). int8-serving
+    # pytrees carry {kernel_q [in,out], w_scale [out]} in place of {kernel}
+    # (ops/quant.py); kernel_q shards exactly like kernel and w_scale like
+    # an output-dim bias, so quantized serving composes with TP.
+    leaf = keys[-1]
+    kernel_like = leaf in ("kernel", "kernel_q") and ndim == 2
+    outvec_like = leaf in ("bias", "w_scale")
     if "attn" in keys:
         which = keys[keys.index("attn") + 1] if keys.index("attn") + 1 < len(keys) else ""
-        if keys[-1] == "kernel" and ndim == 2:
+        if kernel_like:
             if which in ("q", "k", "v", "qkv"):
                 return P(None, "model")
             if which == "o":
                 return P("model", None)
-        if keys[-1] == "bias":
+        if outvec_like:
             if which in ("q", "k", "v", "qkv"):
                 return P("model")
             return P()
-    if keys[-1] == "kernel" and ndim == 2:
+    if kernel_like:
         if "mlp_in" in keys:
             return P(None, "model")
         if "mlp_out" in keys:
             return P("model", None)
-    if keys[-1] == "bias" and "mlp_in" in keys:
+    if outvec_like and "mlp_in" in keys:
         return P("model")
 
     # embeddings / norms / convs / heads: replicated

@@ -220,9 +220,12 @@ def main(argv=None) -> int:
     p.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto")
     p.add_argument("--mesh", default=None,
                    help="Serve over a device mesh: 'data=N[,model=M]'")
-    p.add_argument("--warmup", action="store_true",
-                   help="Precompile the serving signature grid before "
-                        "accepting traffic (engine.warmup())")
+    p.add_argument("--warmup", nargs="?", const="default",
+                   choices=["default", "full"], default=None,
+                   help="Precompile serving signatures before accepting "
+                        "traffic (engine.warmup()); '--warmup full' warms "
+                        "EVERY emittable signature so no request shape "
+                        "compiles mid-flight")
     p.add_argument("--allow-reload", action="store_true",
                    help="Enable POST /reload_vault (a mutation endpoint "
                         "that reads operator-named files — only behind a "
@@ -260,7 +263,7 @@ def main(argv=None) -> int:
     api = ForensicsAPI(config=cfg, mesh=mesh,
                        allow_reload=args.allow_reload)
     if args.warmup:
-        api.engine.warmup()
+        api.engine.warmup(full_grid=args.warmup == "full")
         if os.getenv("WHISPER_CHECKPOINT"):
             from misinfo_tpu.serve.transcript import warmup_transcriber
             warmup_transcriber()

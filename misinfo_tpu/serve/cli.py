@@ -33,11 +33,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "(DP batch sharding + optional tensor parallelism; "
                         "vaults past vault_shard_min_rows row-shard "
                         "automatically)")
-    p.add_argument("--warmup", action="store_true",
-                   help="Precompile the serving signature grid before "
-                        "handling requests (engine.warmup(); feeds the "
-                        "persistent XLA cache — avoids minutes-long "
-                        "mid-request TPU compiles)")
+    p.add_argument("--warmup", nargs="?", const="default",
+                   choices=["default", "full"], default=None,
+                   help="Precompile serving signatures before handling "
+                        "requests (engine.warmup(); feeds the persistent "
+                        "XLA cache). Bare --warmup warms the endpoint "
+                        "shapes; '--warmup full' warms EVERY signature the "
+                        "engine can emit (batch × text × packed-row grid) "
+                        "so no production request shape ever mints a "
+                        "minutes-long mid-request TPU compile")
     p.add_argument("--transcribe", action="store_true",
                    help="Extract the video's audio transcript (Whisper, "
                         "WHISPER_CHECKPOINT env) and merge it into the text "
@@ -92,7 +96,7 @@ def main(argv=None) -> int:
         set_transcriber_mesh(mesh)  # transcription shards alongside
     engine = MisinfoForensics(config=cfg, mesh=mesh)
     if args.warmup:
-        engine.warmup()
+        engine.warmup(full_grid=args.warmup == "full")
         if os.getenv("WHISPER_CHECKPOINT"):
             from misinfo_tpu.serve.transcript import warmup_transcriber
             warmup_transcriber()

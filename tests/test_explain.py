@@ -3,6 +3,8 @@ and thresholds (reference misinfo_forensics.py:742-765), Gemini prompt
 structure (:631-693), and the Explainer's soft-fail contract (:725-740).
 Previously only covered indirectly through engine e2e reports."""
 
+import pytest
+
 from misinfo_tpu.engine.explain import (Explainer, build_llm_prompt,
                                         rule_based_explanation)
 
@@ -79,3 +81,103 @@ def test_explainer_falls_back_without_key():
     assert not ex.available
     out = ex.explain(_scores(), [])
     assert out.startswith("This content is classified as")
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r2 #5: Gemini error-class observability — the reference classifies
+# auth/quota/timeout failures with operator guidance
+# (misinfo_forensics.py:725-740); ours additionally feeds per-class counters
+# into the tracer so /metrics distinguishes a bad key from a quota blip.
+# ---------------------------------------------------------------------------
+
+from misinfo_tpu.engine.explain import classify_gemini_error
+from misinfo_tpu.utils.tracing import Tracer
+
+
+@pytest.mark.parametrize("msg,cls", [
+    ("Invalid API key provided", "auth"),
+    ("authentication credentials rejected", "auth"),
+    ("429 quota exceeded for model", "quota"),
+    ("rate limit hit, slow down", "quota"),
+    ("deadline timeout after 60s", "timeout"),
+    ("connection reset by peer", "other"),
+])
+def test_classify_gemini_error(msg, cls):
+    assert classify_gemini_error(RuntimeError(msg)) == cls
+
+
+class _FailingModel:
+    def __init__(self, exc):
+        self.exc = exc
+
+    def generate_content(self, prompt):
+        raise self.exc
+
+
+class _EmptyModel:
+    def generate_content(self, prompt):
+        class R:
+            text = ""
+        return R()
+
+
+class _OkModel:
+    def generate_content(self, prompt):
+        class R:
+            text = "  ### Verdict\nLLM report.  "
+        return R()
+
+
+def _armed_explainer(model, tracer):
+    ex = Explainer(api_key=None, tracer=tracer)
+    ex.available = True       # simulate a configured key
+    ex._model = model
+    return ex
+
+
+def test_explainer_counts_error_classes_separately():
+    tr = Tracer()
+    ex = _armed_explainer(_FailingModel(RuntimeError("bad API key")), tr)
+    out = ex.explain(_scores(), [])
+    assert out.startswith("This content is classified as")   # fell back
+    assert tr.counters["gemini_error_auth_count"] == 1
+    assert ex.last_error["class"] == "auth"
+    assert "GOOGLE_API_KEY" in ex.last_error["hint"]
+
+    ex._model = _FailingModel(RuntimeError("quota exhausted"))
+    ex.explain(_scores(), [])
+    assert tr.counters["gemini_error_quota_count"] == 1
+    assert tr.counters["gemini_error_auth_count"] == 1   # distinct counters
+    assert ex.last_error["class"] == "quota"
+
+    ex._model = _FailingModel(TimeoutError("request timeout"))
+    ex.explain(_scores(), [])
+    assert tr.counters["gemini_error_timeout_count"] == 1
+
+
+def test_explainer_empty_response_counted_and_falls_back():
+    tr = Tracer()
+    ex = _armed_explainer(_EmptyModel(), tr)
+    out = ex.explain(_scores(), [])
+    assert out.startswith("This content is classified as")
+    assert tr.counters["gemini_error_empty_count"] == 1
+    assert ex.last_error["class"] == "empty"
+
+
+def test_explainer_success_counted_and_stripped():
+    tr = Tracer()
+    ex = _armed_explainer(_OkModel(), tr)
+    out = ex.explain(_scores(), [])
+    assert out == "### Verdict\nLLM report."
+    assert tr.counters["gemini_ok_count"] == 1
+    assert ex.last_error is None
+
+
+def test_error_classes_logged_as_structured_warnings(caplog):
+    import logging
+
+    tr = Tracer()
+    ex = _armed_explainer(_FailingModel(RuntimeError("quota exceeded")), tr)
+    with caplog.at_level(logging.WARNING, logger="misinfo_tpu.explain"):
+        ex.explain(_scores(), [])
+    assert any("[quota]" in r.getMessage() for r in caplog.records)

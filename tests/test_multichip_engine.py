@@ -22,9 +22,9 @@ DET = DetectorConfig.tiny()
 N_VAULT = 300  # pads to 384 rows — divisible by any power-of-two data axis
 
 
-def _cfg(vault_path, **serving_overrides):
+def _cfg(vault_path, precision=None, **serving_overrides):
     cfg = ForensicsConfig(verbose=False).replace(
-        precision=PrecisionConfig.highest())
+        precision=precision or PrecisionConfig.highest())
     return cfg.replace(
         paths=cfg.paths.__class__(vault_path=vault_path),
         seq=cfg.seq.__class__(roberta_max_len=32,
@@ -255,3 +255,176 @@ def test_vault_search_sharded_function_equals_exact():
                                np.asarray(exact.top_sims), atol=1e-5)
     np.testing.assert_allclose(np.asarray(sharded.text_similarity),
                                np.asarray(exact.text_similarity), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r2 #1: mesh serving runs WITH the single-chip serving
+# optimizations (serving-dtype kernel storage, int8 quant, packed text)
+# ---------------------------------------------------------------------------
+
+
+def _leaf_dtypes(tree):
+    import jax.tree_util as jtu
+    return {jtu.keystr(p): x.dtype
+            for p, x in jtu.tree_flatten_with_path(tree)[0]}
+
+
+@pytest.mark.parametrize("mesh_cfg", [MeshConfig(model=1),
+                                      MeshConfig(model=2)])
+def test_engine_mesh_packed_text_matches_single(vault_path, shared_params,
+                                                mesh_cfg):
+    """pack_text=True under a mesh: packed rows data-shard, the CLS
+    extraction runs as the one-hot contraction (signals._text_branch
+    mesh_gather), and scores equal the single-chip packed engine exactly
+    (f32 parity mode)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    single = MisinfoForensics(config=_cfg(vault_path, pack_text=True),
+                              det_cfg=DET, params=_copy(shared_params))
+    meshed = MisinfoForensics(config=_cfg(vault_path, pack_text=True),
+                              det_cfg=DET, params=_copy(shared_params),
+                              mesh=make_mesh(mesh_cfg))
+    reqs = [
+        {"text": "a short claim"},
+        {"text": "a much longer claim " * 20},
+        {"text": "medium length text about some news event", "image": _img(4)},
+        {"text": "another short one"},
+        {"text": "fifth request with middling length text here"},
+    ]
+    _assert_reports_match(single.analyze_batch(reqs),
+                          meshed.analyze_batch(reqs))
+
+
+def test_engine_mesh_serving_dtype_matches_single(vault_path, shared_params):
+    """Default (bf16 serving) precision under a mesh: big kernels are
+    stored bf16 on every shard — byte-identical values to the single-chip
+    serving pytree — and scores match the single-chip bf16 engine to
+    within GSPMD reduction-order noise."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    bf16 = PrecisionConfig()
+    single = MisinfoForensics(config=_cfg(vault_path, precision=bf16),
+                              det_cfg=DET, params=_copy(shared_params))
+    meshed = MisinfoForensics(
+        config=_cfg(vault_path, precision=bf16, vault_shard_min_rows=64),
+        det_cfg=DET, params=_copy(shared_params),
+        mesh=make_mesh(MeshConfig(model=2)))
+    assert meshed._vault_sharded is True
+    # the serving-dtype transform applied before sharding: same dtypes
+    # leaf-for-leaf as the single-chip serving pytree (the tiny model's
+    # kernels sit below the cast size gate — the cast+shard composition
+    # itself is asserted by test_cast_then_shard_composition below)
+    assert _leaf_dtypes(meshed.params) == _leaf_dtypes(single.params)
+    a = single.analyze_batch(_requests())
+    b = meshed.analyze_batch(_requests())
+    _assert_reports_match(a, b, atol=2e-2)
+
+
+def test_cast_then_shard_composition():
+    """cast_big_kernels → shard_params composition: bf16 storage survives
+    TP placement, specs are the Megatron layout, and a sharded matmul
+    equals the unsharded one."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from misinfo_tpu.ops.common import dense
+    from misinfo_tpu.ops.serving import cast_big_kernels
+    from misinfo_tpu.parallel.sharding import detector_pspecs, shard_params
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(MeshConfig(model=2))
+    rng = np.random.default_rng(0)
+    D, Dm = 64, 128
+    mk = lambda i, o: {"kernel": jnp.asarray(
+        rng.normal(size=(i, o)).astype(np.float32)),
+        "bias": jnp.zeros((o,), jnp.float32)}
+    tree = {"layers": [{"attn": {"q": mk(D, D), "k": mk(D, D),
+                                 "v": mk(D, D), "o": mk(D, D)},
+                        "mlp_in": mk(D, Dm), "mlp_out": mk(Dm, D)}]}
+    cast = cast_big_kernels(tree, jnp.bfloat16, min_elems=1)
+    specs = detector_pspecs(cast)
+    lay = specs["layers"][0]
+    assert lay["attn"]["q"]["kernel"] == P(None, "model")
+    assert lay["attn"]["o"]["kernel"] == P("model", None)
+    assert lay["mlp_in"]["kernel"] == P(None, "model")
+    assert lay["mlp_out"]["kernel"] == P("model", None)
+    sharded = shard_params(mesh, cast)
+    q = sharded["layers"][0]["attn"]["q"]
+    assert q["kernel"].dtype == jnp.bfloat16   # cast survives placement
+    x = jnp.asarray(rng.normal(size=(8, D)).astype(np.float32))
+    y_ref = np.asarray(dense(cast["layers"][0]["mlp_in"], x))
+    y_tp = np.asarray(jax.jit(
+        lambda p, xx: dense(p["layers"][0]["mlp_in"], xx))(sharded, x))
+    np.testing.assert_allclose(y_tp, y_ref, atol=1e-5)
+
+
+def test_int8_tp_sharding_composition():
+    """quantize_params → shard_params composition (VERDICT r2 #1):
+    kernel_q shards like kernel, w_scale like an output-dim bias, and the
+    TP-sharded int8 matmul equals the unsharded one exactly (int32
+    accumulation makes the contraction psum exact)."""
+    from jax.sharding import PartitionSpec as P
+
+    from misinfo_tpu.ops.common import dense
+    from misinfo_tpu.ops.quant import quantize_params
+    from misinfo_tpu.parallel.sharding import detector_pspecs, shard_params
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(MeshConfig(model=2))
+    rng = np.random.default_rng(1)
+    D, Dm = 64, 128
+    mk = lambda i, o: {"kernel": jnp.asarray(
+        rng.normal(size=(i, o)).astype(np.float32)),
+        "bias": jnp.asarray(rng.normal(size=(o,)).astype(np.float32))}
+    tree = {"layers": [{"attn": {"q": mk(D, D), "k": mk(D, D),
+                                 "v": mk(D, D), "o": mk(D, D)},
+                        "mlp_in": mk(D, Dm), "mlp_out": mk(Dm, D)}]}
+    q = quantize_params(tree, min_elems=1)
+    lay_q = q["layers"][0]
+    assert "kernel_q" in lay_q["attn"]["q"]
+    specs = detector_pspecs(q)
+    lay = specs["layers"][0]
+    assert lay["attn"]["q"]["kernel_q"] == P(None, "model")
+    assert lay["attn"]["q"]["w_scale"] == P("model")
+    assert lay["attn"]["o"]["kernel_q"] == P("model", None)
+    assert lay["attn"]["o"]["w_scale"] == P()
+    assert lay["mlp_in"]["kernel_q"] == P(None, "model")
+    assert lay["mlp_in"]["w_scale"] == P("model")
+    assert lay["mlp_out"]["kernel_q"] == P("model", None)
+    assert lay["mlp_out"]["w_scale"] == P()
+    sharded = shard_params(mesh, q)
+    x = jnp.asarray(rng.normal(size=(8, D)).astype(np.float32))
+    for name in (("attn", "q"), ("attn", "o"), ("mlp_in",), ("mlp_out",)):
+        pick = lambda t: (t["layers"][0][name[0]][name[1]]
+                          if len(name) == 2 else t["layers"][0][name[0]])
+        xx = x if pick(q)["kernel_q"].shape[0] == D else jnp.asarray(
+            rng.normal(size=(8, Dm)).astype(np.float32))
+        y_ref = np.asarray(dense(pick(q), xx))
+        y_tp = np.asarray(jax.jit(
+            lambda p, v, pk=pick: dense(pk(p), v))(sharded, xx))
+        np.testing.assert_allclose(y_tp, y_ref, atol=1e-5, err_msg=str(name))
+
+
+@pytest.mark.parametrize("d", [2, 4, 8])
+def test_mesh_scaling_sweep_scores_and_vault_memory(vault_path,
+                                                    shared_params, d):
+    """VERDICT r2 #8: data=2/4/8 sweep — scores invariant across mesh
+    widths, and per-device vault residency of the sharded planes scales
+    as 1/D (docs/SCALING.md's '~linear in chips' shape-check)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    single = MisinfoForensics(config=_cfg(vault_path), det_cfg=DET,
+                              params=_copy(shared_params))
+    mesh = make_mesh(MeshConfig(data=d, model=1),
+                     devices=jax.devices()[:d])
+    meshed = MisinfoForensics(
+        config=_cfg(vault_path, vault_shard_min_rows=64), det_cfg=DET,
+        params=_copy(shared_params), mesh=mesh)
+    assert meshed._vault_sharded is True
+    _assert_reports_match(single.analyze_batch(_requests()),
+                          meshed.analyze_batch(_requests()))
+    rep = meshed.memory_report()
+    # every vault plane row-shards, so device residency is global/D
+    assert rep["vault_bytes_per_device"] * d == rep["vault_bytes"]
+    assert rep["vault_sharded"] is True

@@ -1,0 +1,90 @@
+"""VERDICT r2 #7: `--warmup full` must close the compile gap completely —
+after a full-grid warmup, NO analyze_batch request mix may mint a new jit
+signature (a novel shape means a minutes-long mid-request TPU compile in
+production). The assertion is on the actual jit caches across a sweep of
+request counts / text lengths / modality mixes, with auto-pack routing
+live."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from misinfo_tpu.core.config import ForensicsConfig, PrecisionConfig
+from misinfo_tpu.engine.forensics import MisinfoForensics
+from misinfo_tpu.models.detector import DetectorConfig
+
+DET = DetectorConfig.tiny()
+
+
+def _engine(**serving):
+    cfg = ForensicsConfig(verbose=False).replace(
+        precision=PrecisionConfig.highest())
+    cfg = cfg.replace(
+        paths=cfg.paths.__class__(vault_path="/nonexistent/vault.pkl"),
+        seq=cfg.seq.__class__(roberta_max_len=64,
+                              image_size=DET.clip.image_size),
+        serving=cfg.serving.__class__(batch_buckets=(1, 4, 8), **serving))
+    return MisinfoForensics(config=cfg, det_cfg=DET)
+
+
+def _jit_cache_size(eng) -> int:
+    n = eng._pack_out._cache_size()
+    for fn in eng.programs._jitted.values():
+        n += fn._cache_size()
+    return n
+
+
+def _img(seed):
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    s = DET.clip.image_size
+    return Image.fromarray(
+        rng.integers(0, 255, size=(s, s, 3)).astype(np.uint8))
+
+
+def _traffic():
+    """Request mixes spanning counts, ragged lengths, and variants —
+    including counts that are NOT bucket values (3, 5, 9 → rounding) and
+    an oversize burst (10 > max bucket 8 → split)."""
+    short = "a short claim"
+    mid = "a medium length claim about some breaking news event today"
+    long = "many words " * 25                       # > half the 64 bucket
+    yield [{"text": short}]
+    yield [{"text": long}, {"text": short}, {"text": mid}]
+    yield [{"text": short} for _ in range(5)]
+    yield [{"text": mid} for _ in range(9)] + [{"text": short}]
+    yield [{"image": _img(1)}, {"image": _img(2)}, {"image": _img(3)}]
+    yield [{"text": short, "image": _img(4)},
+           {"text": long, "image": _img(5)}]
+    yield [{"text": short}, {"image": _img(6)},
+           {"text": mid, "image": _img(7)}, {"text": long},
+           {"text": short, "image": _img(8)}]
+
+
+@pytest.mark.parametrize("pack_text", ["auto", True, False])
+def test_full_grid_warmup_freezes_jit_signatures(pack_text):
+    eng = _engine(pack_text=pack_text)
+    sigs = eng.warmup(full_grid=True, videos=())
+    assert sigs, "full-grid warmup compiled nothing"
+    n0 = _jit_cache_size(eng)
+    assert n0 > 0
+    for reqs in _traffic():
+        out = eng.analyze_batch(reqs)
+        assert len(out) == len(reqs)
+        assert _jit_cache_size(eng) == n0, (
+            f"request mix {[(list(r)) for r in reqs]} minted a new jit "
+            f"signature after full-grid warmup (pack_text={pack_text})")
+
+
+def test_default_warmup_covers_endpoint_shapes():
+    """The default (endpoint) warmup covers batch buckets 1 and max with
+    every text bucket — single requests and max-size bursts then reuse
+    warmed signatures (intermediate buckets are documented to compile on
+    first use; --warmup full is the production preset)."""
+    eng = _engine(pack_text=False)
+    eng.warmup(videos=())
+    n0 = _jit_cache_size(eng)
+    eng.analyze_batch([{"text": "one short request"}])
+    eng.analyze_batch([{"text": f"req {i}"} for i in range(8)])
+    assert _jit_cache_size(eng) == n0

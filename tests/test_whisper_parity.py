@@ -311,3 +311,67 @@ def test_whisper_config_infers_mel_bins():
     cfg = whisper_config_from_torch(sd)
     assert cfg["num_mel_bins"] == 128
     assert cfg["vocab_size"] == 51866 and cfg["d_model"] == 64
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r2 #3: stacked-layer scan decode — the op-count attack on the
+# per-op-latency-bound decoder. Correctness gate per CLAUDE.md: the scanned
+# path must equal the unrolled XLA path before it can be a serving default.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("temperature", [0.0, 0.7])
+def test_scan_layers_decode_matches_unrolled(temperature):
+    from misinfo_tpu.models.whisper import decode_transcript
+
+    params = whisper_init(jax.random.PRNGKey(3), TINY)
+    rng = np.random.default_rng(5)
+    T = 2 * TINY.max_source_positions
+    mel = jnp.asarray(rng.normal(size=(3, T, TINY.num_mel_bins))
+                      .astype(np.float32))
+    kw = dict(max_len=16, nospeech_id=7)
+    if temperature:
+        kw.update(temperature=temperature, rng=jax.random.PRNGKey(11))
+    tok_a, lp_a, ns_a = jax.jit(
+        lambda p, m: decode_transcript(p, m, TINY, F32, **kw))(params, mel)
+    tok_b, lp_b, ns_b = jax.jit(
+        lambda p, m: decode_transcript(p, m, TINY, F32, scan_layers=True,
+                                       **kw))(params, mel)
+    np.testing.assert_array_equal(np.asarray(tok_a), np.asarray(tok_b))
+    np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ns_a), np.asarray(ns_b), atol=1e-6)
+
+
+def test_scan_layers_decode_matches_with_prompt():
+    """Prompted decode drives the prefill fori_loop through the scanned
+    step too — token-identical to the unrolled path."""
+    from misinfo_tpu.models.whisper import decode_transcript, stack_whisper_decoder
+
+    params = whisper_init(jax.random.PRNGKey(4), TINY)
+    rng = np.random.default_rng(6)
+    T = 2 * TINY.max_source_positions
+    mel = jnp.asarray(rng.normal(size=(2, T, TINY.num_mel_bins))
+                      .astype(np.float32))
+    prompt = jnp.asarray(rng.integers(1, 100, (2, 4)), jnp.int32)
+    tok_a, lp_a = decode_transcript(params, mel, TINY, F32, max_len=20,
+                                    prompt_tokens=prompt)
+    # pre-stacked params route automatically (no flag needed)
+    stacked = stack_whisper_decoder(params)
+    tok_b, lp_b = decode_transcript(stacked, mel, TINY, F32, max_len=20,
+                                    prompt_tokens=prompt)
+    np.testing.assert_array_equal(np.asarray(tok_a), np.asarray(tok_b))
+    np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_b), atol=1e-5)
+
+
+def test_stack_whisper_decoder_idempotent_and_shape():
+    from misinfo_tpu.models.whisper import stack_whisper_decoder
+
+    params = whisper_init(jax.random.PRNGKey(5), TINY)
+    st = stack_whisper_decoder(params)
+    assert "blocks" not in st["decoder"]
+    L = TINY.decoder_layers
+    assert st["decoder"]["blocks_stacked"]["ln1"]["scale"].shape[0] == L
+    assert stack_whisper_decoder(st) is st or \
+        "blocks_stacked" in stack_whisper_decoder(st)["decoder"]
+    # original params untouched (pure rewrite)
+    assert "blocks" in params["decoder"]

@@ -68,6 +68,12 @@ def main():
     dt_enc, enc_out = time_program(lambda: enc_fn(params, mel), ITERS)
     enc_ms = dt_enc / ITERS * 1000.0
 
+    scan_layers = os.environ.get("BENCH_SCAN_LAYERS", "0") == "1"
+    if scan_layers:
+        # pre-stack once (the transcriber's serving form); the scanned
+        # decode step emits ONE loop body instead of L unrolled layers
+        from misinfo_tpu.models.whisper import stack_whisper_decoder
+        params = stack_whisper_decoder(params)
     dec_fn = jax.jit(lambda p, e: decode_transcript(
         p, None, cfg, policy, max_len=DECODE_LEN, enc_out=e))
     dt_dec, _ = time_program(lambda: dec_fn(params, enc_out), ITERS)
@@ -84,6 +90,7 @@ def main():
         "encode_ms_per_batch": round(enc_ms, 2),
         "decode_ms_per_batch": round(dec_ms, 2),
         "decode_steps_per_sec": round(steps / (dt_dec / ITERS), 1),
+        "scan_layers": scan_layers,
         "device": str(jax.devices()[0]),
     }))
 
