@@ -82,7 +82,8 @@ def train(cifake_root: str, out_dir: str = "efficientnet_cifake_best",
           per_label: int = 2500, image_size: int = 224,
           det_cfg: Optional[DetectorConfig] = None,
           params: Optional[Dict] = None, precision: str = "bfloat16",
-          items: Optional[List[Tuple[str, int]]] = None, log=print):
+          items: Optional[List[Tuple[str, int]]] = None,
+          mesh_spec: Optional[str] = None, log=print):
     det_cfg = det_cfg or DetectorConfig()
     policy = Policy(PrecisionConfig(compute_dtype=precision))
     if params is None:
@@ -90,6 +91,12 @@ def train(cifake_root: str, out_dir: str = "efficientnet_cifake_best",
     else:
         # own the caller's params: the train step donates its input buffers
         params = jax.tree_util.tree_map(jnp.array, params)
+    # '--mesh data=N': plain DP — GSPMD psums gradients AND the BN batch
+    # statistics over the global batch (reductions over the sharded batch
+    # axis lower to cross-shard psums), so running stats match
+    # single-device training (tests/test_trainers_mesh.py)
+    from misinfo_tpu.core.mesh import place_train_batch, setup_train_mesh
+    mesh, params = setup_train_mesh(mesh_spec, params, batch_size)
     if items is None:
         items = load_cifake_paths(cifake_root, per_label)
     train_items, val_items = split_train_val(items, 0.2, seed=42)
@@ -124,7 +131,7 @@ def train(cifake_root: str, out_dir: str = "efficientnet_cifake_best",
 
     def train_batches():
         from misinfo_tpu.train.datasets import prefetch
-        gen = ({k: jnp.asarray(v) for k, v in b.items()}
+        gen = (place_train_batch(mesh, b)
                for b in train_b.batches(batch_size))
         yield from prefetch(gen)
 
@@ -147,9 +154,20 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--per-label", type=int, default=2500)
+    p.add_argument("--mesh", default=None,
+                   help="device mesh for multi-chip training, e.g. 'data=8'")
+    p.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto",
+                   help="platform override; cpu + --mesh uses virtual "
+                        "devices (validation without a TPU slice)")
     args = p.parse_args(argv)
+    if args.device != "auto":
+        jax.config.update("jax_platforms",
+                          "cpu" if args.device == "cpu" else "tpu,axon")
+        if args.device == "cpu" and args.mesh:
+            from misinfo_tpu.core.mesh import provision_cpu_devices
+            provision_cpu_devices(args.mesh)
     train(args.cifake_root, args.out, args.epochs, args.batch_size,
-          args.lr, args.per_label)
+          args.lr, args.per_label, mesh_spec=args.mesh)
 
 
 if __name__ == "__main__":

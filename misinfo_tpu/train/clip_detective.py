@@ -113,7 +113,7 @@ def train(train_csv: str, val_csv: Optional[str] = None,
           epochs: int = 10, batch_size: int = 16, lr: float = 1e-4,
           det_cfg: Optional[DetectorConfig] = None,
           params: Optional[Dict] = None, precision: str = "bfloat16",
-          epoch_callback=None, log=print):
+          mesh_spec: Optional[str] = None, epoch_callback=None, log=print):
     det_cfg = det_cfg or DetectorConfig()
     policy = Policy(PrecisionConfig(compute_dtype=precision))
     if params is None:
@@ -121,6 +121,16 @@ def train(train_csv: str, val_csv: Optional[str] = None,
     else:
         # own the caller's params: the train step donates its input buffers
         params = jax.tree_util.tree_map(jnp.array, params)
+    # '--mesh data=N[,model=M]': DP batch sharding (+ optional tower TP).
+    # InfoNCE negatives stay GLOBAL-batch under DP — the step is a single
+    # GSPMD program over the logical [B] batch, so the [B, B] similarity
+    # matrix spans every shard's embeddings (XLA inserts the embedding
+    # all-gather on ICI); the loss is identical to single-device training
+    # on the same batch, NOT a per-shard-negatives approximation
+    # (tests/test_trainers_mesh.py asserts equality). Reference semantics:
+    # train_clip_detective.py:129-166 in-batch negatives, at scale.
+    from misinfo_tpu.core.mesh import place_train_batch, setup_train_mesh
+    mesh, params = setup_train_mesh(mesh_spec, params, batch_size)
     tok = load_clip_tokenizer(None, det_cfg.clip.vocab_size)
     clip_len = det_cfg.clip.max_text_len
     img_size = det_cfg.clip.image_size
@@ -164,7 +174,7 @@ def train(train_csv: str, val_csv: Optional[str] = None,
 
     def train_batches():
         from misinfo_tpu.train.datasets import prefetch
-        gen = ({k: jnp.asarray(v) for k, v in b.items()}
+        gen = (place_train_batch(mesh, b)
                for b in train_b.batches(batch_size))
         yield from prefetch(gen)
 
@@ -381,7 +391,20 @@ def main(argv=None):
     p.add_argument("--search-text", default=None)
     p.add_argument("--search-image", default=None)
     p.add_argument("--vault", default="guardian_embeddings.npz")
+    p.add_argument("--mesh", default=None,
+                   help="device mesh for multi-chip training, e.g. "
+                        "'data=8' or 'data=4,model=2' (global-batch "
+                        "InfoNCE negatives — see train() docstring)")
+    p.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto",
+                   help="platform override; cpu + --mesh uses virtual "
+                        "devices (validation without a TPU slice)")
     args = p.parse_args(argv)
+    if args.device != "auto":
+        jax.config.update("jax_platforms",
+                          "cpu" if args.device == "cpu" else "tpu,axon")
+        if args.device == "cpu" and args.mesh:
+            from misinfo_tpu.core.mesh import provision_cpu_devices
+            provision_cpu_devices(args.mesh)
 
     if args.generate_db:
         build_vault(args.json_file, args.db_out, checkpoint=args.checkpoint)
@@ -393,7 +416,7 @@ def main(argv=None):
         hpo_search(args.train_csv, args.val_csv)
     elif args.train_csv:
         train(args.train_csv, args.val_csv, args.out, args.epochs,
-              args.batch_size, args.lr)
+              args.batch_size, args.lr, mesh_spec=args.mesh)
     else:
         p.error("nothing to do: pass --train-csv, --generate-db, or --search-*")
 

@@ -79,10 +79,15 @@ def precompute_scores(engine: MisinfoForensics, rows: List[Dict],
 def train_on_scores(score_vectors: np.ndarray, labels: np.ndarray,
                     params: Dict, out_dir: str = "forensics_master_final",
                     epochs: int = 10, batch_size: int = 16, lr: float = 1e-3,
-                    log=print):
+                    mesh_spec: Optional[str] = None, log=print):
     # own the params: training steps donate their input buffers (in-place
     # AdamW), and the caller's pytree is often a live engine's params
     params = jax.tree_util.tree_map(jnp.array, params)
+    # '--mesh data=N': plain DP over the score matrix — GSPMD psums the
+    # 2.6k-param MLP's gradients; equality with single-device training is
+    # asserted in tests/test_trainers_mesh.py
+    from misinfo_tpu.core.mesh import place_train_batch, setup_train_mesh
+    mesh, params = setup_train_mesh(mesh_spec, params, batch_size)
     n = len(labels)
     n_val = max(1, int(0.2 * n))
     rng = np.random.default_rng(42)
@@ -101,8 +106,9 @@ def train_on_scores(score_vectors: np.ndarray, labels: np.ndarray,
         idx = rng.permutation(train_idx)
         for s in range(0, len(idx) - batch_size + 1, batch_size):
             chunk = idx[s:s + batch_size]
-            yield {"score_vectors": jnp.asarray(score_vectors[chunk]),
-                   "labels": jnp.asarray(labels[chunk])}
+            yield place_train_batch(mesh,
+                                    {"score_vectors": score_vectors[chunk],
+                                     "labels": labels[chunk]})
 
     from misinfo_tpu.models.fusion import fusion_apply
 
@@ -135,12 +141,14 @@ def train_on_scores(score_vectors: np.ndarray, labels: np.ndarray,
 def train(csv_path: str, out_dir: str = "forensics_master_final",
           engine: Optional[MisinfoForensics] = None,
           epochs: int = 10, batch_size: int = 16, lr: float = 1e-3,
-          max_samples: Optional[int] = None, log=print):
+          max_samples: Optional[int] = None,
+          mesh_spec: Optional[str] = None, log=print):
     engine = engine or MisinfoForensics()
     rows = load_fusion_csv(csv_path, max_samples)
     vectors, labels = precompute_scores(engine, rows, log=log)
     return train_on_scores(vectors, labels, engine.params, out_dir,
-                           epochs, batch_size, lr, log=log)
+                           epochs, batch_size, lr, mesh_spec=mesh_spec,
+                           log=log)
 
 
 def test_fusion_model(engine: Optional[MisinfoForensics] = None,
@@ -165,13 +173,24 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--test", action="store_true")
+    p.add_argument("--mesh", default=None,
+                   help="device mesh for multi-chip training, e.g. 'data=8'")
+    p.add_argument("--device", choices=["auto", "cpu", "tpu"], default="auto",
+                   help="platform override; cpu + --mesh uses virtual "
+                        "devices (validation without a TPU slice)")
     args = p.parse_args(argv)
+    if args.device != "auto":
+        jax.config.update("jax_platforms",
+                          "cpu" if args.device == "cpu" else "tpu,axon")
+        if args.device == "cpu" and args.mesh:
+            from misinfo_tpu.core.mesh import provision_cpu_devices
+            provision_cpu_devices(args.mesh)
     if args.test:
         test_fusion_model()
     else:
         train(args.csv, args.out, epochs=args.epochs,
               batch_size=args.batch_size, lr=args.lr,
-              max_samples=args.max_samples)
+              max_samples=args.max_samples, mesh_spec=args.mesh)
 
 
 if __name__ == "__main__":

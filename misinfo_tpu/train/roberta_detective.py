@@ -93,16 +93,8 @@ def train(csv_path: str, out_dir: str = "roberta_detective_best",
     # multi-chip training (SURVEY.md §2.5 consequence): '--mesh data=N'
     # batch-shards minibatches (DP; GSPMD psums grads over ICI), an optional
     # model=M adds Megatron TP on the towers (parallel/sharding.py)
-    mesh = None
-    if mesh_spec:
-        from misinfo_tpu.core.mesh import make_mesh, parse_mesh_spec
-        from misinfo_tpu.parallel.sharding import shard_params
-        mesh = make_mesh(parse_mesh_spec(mesh_spec))
-        n_data = mesh.shape["data"]
-        if batch_size % n_data:
-            raise ValueError(
-                f"batch_size {batch_size} not divisible by data axis {n_data}")
-        params = shard_params(mesh, params)
+    from misinfo_tpu.core.mesh import setup_train_mesh
+    mesh, params = setup_train_mesh(mesh_spec, params, batch_size)
 
     samples = load_csv_samples(csv_path, max_samples=max_samples)
     train_s, val_s = split_train_val(samples, 0.2, seed=42)

@@ -126,7 +126,13 @@ def make_effnet_step(tx, policy: Policy, stats: str = "clip"):
 def make_clip_step(tx, det_cfg: DetectorConfig, policy: Policy):
     """CLIPDetective step (C18, reference train_clip_detective.py):
     symmetric InfoNCE on matched pairs, trainable projections+logit_scale
-    (freezing is expressed by the optimizer mask)."""
+    (freezing is expressed by the optimizer mask).
+
+    Under a (data,) mesh the in-batch negatives are GLOBAL: the loss is
+    written over the logical [B] batch, so the [B, B] similarity matrix
+    spans all shards and GSPMD inserts the embedding all-gather over ICI —
+    naive per-shard DP would silently shrink the negative set to B/D
+    (VERDICT r2 #2; equality asserted in tests/test_trainers_mesh.py)."""
 
     def loss_fn(params, batch):
         te = clip_text_features(params["clip"], batch["input_ids"],
