@@ -564,3 +564,187 @@ def test_fused_no_speech_matches_standalone(trained_whisper):
                                    max_len=8, enc_out=enc,
                                    nospeech_id=sp.no_speech)
     np.testing.assert_allclose(np.asarray(ns_b), ref, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r2 #4: quantify the no-prev-text divergence. The production
+# transcriber decodes every 30 s window WITHOUT whisper's
+# condition_on_previous_text prompt carry (serve/transcript.py conscious
+# divergence). This A/B runs the SAME trained model over synthetic
+# multi-window audio through (a) the production promptless batched decode
+# and (b) whisper's seek-loop layout ([<|startofprev|>, prev tokens,
+# sot_sequence, ...]) and measures token-level divergence. The measured
+# number is recorded in docs/MIGRATION.md.
+# ---------------------------------------------------------------------------
+
+TEXT_A = "hello world"
+TEXT_B = "good day"
+
+
+def _tone(freqs, seconds=1.28):
+    t = np.arange(int(seconds * SR)) / SR
+    return sum(0.35 * np.sin(2 * np.pi * f * t) for f in freqs).astype(
+        np.float32)
+
+
+@pytest.fixture(scope="module")
+def prompt_trained_whisper(tmp_path_factory):
+    """Tiny whisper trained on TWO utterances in BOTH decoder layouts —
+    promptless ([sot_seq, text, eot]) and prev-text-conditioned
+    ([sot_prev, prev tokens, sot_seq, text, eot]) — so the prompted
+    seek-loop decode is in-distribution and the A/B measures the decode
+    PATH difference, not prompt-naivety of the toy model."""
+    import optax
+
+    tok = ByteWhisperTokenizer()
+    sp = tok.specials
+    cfg = WhisperConfig(
+        vocab_size=sp.vocab_size, num_mel_bins=80, d_model=64,
+        encoder_layers=2, decoder_layers=2, num_heads=4, ffn_dim=128,
+        max_source_positions=64, max_target_positions=32,
+        eos_token_id=sp.eot, decoder_start_token_id=sp.sot)
+
+    wave_a = _tone((440.0, 660.0))
+    wave_b = _tone((550.0, 880.0))
+    frames = 2 * cfg.max_source_positions
+
+    def mel_of(w):
+        return pad_or_trim_mel(log_mel_spectrogram(w), frames)
+
+    sot_seq = tok.sot_sequence()
+    tok_a, tok_b = tok.encode(TEXT_A), tok.encode(TEXT_B)
+
+    def example(mel, text_toks, prev_toks):
+        if prev_toks is None:
+            seq = sot_seq + text_toks + [sp.eot]
+            loss_from = 0
+        else:
+            prefix = [sp.sot_prev] + prev_toks
+            seq = prefix + sot_seq + text_toks + [sp.eot]
+            loss_from = len(prefix)  # prompt is given, not predicted
+        toks = np.full((cfg.max_target_positions,), sp.eot, np.int32)
+        toks[: len(seq)] = seq
+        w = np.zeros((cfg.max_target_positions - 1,), np.float32)
+        w[max(loss_from - 1, 0): len(seq) - 1] = 1.0
+        return mel, toks, w
+
+    exs = [example(mel_of(wave_a), tok_a, None),
+           example(mel_of(wave_b), tok_b, None),
+           example(mel_of(wave_a), tok_a, tok_b),
+           example(mel_of(wave_b), tok_b, tok_a)]
+    mels = jnp.asarray(np.stack([e[0] for e in exs]))
+    toks = np.stack([e[1] for e in exs])
+    inp = jnp.asarray(toks[:, :-1])
+    lbl = jnp.asarray(toks[:, 1:])
+    weight = jnp.asarray(np.stack([e[2] for e in exs]))
+
+    params = whisper_init(jax.random.PRNGKey(1), cfg)
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    def loss_fn(p):
+        enc = whisper_encode(p, mels, cfg, F32)
+        logits = whisper_decode_step(p, inp, enc, cfg, F32)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(lp, lbl[..., None], axis=-1)[..., 0]
+        return jnp.sum(nll * weight) / jnp.sum(weight)
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(g, s)
+        return optax.apply_updates(p, updates), s, l
+
+    loss = None
+    for _ in range(600):
+        params, opt_state, loss = step(params, opt_state)
+        if float(loss) < 0.01:
+            break
+    assert float(loss) < 0.5, f"tiny whisper failed to memorize ({loss})"
+
+    tmp = tmp_path_factory.mktemp("whisper_prev")
+    ckpt_dir = str(tmp / "ckpt")
+    from misinfo_tpu.checkpoints.io import save_checkpoint
+    save_checkpoint(ckpt_dir, params,
+                    metadata={"whisper_config": dataclasses.asdict(cfg),
+                              "tokenizer": "byte"})
+    long_audio = np.concatenate([wave_a, wave_b, wave_a])
+    wav_path = str(tmp / "long.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes((long_audio * 32767).astype(np.int16).tobytes())
+    return params, cfg, tok, ckpt_dir, wav_path, [wave_a, wave_b, wave_a]
+
+
+def _token_edit_distance(a, b):
+    m, n = len(a), len(b)
+    d = np.zeros((m + 1, n + 1), np.int32)
+    d[:, 0] = np.arange(m + 1)
+    d[0, :] = np.arange(n + 1)
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            d[i, j] = min(d[i - 1, j] + 1, d[i, j - 1] + 1,
+                          d[i - 1, j - 1] + (a[i - 1] != b[j - 1]))
+    return int(d[m, n])
+
+
+def test_prev_text_divergence_quantified(prompt_trained_whisper):
+    """A/B: production promptless batched decode vs whisper's prev-text
+    seek-loop on 3-window audio. The divergence IS the number recorded in
+    docs/MIGRATION.md — keep the doc in sync if this changes."""
+    from misinfo_tpu.models.whisper import decode_transcript
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    params, cfg, tok, ckpt_dir, wav_path, waves = prompt_trained_whisper
+    sp = tok.specials
+    expected = [TEXT_A, TEXT_B, TEXT_A]
+
+    # (a) production path: the real transcriber (batched, promptless)
+    tr = WhisperTranscriber(ckpt_dir)
+    assert tr.has_weights and tr.tokenizer_compatible
+    production = tr.transcribe(wav_path)
+    assert production == " ".join(expected)
+
+    # (b) whisper seek-loop: sequential windows, window w>0 prompted with
+    # [<|startofprev|>, tokens(prev window text), *sot_sequence]
+    frames = 2 * cfg.max_source_positions
+    per_window_prod, per_window_seek = [], []
+    prev_text = None
+    for w, wave_w in enumerate(waves):
+        mel = jnp.asarray(
+            pad_or_trim_mel(log_mel_spectrogram(wave_w), frames)[None])
+        if prev_text is None:
+            prompt = jnp.asarray([tok.sot_sequence()[1:]], jnp.int32)
+            dcfg = cfg
+        else:
+            prompt = jnp.asarray(
+                [tok.encode(prev_text) + tok.sot_sequence()], jnp.int32)
+            dcfg = dataclasses.replace(cfg,
+                                       decoder_start_token_id=sp.sot_prev)
+        tokens, _ = decode_transcript(params, mel, dcfg, F32,
+                                      prompt_tokens=prompt)
+        gen = [int(x) for x in np.asarray(tokens)[0][1 + prompt.shape[1]:]]
+        text = tok.decode(gen).strip()
+        per_window_seek.append(text)
+        prev_text = text
+
+        # promptless single-window decode (what production does per window)
+        tokens, _ = decode_transcript(
+            params, mel, cfg, F32,
+            prompt_tokens=jnp.asarray([tok.sot_sequence()[1:]], jnp.int32))
+        gen = [int(x) for x in np.asarray(tokens)[0]]
+        per_window_prod.append(tok.decode(gen).strip())
+
+    assert per_window_seek == expected    # the seek-loop layout works
+    total_tokens = sum(len(tok.encode(t)) for t in per_window_seek)
+    dist = sum(_token_edit_distance(tok.encode(a), tok.encode(b))
+               for a, b in zip(per_window_prod, per_window_seek))
+    rate = dist / max(total_tokens, 1)
+    print(f"prev-text divergence: {dist}/{total_tokens} tokens "
+          f"({rate:.1%}) across {len(waves)} windows")
+    # docs/MIGRATION.md records this measurement
+    assert dist == 0, (
+        f"prev-text conditioning changed {dist}/{total_tokens} tokens — "
+        "update the measured number in docs/MIGRATION.md")
