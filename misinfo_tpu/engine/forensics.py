@@ -658,7 +658,10 @@ class MisinfoForensics:
                         _dispatch(variant, batch, (variant, B, L, 0))
                     if not packed:
                         continue
-                    for r in buckets:
+                    # row counts dispatch can actually emit: bucketed AND
+                    # rounded to the data axis (_packed_rows_bucketed)
+                    for r in sorted({self._req_bucket(r0, buckets)
+                                     for r0 in buckets}):
                         # rows auto-pack can actually route to this bucket:
                         # any r ≤ B when pack_text is forced True, else
                         # only row counts that win the 25%-margin test

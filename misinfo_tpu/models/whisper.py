@@ -164,13 +164,19 @@ def whisper_decode_step(params: Dict, tokens: jax.Array, enc_out: jax.Array,
 
 def _cached_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
                          enc_out: jax.Array, kv_cache: Dict,
-                         cfg: WhisperConfig, policy: Policy):
+                         cfg: WhisperConfig, policy: Policy,
+                         pallas_ffn: bool = False):
     """One decoder step with KV caching.
 
     token [B] int32, pos scalar int32 → (logits [B,V], updated cache).
     Self-attention K/V for the new position are written into fixed
-    [B, max_target, H, Dh] cache buffers (static shapes, `lax`-friendly);
-    cross-attention K/V are precomputed once per utterance.
+    [B, H, max_target, Dh] cache buffers (static shapes, `lax`-friendly);
+    cross-attention K/V are precomputed once per utterance in the SAME
+    head-major layout. [B, H, S, Dh] is deliberate: the attention einsums
+    contract it without transposing — the previous [B, S, H, Dh] layout
+    made XLA re-transpose the full caches (6 MB cross K/V per layer)
+    inside EVERY decode step, which profiling showed as the dominant
+    async-copy/slice cost (docs/PERF.md round 3).
     """
     dec = params["decoder"]
     B = token.shape[0]
@@ -182,47 +188,64 @@ def _cached_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
          + dec["positions"][pos]).astype(policy.compute)      # [B, D]
     x = x[:, None, :]                                          # [B, 1, D]
 
-    S_max = kv_cache["self_k"][0].shape[1]
+    S_max = kv_cache["self_k"][0].shape[2]
     pos_mask = (jnp.arange(S_max)[None, :] <= pos).astype(jnp.float32)  # [1,S]
 
     new_cache = {"self_k": [], "self_v": []}
     for li, blk in enumerate(dec["blocks"]):
         h = layer_norm(blk["ln1"], x, policy=policy)
-        q = dense(blk["self_attn"]["q"], h, policy).reshape(B, 1, H, Dh)
-        k_new = dense(blk["self_attn"]["k"], h, policy).reshape(B, H, Dh)
-        v_new = dense(blk["self_attn"]["v"], h, policy).reshape(B, H, Dh)
+        if "qkv" in blk["self_attn"]:
+            # fused projection (fuse_whisper_decoder_qkv): one weight
+            # stream + dispatch; the S=1 split is a trivial row slice
+            qkv = dense(blk["self_attn"]["qkv"], h, policy)     # [B,1,3D]
+            q = qkv[..., :D].reshape(B, 1, H, Dh)
+            k_new = qkv[..., D:2 * D].reshape(B, H, Dh)
+            v_new = qkv[..., 2 * D:].reshape(B, H, Dh)
+        else:
+            q = dense(blk["self_attn"]["q"], h, policy).reshape(B, 1, H, Dh)
+            k_new = dense(blk["self_attn"]["k"], h, policy).reshape(B, H, Dh)
+            v_new = dense(blk["self_attn"]["v"], h, policy).reshape(B, H, Dh)
         ck = jax.lax.dynamic_update_index_in_dim(
-            kv_cache["self_k"][li], k_new, pos, axis=1)        # [B,S,H,Dh]
+            kv_cache["self_k"][li], k_new, pos, axis=2)        # [B,H,S,Dh]
         cv = jax.lax.dynamic_update_index_in_dim(
-            kv_cache["self_v"][li], v_new, pos, axis=1)
+            kv_cache["self_v"][li], v_new, pos, axis=2)
         new_cache["self_k"].append(ck)
         new_cache["self_v"].append(cv)
-        scores = jnp.einsum("bqhd,bshd->bhqs", q, ck,
+        scores = jnp.einsum("bqhd,bhsd->bhqs", q, ck,
                             preferred_element_type=jnp.float32,
                             precision=policy.precision) / np.sqrt(Dh)
         scores = scores + (1.0 - pos_mask)[None, None, :, :] * -1e9
         probs = jax.nn.softmax(scores, axis=-1).astype(policy.compute)
-        ctx = jnp.einsum("bhqs,bshd->bqhd", probs, cv,
+        ctx = jnp.einsum("bhqs,bhsd->bqhd", probs, cv,
                          preferred_element_type=policy.accum,
                          precision=policy.precision).astype(policy.compute)
         x = x + dense(blk["self_attn"]["o"], ctx.reshape(B, 1, D), policy)
 
         h = layer_norm(blk["ln_cross"], x, policy=policy)
         q = dense(blk["cross_attn"]["q"], h, policy).reshape(B, 1, H, Dh)
-        ck_x = kv_cache["cross_k"][li]                          # [B,T,H,Dh]
+        ck_x = kv_cache["cross_k"][li]                          # [B,H,T,Dh]
         cv_x = kv_cache["cross_v"][li]
-        scores = jnp.einsum("bqhd,bshd->bhqs", q, ck_x,
+        scores = jnp.einsum("bqhd,bhsd->bhqs", q, ck_x,
                             preferred_element_type=jnp.float32,
                             precision=policy.precision) / np.sqrt(Dh)
         probs = jax.nn.softmax(scores, axis=-1).astype(policy.compute)
-        ctx = jnp.einsum("bhqs,bshd->bqhd", probs, cv_x,
+        ctx = jnp.einsum("bhqs,bhsd->bqhd", probs, cv_x,
                          preferred_element_type=policy.accum,
                          precision=policy.precision).astype(policy.compute)
         x = x + dense(blk["cross_attn"]["o"], ctx.reshape(B, 1, D), policy)
 
         h = layer_norm(blk["ln2"], x, policy=policy)
-        x = x + dense(blk["mlp_out"], gelu_exact(dense(blk["mlp_in"], h, policy)),
-                      policy)
+        if pallas_ffn:
+            # one Pallas kernel for dense→GELU→dense (ops/pallas_ffn.py):
+            # the decode step is per-kernel-overhead-bound, so collapsing
+            # the FFN's three dispatches into one pays even at M=B rows
+            from misinfo_tpu.ops.pallas_ffn import ffn_apply
+            x = x + ffn_apply(blk["mlp_in"], blk["mlp_out"], h,
+                              policy=policy, mode="erf")
+        else:
+            x = x + dense(blk["mlp_out"],
+                          gelu_exact(dense(blk["mlp_in"], h, policy)),
+                          policy)
 
     x = layer_norm(params["decoder"]["final_ln"], x, policy=policy)[:, 0]
     logits = jnp.dot(x, dec["token_embedding"].T.astype(policy.compute),
@@ -231,6 +254,37 @@ def _cached_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
     kv_cache = {**kv_cache, "self_k": new_cache["self_k"],
                 "self_v": new_cache["self_v"]}
     return logits, kv_cache
+
+
+def fuse_whisper_decoder_qkv(params: Dict) -> Dict:
+    """Fuse each decoder block's SELF-attention q/k/v into one [D, 3D]
+    projection for the KV-cached decode step (cross-attention is left
+    alone — its k/v project the encoder side and are precomputed).
+
+    Unlike the tower-level QKV fusion rejected for serving (the [B, S, 3D]
+    split re-materializes three big copies, docs/PERF.md), the decode step
+    has S=1: the split slices a [B, 1, 3D] row — bytes are trivial, and the
+    step saves two of its ~8 weight-streaming matmul dispatches per layer.
+    Exact math (each output column is an independent dot product). Pure
+    pytree rewrite; idempotent; composes with stack_whisper_decoder."""
+    def fuse_block(blk: Dict) -> Dict:
+        sa = blk["self_attn"]
+        if "qkv" in sa:
+            return blk
+        q, k, v = sa["q"], sa["k"], sa["v"]
+        qkv = {"kernel": jnp.concatenate(
+            [q["kernel"], k["kernel"], v["kernel"]], axis=1)}
+        D = q["kernel"].shape[1]
+        zeros = jnp.zeros((D,), q["kernel"].dtype)
+        qkv["bias"] = jnp.concatenate([q.get("bias", zeros),
+                                       k.get("bias", zeros),
+                                       v.get("bias", zeros)])
+        return {**blk, "self_attn": {"qkv": qkv, "o": sa["o"]}}
+
+    dec = params["decoder"]
+    if "blocks" in dec:
+        dec = {**dec, "blocks": [fuse_block(b) for b in dec["blocks"]]}
+    return {**params, "decoder": dec}
 
 
 def stack_whisper_decoder(params: Dict) -> Dict:
@@ -257,7 +311,7 @@ def _scan_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
                        enc_out: jax.Array, kv_cache: Dict,
                        cfg: WhisperConfig, policy: Policy):
     """`_cached_decoder_step` over a STACKED layer axis: identical math,
-    one `lax.scan` over [L, ...] block params and [L, B, S, H, Dh] caches
+    one `lax.scan` over [L, ...] block params and [L, B, H, S, Dh] caches
     instead of a Python loop that unrolls ~25 ops per layer into the
     while-loop body. Cache leaves are stacked (see init_kv_cache)."""
     dec = params["decoder"]
@@ -269,34 +323,40 @@ def _scan_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
          + dec["positions"][pos]).astype(policy.compute)      # [B, D]
     x = x[:, None, :]                                          # [B, 1, D]
 
-    S_max = kv_cache["self_k"].shape[2]
+    S_max = kv_cache["self_k"].shape[3]
     pos_mask = (jnp.arange(S_max)[None, :] <= pos).astype(jnp.float32)
 
     def layer(x, inp):
         blk, ck_old, cv_old, ck_x, cv_x = inp
         h = layer_norm(blk["ln1"], x, policy=policy)
-        q = dense(blk["self_attn"]["q"], h, policy).reshape(B, 1, H, Dh)
-        k_new = dense(blk["self_attn"]["k"], h, policy).reshape(B, H, Dh)
-        v_new = dense(blk["self_attn"]["v"], h, policy).reshape(B, H, Dh)
-        ck = jax.lax.dynamic_update_index_in_dim(ck_old, k_new, pos, axis=1)
-        cv = jax.lax.dynamic_update_index_in_dim(cv_old, v_new, pos, axis=1)
-        scores = jnp.einsum("bqhd,bshd->bhqs", q, ck,
+        if "qkv" in blk["self_attn"]:
+            qkv = dense(blk["self_attn"]["qkv"], h, policy)     # [B,1,3D]
+            q = qkv[..., :D].reshape(B, 1, H, Dh)
+            k_new = qkv[..., D:2 * D].reshape(B, H, Dh)
+            v_new = qkv[..., 2 * D:].reshape(B, H, Dh)
+        else:
+            q = dense(blk["self_attn"]["q"], h, policy).reshape(B, 1, H, Dh)
+            k_new = dense(blk["self_attn"]["k"], h, policy).reshape(B, H, Dh)
+            v_new = dense(blk["self_attn"]["v"], h, policy).reshape(B, H, Dh)
+        ck = jax.lax.dynamic_update_index_in_dim(ck_old, k_new, pos, axis=2)
+        cv = jax.lax.dynamic_update_index_in_dim(cv_old, v_new, pos, axis=2)
+        scores = jnp.einsum("bqhd,bhsd->bhqs", q, ck,
                             preferred_element_type=jnp.float32,
                             precision=policy.precision) / np.sqrt(Dh)
         scores = scores + (1.0 - pos_mask)[None, None, :, :] * -1e9
         probs = jax.nn.softmax(scores, axis=-1).astype(policy.compute)
-        ctx = jnp.einsum("bhqs,bshd->bqhd", probs, cv,
+        ctx = jnp.einsum("bhqs,bhsd->bqhd", probs, cv,
                          preferred_element_type=policy.accum,
                          precision=policy.precision).astype(policy.compute)
         x = x + dense(blk["self_attn"]["o"], ctx.reshape(B, 1, D), policy)
 
         h = layer_norm(blk["ln_cross"], x, policy=policy)
         q = dense(blk["cross_attn"]["q"], h, policy).reshape(B, 1, H, Dh)
-        scores = jnp.einsum("bqhd,bshd->bhqs", q, ck_x,
+        scores = jnp.einsum("bqhd,bhsd->bhqs", q, ck_x,
                             preferred_element_type=jnp.float32,
                             precision=policy.precision) / np.sqrt(Dh)
         probs = jax.nn.softmax(scores, axis=-1).astype(policy.compute)
-        ctx = jnp.einsum("bhqs,bshd->bqhd", probs, cv_x,
+        ctx = jnp.einsum("bhqs,bhsd->bqhd", probs, cv_x,
                          preferred_element_type=policy.accum,
                          precision=policy.precision).astype(policy.compute)
         x = x + dense(blk["cross_attn"]["o"], ctx.reshape(B, 1, D), policy)
@@ -319,37 +379,37 @@ def _scan_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
 
 def init_kv_cache(params: Dict, enc_out: jax.Array, max_len: int,
                   cfg: WhisperConfig, policy: Policy) -> Dict:
-    """Allocate self-attention cache buffers and precompute cross K/V.
-    Stacked-decoder params (see stack_whisper_decoder) get stacked
-    [L, B, S, H, Dh] cache leaves for the scanned step."""
+    """Allocate self-attention cache buffers and precompute cross K/V —
+    everything in the head-major [B, H, S, Dh] layout the decode-step
+    einsums contract without transposing (the cross K/V transpose happens
+    ONCE here, outside the decode loop). Stacked-decoder params (see
+    stack_whisper_decoder) get stacked [L, B, H, S, Dh] cache leaves for
+    the scanned step."""
     dec = params["decoder"]
     B, T = enc_out.shape[0], enc_out.shape[1]
     H, Dh = cfg.num_heads, cfg.d_model // cfg.num_heads
+
+    def cross_kv(blk, which):
+        y = dense(blk["cross_attn"][which], enc_out, policy)
+        return y.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)    # [B,H,T,Dh]
+
     if "blocks_stacked" in dec:
         stacked = dec["blocks_stacked"]
         L = stacked["ln1"]["scale"].shape[0]
-        cross = jax.vmap(
-            lambda blk: dense(blk["cross_attn"]["k"], enc_out, policy)
-            .reshape(B, T, H, Dh))(stacked)
-        crossv = jax.vmap(
-            lambda blk: dense(blk["cross_attn"]["v"], enc_out, policy)
-            .reshape(B, T, H, Dh))(stacked)
         return {
-            "self_k": jnp.zeros((L, B, max_len, H, Dh), policy.compute),
-            "self_v": jnp.zeros((L, B, max_len, H, Dh), policy.compute),
-            "cross_k": cross,
-            "cross_v": crossv,
+            "self_k": jnp.zeros((L, B, H, max_len, Dh), policy.compute),
+            "self_v": jnp.zeros((L, B, H, max_len, Dh), policy.compute),
+            "cross_k": jax.vmap(lambda blk: cross_kv(blk, "k"))(stacked),
+            "cross_v": jax.vmap(lambda blk: cross_kv(blk, "v"))(stacked),
         }
     cache = {"self_k": [], "self_v": [], "cross_k": [], "cross_v": []}
     for blk in dec["blocks"]:
         cache["self_k"].append(
-            jnp.zeros((B, max_len, H, Dh), policy.compute))
+            jnp.zeros((B, H, max_len, Dh), policy.compute))
         cache["self_v"].append(
-            jnp.zeros((B, max_len, H, Dh), policy.compute))
-        cache["cross_k"].append(
-            dense(blk["cross_attn"]["k"], enc_out, policy).reshape(B, T, H, Dh))
-        cache["cross_v"].append(
-            dense(blk["cross_attn"]["v"], enc_out, policy).reshape(B, T, H, Dh))
+            jnp.zeros((B, H, max_len, Dh), policy.compute))
+        cache["cross_k"].append(cross_kv(blk, "k"))
+        cache["cross_v"].append(cross_kv(blk, "v"))
     return cache
 
 
@@ -362,7 +422,8 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
                       rng: Optional[jax.Array] = None,
                       enc_out: Optional[jax.Array] = None,
                       nospeech_id: Optional[int] = None,
-                      scan_layers: bool = False):
+                      scan_layers: bool = False,
+                      pallas_ffn: bool = False):
     """KV-cached transcript decoding, O(L) per step, early-exiting the
     decode loop once every batch row has emitted EOS (post-EOS stays EOS,
     so outputs are identical to running all ``max_len`` steps).
@@ -393,7 +454,9 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
         params = stack_whisper_decoder(params)
         step_fn = _scan_decoder_step
     else:
-        step_fn = _cached_decoder_step
+        import functools as _ft
+        step_fn = (_ft.partial(_cached_decoder_step, pallas_ffn=True)
+                   if pallas_ffn else _cached_decoder_step)
     B = enc_out.shape[0]
     sampled = not (isinstance(temperature, (int, float)) and temperature == 0)
     tokens = jnp.full((B, max_len), cfg.eos_token_id, jnp.int32)
@@ -404,6 +467,11 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
         tokens = tokens.at[:, 1:1 + P].set(prompt_tokens)
         start = 1 + P
     cache0 = init_kv_cache(params, enc_out, max_len, cfg, policy)
+    # cross K/V are per-utterance constants: close over them instead of
+    # threading them through the loop carry, so the loop state is only
+    # the (small) self caches + tokens
+    cross = {"cross_k": cache0.pop("cross_k"),
+             "cross_v": cache0.pop("cross_v")}
     done0 = jnp.zeros((B,), jnp.bool_)
     if sampled and rng is None:
         rng = jax.random.PRNGKey(0)
@@ -412,7 +480,9 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
         i, tokens, cache, done, sum_lp, cnt, ns = carry
         # feed token i-1, predict token i; cache position i-1 gets written
         logits, cache = step_fn(
-            params, tokens[:, i - 1], i - 1, enc_out, cache, cfg, policy)
+            params, tokens[:, i - 1], i - 1, enc_out, {**cache, **cross},
+            cfg, policy)
+        cache = {"self_k": cache["self_k"], "self_v": cache["self_v"]}
         logits = logits.astype(jnp.float32)
         if sampled:
             g = jax.random.gumbel(jax.random.fold_in(rng, i), logits.shape)
@@ -446,7 +516,9 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
     def prefill(i, carry):
         tokens, cache, done, sum_lp, cnt, ns = carry
         logits, cache = step_fn(
-            params, tokens[:, i], i, enc_out, cache, cfg, policy)
+            params, tokens[:, i], i, enc_out, {**cache, **cross},
+            cfg, policy)
+        cache = {"self_k": cache["self_k"], "self_v": cache["self_v"]}
         if nospeech_id is not None and start > 1:
             # prompted decode: position 0 (SOT fed) is prefill step i == 0
             ns = jnp.where(i == 0,

