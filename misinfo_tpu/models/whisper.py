@@ -238,10 +238,16 @@ def _cached_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
         if pallas_ffn:
             # one Pallas kernel for dense→GELU→dense (ops/pallas_ffn.py):
             # the decode step is per-kernel-overhead-bound, so collapsing
-            # the FFN's three dispatches into one pays even at M=B rows
+            # the FFN's three dispatches into one pays even at M=B rows.
+            # GELU mode: erf in f32 parity mode; tanh on the TPU serving
+            # path (Mosaic has no erf lowering; the tanh-vs-erf activation
+            # delta ≤4.7e-4 is below bf16 noise — same trade the text
+            # towers make, core/config.py gelu_mode)
             from misinfo_tpu.ops.pallas_ffn import ffn_apply
+            mode = ("erf" if policy.compute == jnp.dtype(jnp.float32)
+                    else "tanh")
             x = x + ffn_apply(blk["mlp_in"], blk["mlp_out"], h,
-                              policy=policy, mode="erf")
+                              policy=policy, mode=mode)
         else:
             x = x + dense(blk["mlp_out"],
                           gelu_exact(dense(blk["mlp_in"], h, policy)),

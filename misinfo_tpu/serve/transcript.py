@@ -163,6 +163,12 @@ class WhisperTranscriber:
         from misinfo_tpu.ops.common import DEFAULT_POLICY
         from misinfo_tpu.ops.serving import optimize_whisper_for_serving
         self.params = optimize_whisper_for_serving(self.params, DEFAULT_POLICY)
+        # fused self-attn QKV for the decode step: exact math, one weight
+        # stream instead of three per layer — measured +6.7% decode
+        # throughput with the head-major cache layout (docs/PERF.md r3;
+        # token-equality tested in tests/test_whisper_parity.py)
+        from misinfo_tpu.models.whisper import fuse_whisper_decoder_qkv
+        self.params = fuse_whisper_decoder_qkv(self.params)
         # optional jax.sharding.Mesh: params replicate across it and
         # multi-window decodes shard the window-batch axis over 'data'
         # (same DP story as the engine, §2.5; long clips batch 30 s
