@@ -165,7 +165,8 @@ def whisper_decode_step(params: Dict, tokens: jax.Array, enc_out: jax.Array,
 def _cached_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
                          enc_out: jax.Array, kv_cache: Dict,
                          cfg: WhisperConfig, policy: Policy,
-                         pallas_ffn: bool = False):
+                         pallas_ffn: bool = False,
+                         pallas_self_attn: bool = False):
     """One decoder step with KV caching.
 
     token [B] int32, pos scalar int32 → (logits [B,V], updated cache).
@@ -188,38 +189,52 @@ def _cached_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
          + dec["positions"][pos]).astype(policy.compute)      # [B, D]
     x = x[:, None, :]                                          # [B, 1, D]
 
-    S_max = kv_cache["self_k"][0].shape[2]
+    S_max = (kv_cache["self_k"][0].shape[1] if pallas_self_attn
+             else kv_cache["self_k"][0].shape[2])
     pos_mask = (jnp.arange(S_max)[None, :] <= pos).astype(jnp.float32)  # [1,S]
 
     new_cache = {"self_k": [], "self_v": []}
     for li, blk in enumerate(dec["blocks"]):
-        h = layer_norm(blk["ln1"], x, policy=policy)
-        if "qkv" in blk["self_attn"]:
-            # fused projection (fuse_whisper_decoder_qkv): one weight
-            # stream + dispatch; the S=1 split is a trivial row slice
-            qkv = dense(blk["self_attn"]["qkv"], h, policy)     # [B,1,3D]
-            q = qkv[..., :D].reshape(B, 1, H, Dh)
-            k_new = qkv[..., D:2 * D].reshape(B, H, Dh)
-            v_new = qkv[..., 2 * D:].reshape(B, H, Dh)
+        if pallas_self_attn and "qkv" in blk["self_attn"]:
+            # ONE kernel for the whole self-attention step (LN → QKV →
+            # cache write → masked attention → output proj → residual);
+            # ops/pallas_decode.py, opt-in per the CLAUDE.md kernel rule
+            from misinfo_tpu.ops.pallas_decode import fused_self_attn_step
+            x2, ck, cv = fused_self_attn_step(
+                x[:, 0], blk["ln1"], blk["self_attn"]["qkv"],
+                blk["self_attn"]["o"], kv_cache["self_k"][li],
+                kv_cache["self_v"][li], pos, n_heads=H, policy=policy)
+            x = x2[:, None, :]
+            new_cache["self_k"].append(ck)
+            new_cache["self_v"].append(cv)
         else:
-            q = dense(blk["self_attn"]["q"], h, policy).reshape(B, 1, H, Dh)
-            k_new = dense(blk["self_attn"]["k"], h, policy).reshape(B, H, Dh)
-            v_new = dense(blk["self_attn"]["v"], h, policy).reshape(B, H, Dh)
-        ck = jax.lax.dynamic_update_index_in_dim(
-            kv_cache["self_k"][li], k_new, pos, axis=2)        # [B,H,S,Dh]
-        cv = jax.lax.dynamic_update_index_in_dim(
-            kv_cache["self_v"][li], v_new, pos, axis=2)
-        new_cache["self_k"].append(ck)
-        new_cache["self_v"].append(cv)
-        scores = jnp.einsum("bqhd,bhsd->bhqs", q, ck,
-                            preferred_element_type=jnp.float32,
-                            precision=policy.precision) / np.sqrt(Dh)
-        scores = scores + (1.0 - pos_mask)[None, None, :, :] * -1e9
-        probs = jax.nn.softmax(scores, axis=-1).astype(policy.compute)
-        ctx = jnp.einsum("bhqs,bhsd->bqhd", probs, cv,
-                         preferred_element_type=policy.accum,
-                         precision=policy.precision).astype(policy.compute)
-        x = x + dense(blk["self_attn"]["o"], ctx.reshape(B, 1, D), policy)
+            h = layer_norm(blk["ln1"], x, policy=policy)
+            if "qkv" in blk["self_attn"]:
+                # fused projection (fuse_whisper_decoder_qkv): one weight
+                # stream + dispatch; the S=1 split is a trivial row slice
+                qkv = dense(blk["self_attn"]["qkv"], h, policy)  # [B,1,3D]
+                q = qkv[..., :D].reshape(B, 1, H, Dh)
+                k_new = qkv[..., D:2 * D].reshape(B, H, Dh)
+                v_new = qkv[..., 2 * D:].reshape(B, H, Dh)
+            else:
+                q = dense(blk["self_attn"]["q"], h, policy).reshape(B, 1, H, Dh)
+                k_new = dense(blk["self_attn"]["k"], h, policy).reshape(B, H, Dh)
+                v_new = dense(blk["self_attn"]["v"], h, policy).reshape(B, H, Dh)
+            ck = jax.lax.dynamic_update_index_in_dim(
+                kv_cache["self_k"][li], k_new, pos, axis=2)    # [B,H,S,Dh]
+            cv = jax.lax.dynamic_update_index_in_dim(
+                kv_cache["self_v"][li], v_new, pos, axis=2)
+            new_cache["self_k"].append(ck)
+            new_cache["self_v"].append(cv)
+            scores = jnp.einsum("bqhd,bhsd->bhqs", q, ck,
+                                preferred_element_type=jnp.float32,
+                                precision=policy.precision) / np.sqrt(Dh)
+            scores = scores + (1.0 - pos_mask)[None, None, :, :] * -1e9
+            probs = jax.nn.softmax(scores, axis=-1).astype(policy.compute)
+            ctx = jnp.einsum("bhqs,bhsd->bqhd", probs, cv,
+                             preferred_element_type=policy.accum,
+                             precision=policy.precision).astype(policy.compute)
+            x = x + dense(blk["self_attn"]["o"], ctx.reshape(B, 1, D), policy)
 
         h = layer_norm(blk["ln_cross"], x, policy=policy)
         q = dense(blk["cross_attn"]["q"], h, policy).reshape(B, 1, H, Dh)
@@ -384,7 +399,8 @@ def _scan_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
 
 
 def init_kv_cache(params: Dict, enc_out: jax.Array, max_len: int,
-                  cfg: WhisperConfig, policy: Policy) -> Dict:
+                  cfg: WhisperConfig, policy: Policy,
+                  merged_self: bool = False) -> Dict:
     """Allocate self-attention cache buffers and precompute cross K/V —
     everything in the head-major [B, H, S, Dh] layout the decode-step
     einsums contract without transposing (the cross K/V transpose happens
@@ -408,12 +424,14 @@ def init_kv_cache(params: Dict, enc_out: jax.Array, max_len: int,
             "cross_k": jax.vmap(lambda blk: cross_kv(blk, "k"))(stacked),
             "cross_v": jax.vmap(lambda blk: cross_kv(blk, "v"))(stacked),
         }
+    # merged_self: the fused Pallas step keeps heads merged in lanes
+    # ([B, S, D]) — lane-splitting casts don't lower (ops/pallas_decode.py)
+    self_shape = ((B, max_len, cfg.d_model) if merged_self
+                  else (B, H, max_len, Dh))
     cache = {"self_k": [], "self_v": [], "cross_k": [], "cross_v": []}
     for blk in dec["blocks"]:
-        cache["self_k"].append(
-            jnp.zeros((B, H, max_len, Dh), policy.compute))
-        cache["self_v"].append(
-            jnp.zeros((B, H, max_len, Dh), policy.compute))
+        cache["self_k"].append(jnp.zeros(self_shape, policy.compute))
+        cache["self_v"].append(jnp.zeros(self_shape, policy.compute))
         cache["cross_k"].append(cross_kv(blk, "k"))
         cache["cross_v"].append(cross_kv(blk, "v"))
     return cache
@@ -429,7 +447,8 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
                       enc_out: Optional[jax.Array] = None,
                       nospeech_id: Optional[int] = None,
                       scan_layers: bool = False,
-                      pallas_ffn: bool = False):
+                      pallas_ffn: bool = False,
+                      pallas_self_attn: bool = False):
     """KV-cached transcript decoding, O(L) per step, early-exiting the
     decode loop once every batch row has emitted EOS (post-EOS stays EOS,
     so outputs are identical to running all ``max_len`` steps).
@@ -461,8 +480,12 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
         step_fn = _scan_decoder_step
     else:
         import functools as _ft
-        step_fn = (_ft.partial(_cached_decoder_step, pallas_ffn=True)
-                   if pallas_ffn else _cached_decoder_step)
+        if pallas_self_attn:
+            params = fuse_whisper_decoder_qkv(params)  # kernel's layout
+        step_fn = (_ft.partial(_cached_decoder_step, pallas_ffn=pallas_ffn,
+                               pallas_self_attn=pallas_self_attn)
+                   if (pallas_ffn or pallas_self_attn)
+                   else _cached_decoder_step)
     B = enc_out.shape[0]
     sampled = not (isinstance(temperature, (int, float)) and temperature == 0)
     tokens = jnp.full((B, max_len), cfg.eos_token_id, jnp.int32)
@@ -472,7 +495,8 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
         P = prompt_tokens.shape[1]
         tokens = tokens.at[:, 1:1 + P].set(prompt_tokens)
         start = 1 + P
-    cache0 = init_kv_cache(params, enc_out, max_len, cfg, policy)
+    cache0 = init_kv_cache(params, enc_out, max_len, cfg, policy,
+                           merged_self=pallas_self_attn and not scan_layers)
     # cross K/V are per-utterance constants: close over them instead of
     # threading them through the loop carry, so the loop state is only
     # the (small) self caches + tokens

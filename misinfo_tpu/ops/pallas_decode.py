@@ -1,0 +1,171 @@
+"""Pallas TPU fused decoder SELF-ATTENTION step for KV-cached decoding.
+
+The Whisper decode loop is per-kernel-overhead-bound at seq-len-1 shapes
+(docs/PERF.md round 3: ~90 kernels/step, weight-bearing fusions ~15-20 µs
+each). This kernel collapses one decoder layer's entire self-attention
+step — pre-LN → fused QKV projection → KV-cache write at `pos` → masked
+per-head softmax attention over the cache → output projection → residual
+add — into ONE kernel. Everything fits VMEM at decode shapes (Wqkv
+1.5 MB + Wo 0.5 MB + two [B, S, D] cache planes ≈ 0.5 MB each at S=128),
+so the weights stream HBM→VMEM once per step with no intermediate HBM
+round-trips.
+
+Mosaic constraints shape the design: the cache planes keep heads MERGED
+in the lane dimension ([B, S, D], not [B, H, S, Dh]) because lane-
+splitting shape casts like (B, D)→(B, H, 1, Dh) fail vector-layout
+inference; per-head attention is expressed as static lane slices
+(h·Dh:(h+1)·Dh) with the head loop unrolled — all ops stay 2-D/3-D with
+D or Dh in lanes.
+
+Numerics mirror the XLA path cast-for-cast: LN and softmax in f32,
+matmuls with f32 accumulation, intermediates rounded to the compute dtype
+exactly where ops/common.dense does. Token-level equality vs the unfused
+decode is asserted in interpret mode (tests/test_whisper_parity.py).
+
+Verdict (docs/PERF.md round 3): **measured neutral-to-slightly-worse on
+TPU** — 79.4 utt/s vs 80.7 for the unfused path at b4/128 steps. The
+~7 saved dispatches per layer are repaid by the kernel's own cost: the
+per-head attention must run as unrolled VPU mul-reduce loops (Mosaic
+accepts neither batched dot_general at these ranks nor lane-splitting
+reshapes), and the masked cache write touches the full plane. Kept as an
+opt-in documented experiment (``decode_transcript(pallas_self_attn=True)``)
+with interpret-mode token-equality coverage; the remaining decode head-
+room is the cross-attention + FFN fusion with VMEM-resident weights,
+bounded ~1.6× by the HBM weight-streaming floor.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from misinfo_tpu.ops.common import DEFAULT_POLICY, Policy
+
+
+def _self_attn_step_kernel(pos_ref, x_ref, lns_ref, lnb_ref, wqkv_ref,
+                           bqkv_ref, wo_ref, bo_ref, ck_in_ref, cv_in_ref,
+                           o_ref, ck_ref, cv_ref, *, n_heads: int,
+                           precision, ln_single_pass: bool):
+    B, D = x_ref.shape
+    H = n_heads
+    Dh = D // H
+    S = ck_in_ref.shape[1]
+    pos = pos_ref[0]
+
+    x = x_ref[...]
+    compute_dtype = x.dtype
+
+    # pre-LN in f32, formula matched to ops/common.layer_norm per mode
+    # (single-pass variance in bf16 serving, two-pass in f32 parity)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    if ln_single_pass:
+        var = jnp.maximum(
+            jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+            - jnp.square(mu), 0.0)
+    else:
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    h = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+    h = (h * lns_ref[...] + lnb_ref[...]).astype(compute_dtype)
+
+    # fused QKV projection, f32 accumulation
+    qkv = jax.lax.dot_general(
+        h, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(compute_dtype)
+    q = qkv[:, :D]                                          # [B, D]
+    k_new = qkv[:, D:2 * D]
+    v_new = qkv[:, 2 * D:]
+
+    # cache write at `pos` as a masked full-plane select: Mosaic cannot
+    # prove alignment for a dynamic single-row sublane store, and the
+    # [B, S, D] select is ~256K lanes of VPU work inside VMEM. (An
+    # aligned-8-row-window variant relying on aliasing for the unwritten
+    # rows measured the same on TPU — 79.7 vs 79.4 utt/s — and broke
+    # interpret-mode semantics, so the simple full-plane form stays.)
+    row_is_pos = (jax.lax.broadcasted_iota(jnp.int32, (B, S, D), 1) == pos)
+    ck_ref[...] = jnp.where(row_is_pos, k_new[:, None, :], ck_in_ref[...])
+    cv_ref[...] = jnp.where(row_is_pos, v_new[:, None, :], cv_in_ref[...])
+    ck = ck_ref[...].astype(jnp.float32)                    # [B, S, D]
+    cv = cv_ref[...].astype(jnp.float32)
+
+    # masked per-head attention. Heads live in static lane slices; the
+    # head loop unrolls (H=8 for whisper-base). Contractions are tiny
+    # (B·S·D ≈ 256K MACs) — VPU mul+reduce, f32 accumulation like the
+    # XLA einsums' preferred_element_type.
+    qf = q.astype(jnp.float32)
+    smask = (jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+             <= pos).astype(jnp.float32)
+    neg = (1.0 - smask) * -1e9
+    ctx_heads = []
+    for hh in range(H):
+        qh = jax.lax.slice_in_dim(qf, hh * Dh, (hh + 1) * Dh, axis=1)
+        ckh = jax.lax.slice_in_dim(ck, hh * Dh, (hh + 1) * Dh, axis=2)
+        cvh = jax.lax.slice_in_dim(cv, hh * Dh, (hh + 1) * Dh, axis=2)
+        scores = jnp.sum(qh[:, None, :] * ckh,
+                         axis=-1) / np.sqrt(Dh)             # [B, S]
+        scores = scores + neg
+        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
+            compute_dtype).astype(jnp.float32)
+        ctx_heads.append(jnp.sum(probs[:, :, None] * cvh,
+                                 axis=1))                   # [B, Dh]
+    ctx = jnp.concatenate(ctx_heads, axis=-1).astype(compute_dtype)
+
+    out = jax.lax.dot_general(
+        ctx, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    out = (out + bo_ref[...].astype(jnp.float32)).astype(compute_dtype)
+    o_ref[...] = x + out
+
+
+def fused_self_attn_step(x: jax.Array, ln: Dict, qkv: Dict, o: Dict,
+                         cache_k: jax.Array, cache_v: jax.Array,
+                         pos, *, n_heads: int,
+                         policy: Policy = DEFAULT_POLICY):
+    """One decoder layer's self-attention decode step in one kernel.
+
+    x [B, D] (seq-len-1 squeezed), ln {scale, bias}, qkv {kernel [D, 3D],
+    bias [3D]} (the fuse_whisper_decoder_qkv layout), o {kernel, bias},
+    cache_k/cache_v [B, S, D] merged-head planes, pos scalar int32.
+    Returns (x + self_attn(LN(x)), cache_k', cache_v') with position
+    `pos` written. Cache buffers are input/output-aliased — no copy.
+    """
+    B, D = x.shape
+    compute = policy.compute
+    x = x.astype(compute)
+    pos = jnp.asarray(pos, jnp.int32).reshape(1)
+    kern = functools.partial(
+        _self_attn_step_kernel, n_heads=n_heads,
+        precision=policy.precision,
+        ln_single_pass=policy.compute == jnp.dtype(jnp.bfloat16))
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    out, ck, cv = pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # pos
+            vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
+            vmem(), vmem(),
+        ],
+        out_specs=[vmem(), vmem(), vmem()],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, D), compute),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        ],
+        input_output_aliases={8: 1, 9: 2},           # caches update in place
+    )(pos,
+      x,
+      ln["scale"].astype(jnp.float32), ln["bias"].astype(jnp.float32),
+      qkv["kernel"].astype(compute), qkv["bias"].astype(jnp.float32),
+      o["kernel"].astype(compute), o["bias"].astype(jnp.float32),
+      cache_k, cache_v)
+    return out, ck, cv

@@ -422,3 +422,28 @@ def test_pallas_ffn_decode_matches_dense():
                                         pallas_ffn=True)
     np.testing.assert_array_equal(np.asarray(tok_a), np.asarray(tok_b))
     np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_b), atol=1e-5)
+
+
+def test_pallas_self_attn_decode_matches(monkeypatch=None):
+    """decode_transcript(pallas_self_attn=True): the one-kernel
+    self-attention step (ops/pallas_decode.py, interpret mode on CPU) is
+    token-identical to the unfused decode in f32 — LN formula, cast
+    points, mask and softmax all matched."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from misinfo_tpu.models.whisper import decode_transcript
+
+    params = whisper_init(jax.random.PRNGKey(10), TINY)
+    rng = np.random.default_rng(11)
+    T = 2 * TINY.max_source_positions
+    mel = jnp.asarray(rng.normal(size=(3, T, TINY.num_mel_bins))
+                      .astype(np.float32))
+    tok_a, lp_a, ns_a = decode_transcript(params, mel, TINY, F32,
+                                          max_len=14, nospeech_id=7)
+    with pltpu.force_tpu_interpret_mode():
+        tok_b, lp_b, ns_b = decode_transcript(
+            params, mel, TINY, F32, max_len=14, nospeech_id=7,
+            pallas_self_attn=True)
+    np.testing.assert_array_equal(np.asarray(tok_a), np.asarray(tok_b))
+    np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ns_a), np.asarray(ns_b), atol=1e-6)

@@ -79,9 +79,10 @@ def main():
         from misinfo_tpu.models.whisper import stack_whisper_decoder
         params = stack_whisper_decoder(params)
     pallas_ffn = os.environ.get("BENCH_PALLAS_FFN", "0") == "1"
+    pallas_self_attn = os.environ.get("BENCH_PALLAS_ATTN", "0") == "1"
     dec_fn = jax.jit(lambda p, e: decode_transcript(
         p, None, cfg, policy, max_len=DECODE_LEN, enc_out=e,
-        pallas_ffn=pallas_ffn))
+        pallas_ffn=pallas_ffn, pallas_self_attn=pallas_self_attn))
     dt_dec, _ = time_program(lambda: dec_fn(params, enc_out), ITERS)
     dec_ms = dt_dec / ITERS * 1000.0
     # random-init weights never argmax EOS → all (max_len - 1) steps run
@@ -99,6 +100,7 @@ def main():
         "scan_layers": scan_layers,
         "fuse_qkv": fuse_qkv,
         "pallas_ffn": pallas_ffn,
+        "pallas_self_attn": pallas_self_attn,
         "device": str(jax.devices()[0]),
     }))
 
