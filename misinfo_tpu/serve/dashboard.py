@@ -212,12 +212,14 @@ def main():
         print("gradio is not installed — dashboard unavailable. "
               "The CLI (`python -m misinfo_tpu.serve.cli`) serves the same engine.")
         return 1
-    if os.getenv("MISINFO_TPU_WARMUP", "0") not in ("0", ""):
+    wu = os.getenv("MISINFO_TPU_WARMUP", "0")
+    if wu not in ("0", ""):
         # precompile the serving grid (and the whisper programs when a
         # checkpoint is configured) before the first request arrives — the
         # dashboard keeps the reference's zero-flag launch, so this rides
-        # an env var rather than argparse
-        get_engine().warmup()
+        # an env var rather than argparse. "full" = the production
+        # every-signature preset (same as the CLI/API `--warmup full`)
+        get_engine().warmup(full_grid=wu == "full")
         if os.getenv("WHISPER_CHECKPOINT"):
             from misinfo_tpu.serve.transcript import warmup_transcriber
             warmup_transcriber()
