@@ -130,6 +130,7 @@ class MisinfoForensics:
         self.vault = TruthVault.load(self.cfg.paths.vault_path)
         self.vault_loaded = self.vault is not None
         self._vault_device, self._vault_sharded = self._prepare_vault()
+        self._warn_vault_capacity(self._vault_device, self._vault_sharded)
         self._prep_pool = None  # lazy image-prep thread pool (_image_batch)
         self._use_pallas = use_pallas
         self._reload_lock = threading.Lock()  # serializes reload_vault
@@ -307,6 +308,44 @@ class MisinfoForensics:
             out[k] = jax.device_put(out[k], NamedSharding(self.mesh, spec))
         return out
 
+    # warn when per-device vault residency crosses this fraction of the
+    # reported HBM limit (the 16M-row ceiling probe sat at ~56%,
+    # docs/PERF.md; past ~70% the 2× headroom a staged reload_vault needs
+    # is gone and batch activations start fighting the allocator)
+    _VAULT_HBM_WARN_FRACTION = 0.7
+
+    def _warn_vault_capacity(self, dev: Dict, sharded: bool) -> None:
+        """Operator guardrail: log when the vault's per-device footprint
+        approaches the HBM limit, naming the cheaper capacity mode
+        (SCALING.md decision table). Pure diagnostics — behavior is
+        unchanged; the allocator, not this check, is the hard limit."""
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+        except Exception:
+            return  # backend reports nothing (CPU) — nothing to warn about
+        limit = stats.get("bytes_limit")
+        if not limit:
+            return
+        per_dev = sum(
+            int(np.prod(v.shape) * v.dtype.itemsize)
+            // (self._data_axis_size() if sharded else 1)
+            for v in dev.values())
+        if per_dev <= self._VAULT_HBM_WARN_FRACTION * limit:
+            return
+        vdt = self.cfg.serving.vault_dtype
+        nxt = {"float32": 'vault_dtype="int8" (4× capacity) or "int4" (8×)',
+               "bfloat16": 'vault_dtype="int8" or "int4"',
+               "int8": 'vault_dtype="int4" (2× more capacity)',
+               "int4": "row-sharding across chips (MisinfoForensics(mesh=…))"
+               }[vdt]
+        import logging
+        logging.getLogger("misinfo_tpu.engine").warning(
+            "vault occupies %.0f%% of device HBM (%.2f GB of %.2f GB, "
+            "dtype=%s%s); hot reload_vault needs ~2× headroom (or "
+            "drop_first=True) — consider %s (docs/SCALING.md)",
+            100.0 * per_dev / limit, per_dev / 2**30, limit / 2**30, vdt,
+            ", row-sharded" if sharded else "", nxt)
+
     def _publish_vault(self, vault, dev: Dict, sharded: bool) -> None:
         """Swap the serving vault in a few reference assignments (atomic
         under the GIL); a shard-threshold flip rebuilds the programs."""
@@ -362,6 +401,7 @@ class MisinfoForensics:
                 self._publish_vault(None, dev0, sh0)
             dev, sharded = self._prepare_vault(new_vault,
                                                vault_path=new_path)
+            self._warn_vault_capacity(dev, sharded)
             if path is not None:  # publish config only after staging worked
                 self.cfg = self.cfg.replace(
                     paths=_dc.replace(self.cfg.paths, vault_path=path))

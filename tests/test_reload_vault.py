@@ -190,3 +190,54 @@ def test_rest_reload_endpoint(tmp_path, shared_params):
     finally:
         httpd.shutdown()
         api.close()
+
+
+def test_vault_capacity_guardrail_warns(tmp_path, caplog, monkeypatch):
+    """The HBM guardrail fires (with the next capacity mode named) when
+    the vault footprint crosses the warn fraction, and stays silent below
+    it. memory_stats is mocked — CPU reports none."""
+    import logging
+
+    import numpy as np
+
+    from misinfo_tpu.vault.store import TruthVault
+
+    d = DET.clip.projection_dim
+    rng = np.random.default_rng(0)
+    vault = TruthVault(
+        rng.normal(size=(256, d)).astype(np.float32),
+        [{"title": f"t{i}", "url": "u", "date": "d"} for i in range(256)],
+        rng.normal(size=(256, d)).astype(np.float32))
+    p = str(tmp_path / "v.npz")
+    vault.save(p)
+    eng = MisinfoForensics(config=_cfg(p), det_cfg=DET,
+                           params=detector_init(jax.random.PRNGKey(0), DET))
+
+    real_bytes = sum(
+        int(np.prod(v.shape) * v.dtype.itemsize)
+        for v in eng._vault_device.values())
+
+    class _Dev:
+        def __init__(self, limit):
+            self._limit = limit
+
+        def memory_stats(self):
+            return {"bytes_limit": self._limit, "bytes_in_use": 0}
+
+    import jax as _jax
+
+    # limit just under the footprint → warn names the int8/int4 modes
+    monkeypatch.setattr(_jax, "local_devices",
+                        lambda: [_Dev(int(real_bytes / 0.9))])
+    with caplog.at_level(logging.WARNING, logger="misinfo_tpu.engine"):
+        eng._warn_vault_capacity(eng._vault_device, False)
+    assert any("int8" in r.getMessage() and "HBM" in r.getMessage()
+               for r in caplog.records)
+
+    # plenty of headroom → silent
+    caplog.clear()
+    monkeypatch.setattr(_jax, "local_devices",
+                        lambda: [_Dev(real_bytes * 100)])
+    with caplog.at_level(logging.WARNING, logger="misinfo_tpu.engine"):
+        eng._warn_vault_capacity(eng._vault_device, False)
+    assert not caplog.records
