@@ -97,6 +97,20 @@ def provision_cpu_devices(spec: str) -> MeshConfig:
     return mc
 
 
+def apply_device_override(device: str, mesh_spec: Optional[str] = None) -> None:
+    """Shared ``--device`` preamble for every entrypoint (CLI, REST API,
+    trainers): force the JAX platform (the axon plugin overrides plain
+    JAX_PLATFORMS env selection, so this must be a config update before
+    backend init), and under ``--device cpu --mesh …`` provision virtual
+    CPU devices so the topology validates without a TPU slice."""
+    if device == "auto":
+        return
+    jax.config.update("jax_platforms",
+                      "cpu" if device == "cpu" else "tpu,axon")
+    if device == "cpu" and mesh_spec:
+        provision_cpu_devices(mesh_spec)
+
+
 def setup_train_mesh(mesh_spec: Optional[str], params, batch_size: int):
     """Shared ``--mesh`` plumbing for every trainer (VERDICT r2 #2): parse
     the spec, build the (data, model) mesh, validate batch divisibility,

@@ -200,8 +200,9 @@ class Explainer:
         self.last_error = {"class": cls, "hint": hint,
                            "error": str(exc) if exc else "",
                            "stage": stage}
-        self.tracer.event(f"gemini_error_{cls}", 0.0,
-                          error=str(exc) if exc else "", hint=hint)
+        # count-only: outcome counters must not seed the latency
+        # reservoirs with fake 0-second events (Tracer.incr docstring)
+        self.tracer.incr(f"gemini_error_{cls}_count")
         logger.warning("gemini %s failed [%s]: %s — %s "
                        "(falling back to rule-based explanation)",
                        stage, cls, exc if exc else "empty response", hint)
@@ -214,7 +215,7 @@ class Explainer:
             response = self._model.generate_content(prompt)
             text = getattr(response, "text", None)
             if text:
-                self.tracer.event("gemini_ok", 0.0)
+                self.tracer.incr("gemini_ok_count")
                 return text.strip()
             # valid call, empty payload (reference :721-723)
             self._record_error(None, cls="empty")

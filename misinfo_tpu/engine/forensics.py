@@ -314,6 +314,17 @@ class MisinfoForensics:
     # is gone and batch activations start fighting the allocator)
     _VAULT_HBM_WARN_FRACTION = 0.7
 
+    @staticmethod
+    def _device0_bytes(v) -> int:
+        """Actual per-device residency of one placed array: equals the
+        global bytes for replicated arrays, global/D for row-sharded ones.
+        Shared by memory_report and the capacity guardrail."""
+        try:
+            sh = v.addressable_shards[0].data
+            return int(np.prod(sh.shape) * sh.dtype.itemsize)
+        except Exception:
+            return int(np.prod(v.shape) * v.dtype.itemsize)
+
     def _warn_vault_capacity(self, dev: Dict, sharded: bool) -> None:
         """Operator guardrail: log when the vault's per-device footprint
         approaches the HBM limit, naming the cheaper capacity mode
@@ -326,18 +337,16 @@ class MisinfoForensics:
         limit = stats.get("bytes_limit")
         if not limit:
             return
-        per_dev = sum(
-            int(np.prod(v.shape) * v.dtype.itemsize)
-            // (self._data_axis_size() if sharded else 1)
-            for v in dev.values())
+        per_dev = sum(self._device0_bytes(v) for v in dev.values())
         if per_dev <= self._VAULT_HBM_WARN_FRACTION * limit:
             return
         vdt = self.cfg.serving.vault_dtype
-        nxt = {"float32": 'vault_dtype="int8" (4× capacity) or "int4" (8×)',
-               "bfloat16": 'vault_dtype="int8" or "int4"',
-               "int8": 'vault_dtype="int4" (2× more capacity)',
-               "int4": "row-sharding across chips (MisinfoForensics(mesh=…))"
-               }[vdt]
+        if vdt == "int4":
+            nxt = ("a wider data axis (more chips)" if sharded else
+                   "row-sharding across chips (MisinfoForensics(mesh=…))")
+        else:
+            nxt = {"int8": 'vault_dtype="int4" (2× more capacity)'}.get(
+                vdt, 'vault_dtype="int8" (4× capacity) or "int4" (8×)')
         import logging
         logging.getLogger("misinfo_tpu.engine").warning(
             "vault occupies %.0f%% of device HBM (%.2f GB of %.2f GB, "
@@ -478,8 +487,7 @@ class MisinfoForensics:
         """Pack once → (PackedTextBatch, bucketed row count). The packed
         arrays are carried in the auto-pack plan and reused (row-padded)
         when packing wins — never packed twice (ADVICE r1)."""
-        from misinfo_tpu.preprocess.packing import (
-            pack_token_rows, packed_row_bucket)
+        from misinfo_tpu.preprocess.packing import pack_token_rows
         packed = pack_token_rows(seqs, row_len,
                                  self.det_cfg.roberta.pad_token_id,
                                  n_slots=n_slots)
@@ -558,21 +566,14 @@ class MisinfoForensics:
         vault_by_key = {k: int(np.prod(v.shape) * v.dtype.itemsize)
                         for k, v in self._vault_device.items()}
 
-        def _device0_bytes(v) -> int:
-            # actual per-device residency from the placed shards (equals
-            # the global bytes for replicated arrays, global/D for
-            # row-sharded ones — the 1/D scaling SCALING.md claims)
-            try:
-                sh = v.addressable_shards[0].data
-                return int(np.prod(sh.shape) * sh.dtype.itemsize)
-            except Exception:
-                return int(np.prod(v.shape) * v.dtype.itemsize)
-
         out = {
             "params_bytes": _tree_bytes(self.params),
             "vault_bytes": sum(vault_by_key.values()),
+            # actual per-device residency from the placed shards — the
+            # 1/D scaling SCALING.md claims (shared _device0_bytes helper)
             "vault_bytes_per_device": sum(
-                _device0_bytes(v) for v in self._vault_device.values()),
+                self._device0_bytes(v)
+                for v in self._vault_device.values()),
             "vault_bytes_by_key": vault_by_key,
             "vault_dtype": self.cfg.serving.vault_dtype,
             "vault_articles": (self.vault.num_articles

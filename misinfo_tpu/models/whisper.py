@@ -472,6 +472,13 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
     if enc_out is None:
         enc_out = whisper_encode(params, mel, cfg, policy)
     if scan_layers or "blocks_stacked" in params["decoder"]:
+        if pallas_ffn or pallas_self_attn:
+            # refuse silently-ignored combinations: a benchmark or caller
+            # would otherwise attribute its numbers to kernels that never
+            # ran (the scanned step has no Pallas variants)
+            raise ValueError(
+                "scan_layers decoding does not implement pallas_ffn / "
+                "pallas_self_attn — drop one of the flags")
         # stacked-layer scan: one loop-body emission instead of L unrolled
         # layers per decode step (VERDICT r2 #3; measured in docs/PERF.md).
         # Stacking inside the traced call is a handful of concats hoisted

@@ -232,15 +232,8 @@ def main(argv=None) -> int:
                         "trusted network)")
     args = p.parse_args(argv)
 
-    if args.device != "auto":
-        import jax
-        jax.config.update("jax_platforms",
-                          "cpu" if args.device == "cpu" else "tpu,axon")
-        if args.device == "cpu" and args.mesh:
-            # --mesh on CPU provisions virtual devices (topology
-            # validation without a TPU slice)
-            from misinfo_tpu.core.mesh import provision_cpu_devices
-            provision_cpu_devices(args.mesh)
+    from misinfo_tpu.core.mesh import apply_device_override
+    apply_device_override(args.device, args.mesh)
 
     from misinfo_tpu.core.config import ForensicsConfig
 

@@ -399,12 +399,8 @@ def main(argv=None):
                    help="platform override; cpu + --mesh uses virtual "
                         "devices (validation without a TPU slice)")
     args = p.parse_args(argv)
-    if args.device != "auto":
-        jax.config.update("jax_platforms",
-                          "cpu" if args.device == "cpu" else "tpu,axon")
-        if args.device == "cpu" and args.mesh:
-            from misinfo_tpu.core.mesh import provision_cpu_devices
-            provision_cpu_devices(args.mesh)
+    from misinfo_tpu.core.mesh import apply_device_override
+    apply_device_override(args.device, args.mesh)
 
     if args.generate_db:
         build_vault(args.json_file, args.db_out, checkpoint=args.checkpoint)

@@ -56,6 +56,13 @@ class Tracer:
         if self.sink:
             self.sink(json.dumps(ev))
 
+    def incr(self, counter: str, n: float = 1) -> None:
+        """Count-only bump (no duration): outcome counters like the
+        gemini error classes must not seed the latency reservoirs, or
+        /metrics would show fake 0-ms percentiles next to real ones."""
+        with self._lock:
+            self.counters[counter] += n
+
     def rate(self, stage: str) -> float:
         with self._lock:
             secs = self.counters.get(f"{stage}_seconds", 0.0)

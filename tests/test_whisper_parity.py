@@ -447,3 +447,18 @@ def test_pallas_self_attn_decode_matches(monkeypatch=None):
     np.testing.assert_array_equal(np.asarray(tok_a), np.asarray(tok_b))
     np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_b), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ns_a), np.asarray(ns_b), atol=1e-6)
+
+
+def test_scan_layers_rejects_pallas_flags():
+    """Conflicting decode flags raise instead of silently dropping the
+    Pallas kernels (a bench would otherwise mislabel its numbers)."""
+    from misinfo_tpu.models.whisper import decode_transcript
+
+    params = whisper_init(jax.random.PRNGKey(12), TINY)
+    rng = np.random.default_rng(13)
+    mel = jnp.asarray(rng.normal(
+        size=(1, 2 * TINY.max_source_positions, TINY.num_mel_bins))
+        .astype(np.float32))
+    with pytest.raises(ValueError, match="scan_layers"):
+        decode_transcript(params, mel, TINY, F32, max_len=8,
+                          scan_layers=True, pallas_ffn=True)
