@@ -733,6 +733,17 @@ class MisinfoForensics:
                     "roberta_mask": jnp.ones((V, L), jnp.int32),
                     **_clip_tokens(V),
                 }, ("video_text", V, L, 0))
+        vault = self.vault
+        if vault is not None and vault.text_embeddings is None:
+            # vaults WITHOUT precomputed title embeddings compute the
+            # caption-vs-headline similarity on demand (reference :468-484
+            # parity path, _caption_title_similarity) through a separate
+            # [2, cl_len] clip-text jit — warm it, or the first >0.85
+            # match in production pays a mid-request compile
+            outs.append(self._clip_text_jit(
+                self.params["clip"], jnp.zeros((2, cl_len), jnp.int32),
+                jnp.ones((2, cl_len), jnp.int32)))
+            done.append(("caption_title_sim", 2, cl_len, 0))
         from misinfo_tpu.utils.timing import sync_fetch
         sync_fetch(outs)  # data sync: relay block_until_ready can ack early
         if self.cfg.verbose:

@@ -29,7 +29,7 @@ def _engine(**serving):
 
 
 def _jit_cache_size(eng) -> int:
-    n = eng._pack_out._cache_size()
+    n = eng._pack_out._cache_size() + eng._clip_text_jit._cache_size()
     for fn in eng.programs._jitted.values():
         n += fn._cache_size()
     return n
@@ -87,4 +87,57 @@ def test_default_warmup_covers_endpoint_shapes():
     n0 = _jit_cache_size(eng)
     eng.analyze_batch([{"text": "one short request"}])
     eng.analyze_batch([{"text": f"req {i}"} for i in range(8)])
+    assert _jit_cache_size(eng) == n0
+
+
+def test_full_grid_warmup_covers_caption_title_similarity(tmp_path):
+    """Vaults WITHOUT precomputed title embeddings compute the
+    caption-vs-headline similarity on demand through a separate clip-text
+    jit; full-grid warmup must cover it so the first >0.85 match doesn't
+    compile mid-request."""
+    import jax.numpy as jnp
+
+    from misinfo_tpu.core.config import ForensicsConfig, PrecisionConfig
+    from misinfo_tpu.models.clip import clip_image_features
+    from misinfo_tpu.models.detector import detector_init
+    from misinfo_tpu.ops.common import Policy, l2_normalize
+    from misinfo_tpu.ops.image_ops import normalize_images
+    from misinfo_tpu.preprocess.image import (batch_images, decode_rgb,
+                                              image_to_array)
+    from misinfo_tpu.vault.store import TruthVault
+
+    params = detector_init(jax.random.PRNGKey(0), DET)
+    cfg = ForensicsConfig(verbose=False).replace(
+        precision=PrecisionConfig.highest())
+    policy = Policy(cfg.precision)
+
+    # plant the query image's own embedding as a vault row so the 0.85
+    # reuse gate fires; NO text_embeddings → on-demand title similarity
+    img = _img(42)
+    size = DET.clip.image_size
+    arr = batch_images([image_to_array(decode_rgb(img), "clip", size)], size)
+    emb = np.asarray(l2_normalize(clip_image_features(
+        params["clip"], normalize_images(jnp.asarray(arr), "clip",
+                                         policy.compute),
+        DET.clip, policy)))[0]
+    rng = np.random.default_rng(1)
+    embs = rng.normal(size=(16, DET.clip.projection_dim)).astype(np.float32)
+    embs[0] = emb
+    vp = str(tmp_path / "v.npz")
+    TruthVault(embs, [{"title": f"t{i}", "url": "u", "date": "d"}
+                      for i in range(16)]).save(vp)
+
+    cfg = cfg.replace(
+        paths=cfg.paths.__class__(vault_path=vp),
+        seq=cfg.seq.__class__(roberta_max_len=64, image_size=size),
+        serving=cfg.serving.__class__(batch_buckets=(1, 4),
+                                      pack_text=False))
+    eng = MisinfoForensics(config=cfg, det_cfg=DET, params=params)
+    assert eng.vault.text_embeddings is None
+    sigs = eng.warmup(full_grid=True, videos=())
+    assert any(v == "caption_title_sim" for v, *_ in sigs)
+    n0 = _jit_cache_size(eng)
+    out = eng.analyze_batch([{"text": "a caption", "image": img}])
+    assert out[0]["scores"]["vault_discrepancy"] > 0.85   # gate fired
+    assert out[0]["scores"]["text_similarity"] != 0.0     # on-demand path ran
     assert _jit_cache_size(eng) == n0
