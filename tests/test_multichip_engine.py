@@ -428,3 +428,29 @@ def test_mesh_scaling_sweep_scores_and_vault_memory(vault_path,
     # every vault plane row-shards, so device residency is global/D
     assert rep["vault_bytes_per_device"] * d == rep["vault_bytes"]
     assert rep["vault_sharded"] is True
+
+
+def test_engine_mesh_auto_pack_engages_and_matches(vault_path,
+                                                   shared_params):
+    """pack_text='auto' under a mesh: heavily packable traffic (many short
+    texts) must actually route to the packed program (rows rounded to the
+    data axis) and score-match the single-device auto engine."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    single = MisinfoForensics(config=_cfg(vault_path, pack_text="auto"),
+                              det_cfg=DET, params=_copy(shared_params))
+    mesh = make_mesh(MeshConfig(data=2, model=1),
+                     devices=jax.devices()[:2])
+    meshed = MisinfoForensics(config=_cfg(vault_path, pack_text="auto"),
+                              det_cfg=DET, params=_copy(shared_params),
+                              mesh=mesh)
+    reqs = [{"text": f"short {i}"} for i in range(16)]
+    # the auto margin must fire for this traffic on BOTH engines: 16 short
+    # texts pack into ≤4 rows ≤ 3/4 of the 16-bucket
+    texts = [r["text"] for r in reqs]
+    seqs, row_len = meshed._text_pack_plan(texts)
+    _, rows = meshed._packed_rows_bucketed(seqs, row_len, 16)
+    assert rows * 4 <= 16 * 3, "fixture traffic must trigger auto-pack"
+    assert rows % 2 == 0, "packed rows must round to the data axis"
+    _assert_reports_match(single.analyze_batch(reqs),
+                          meshed.analyze_batch(reqs))
