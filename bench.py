@@ -29,6 +29,11 @@ QUANT = os.environ.get("BENCH_QUANT", "none")    # "int8" → quantized serving
 VARIANT = os.environ.get("BENCH_VARIANT", "full")  # full|text_only|visual_only
 PACK = os.environ.get("BENCH_PACK", "0") == "1"    # pack ragged text rows
 VAULT_ROWS = int(os.environ.get("BENCH_VAULT", "2176"))  # reference ~2170
+# BENCH_DEVICE_RESIZE=1 ships staged raw frames (BENCH_STAGING² uint8) and
+# lets the program derive both 224px flavors on device (ops/resize.py) —
+# the ServingConfig.device_resize serving path
+DEVICE_RESIZE = os.environ.get("BENCH_DEVICE_RESIZE", "0") == "1"
+STAGING = int(os.environ.get("BENCH_STAGING", "640"))
 IVF = os.environ.get("BENCH_IVF", "0") == "1"  # probed-cluster vault search
 VAULT_DTYPE = os.environ.get("BENCH_VAULT_DTYPE", "float32")  # |bfloat16|int8|int4
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
@@ -106,6 +111,14 @@ def main():
             "vault_text_emb": jnp.asarray(
                 rng.standard_normal((vault_rows, 512), dtype=np.float32)),
         }
+        if DEVICE_RESIZE:
+            from misinfo_tpu.preprocess.image import stage_image_batch
+            frames = [rng.integers(0, 255, (480, 640, 3)).astype(np.uint8)
+                      for _ in range(V * F)]
+            staged, rp = stage_image_batch(frames, STAGING)
+            del batch["image_effnet"], batch["image_clip"]
+            batch.update(image_staged=jnp.asarray(staged),
+                         resize_params=jnp.asarray(rp))
         if VARIANT == "video_text":
             batch.update(
                 roberta_ids=jnp.asarray(rng.integers(3, 50000, (V, S)), jnp.int32),

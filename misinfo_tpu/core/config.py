@@ -178,6 +178,18 @@ class ServingConfig:
     # bf16 copy for the IVF candidate gather (half the scattered-read
     # bytes; final top-k re-scored from the f32 rows — see vault/ivf.py)
     ivf_bf16_gather: bool = False
+    # On-device image resize (ops/resize.py): host ships ONE padded uint8
+    # frame per image and the fused program derives both 224px flavors as
+    # MXU matmuls with PIL-faithful antialiased weights (≤2 uint8 levels
+    # vs PIL where the cv2 host fast path diverges by ~50; docs/PERF.md).
+    # Removes ~90% of per-image host prep (~6 ms/image single-core) at the
+    # cost of a larger host→device transfer (staged S² vs 2·224² bytes) —
+    # the right trade on co-located hosts; off by default for
+    # remote-attached devices where transfer dominates.
+    device_resize: bool = False
+    # Square staging sizes (one jit signature each per image-bearing
+    # program); frames beyond the last bucket are host-shrunk into it.
+    image_staging_buckets: Tuple[int, ...] = (320, 640, 1280)
     # Mesh serving: vaults at/above this row count are ROW-SHARDED across
     # the data axis (vault/search.py vault_search_sharded — local matmul +
     # per-shard top-k + O(K·devices) candidate merge) instead of being
@@ -253,6 +265,11 @@ class ForensicsConfig:
                    else _pt in ("1", "true", "on"))
             cfg = dataclasses.replace(
                 cfg, serving=dataclasses.replace(cfg.serving, pack_text=val))
+        _dr = os.getenv("MISINFO_TPU_DEVICE_RESIZE")
+        if _dr in ("1", "true", "on", "0", "false", "off"):
+            cfg = dataclasses.replace(
+                cfg, serving=dataclasses.replace(
+                    cfg.serving, device_resize=_dr in ("1", "true", "on")))
         vd = os.getenv("MISINFO_TPU_VAULT_DTYPE")
         if vd in ("float32", "bfloat16", "int8", "int4"):
             cfg = dataclasses.replace(

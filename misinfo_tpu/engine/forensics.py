@@ -520,31 +520,62 @@ class MisinfoForensics:
             "cls_cols": jnp.asarray(packed.cls_cols),
         }
 
-    def _image_batch(self, images: List, bucket: int):
+    def _pool(self):
+        """Lazy shared host-prep thread pool (cv2/PIL release the GIL, so
+        decode/resize scale with host cores; 1-core hosts degrade
+        gracefully)."""
+        if self._prep_pool is None:
+            import concurrent.futures as cf
+            self._prep_pool = cf.ThreadPoolExecutor(
+                max_workers=min(16, (os.cpu_count() or 1)))
+        return self._prep_pool
+
+    def _prep_map(self, fn, items: List) -> List:
+        if len(items) > 1:
+            return list(self._pool().map(fn, items))
+        return [fn(x) for x in items]
+
+    def _stage_images(self, arrays: List, bucket: int) -> Dict:
+        """Device-resize path: decoded frames (+ None padding to ``bucket``)
+        → staged uint8 planes + per-image resize params; both 224px flavors
+        are derived on device (ops/resize.py)."""
+        from misinfo_tpu.preprocess.image import (choose_staging_bucket,
+                                                  stage_image_batch)
         size = self.cfg.seq.image_size
+        arrays = arrays + [None] * (bucket - len(arrays))
+        max_dim = max((max(a.shape[:2]) for a in arrays if a is not None),
+                      default=size)
+        S = choose_staging_bucket(max_dim,
+                                  self.cfg.serving.image_staging_buckets)
+        staged, params = stage_image_batch(arrays, S, size)
+        return {"image_staged": jnp.asarray(staged),
+                "resize_params": jnp.asarray(params)}
+
+    def _image_batch(self, images: List, bucket: int) -> Dict:
+        """Image tensors for one request group: host decode always; resize
+        on host (cv2/PIL, two 224px flavors) or on device
+        (ServingConfig.device_resize → staged frames, ~6× less host work
+        per image on one core, docs/PERF.md)."""
+        size = self.cfg.seq.image_size
+        from misinfo_tpu.preprocess.image import decode_rgb
+        if self.cfg.serving.device_resize:
+            arrs = self._prep_map(
+                lambda im: None if im is None else decode_rgb(im), images)
+            return self._stage_images(arrs, bucket)
 
         def prep(im):
             if im is None:
                 return None, None
-            from misinfo_tpu.preprocess.image import decode_rgb
             arr = decode_rgb(im)  # decode once, resize twice
             return (image_to_array(arr, "effnet", size),
                     image_to_array(arr, "clip", size))
 
-        # decode+resize in parallel: cv2/PIL release the GIL, so this
-        # scales with host cores (single-core hosts degrade gracefully)
-        if len(images) > 1:
-            if self._prep_pool is None:
-                import concurrent.futures as cf
-                self._prep_pool = cf.ThreadPoolExecutor(
-                    max_workers=min(16, (os.cpu_count() or 1)))
-            pairs = list(self._prep_pool.map(prep, images))
-        else:
-            pairs = [prep(im) for im in images]
+        pairs = self._prep_map(prep, images)
         pad = bucket - len(images)
         eff = [p[0] for p in pairs] + [None] * pad
         clp = [p[1] for p in pairs] + [None] * pad
-        return batch_images(eff, size), batch_images(clp, size)
+        return {"image_effnet": jnp.asarray(batch_images(eff, size)),
+                "image_clip": jnp.asarray(batch_images(clp, size))}
 
     # ------------------------------------------------------------ warmup
 
@@ -630,7 +661,10 @@ class MisinfoForensics:
         skips the video programs; ``variants`` takes only the three
         request variants (video programs are selected via ``videos``).
         Returns the warmed ``(variant, batch, text_len, packed_rows)``
-        signatures (``packed_rows=0`` ⇒ dense).
+        signatures (``packed_rows=0`` ⇒ dense). With
+        ``serving.device_resize`` every image-bearing program is warmed
+        once per ``image_staging_buckets`` entry and signatures gain a
+        fifth element (the staging size; 0 for image-less programs).
         """
         bad = set(variants) - set(self._WARMUP_VARIANTS)
         if bad:
@@ -678,61 +712,86 @@ class MisinfoForensics:
             return {"clip_ids": jnp.zeros((n, cl_len), jnp.int32),
                     "clip_mask": jnp.ones((n, cl_len), jnp.int32)}
 
-        def _images(n):
-            return {"image_effnet": jnp.zeros((n, size, size, 3), jnp.uint8),
-                    "image_clip": jnp.zeros((n, size, size, 3), jnp.uint8)}
+        # device_resize adds a staging-size axis to every image-bearing
+        # signature (one jit per staging bucket); sigs then carry a 5th
+        # element (staging size, 0 for image-less programs)
+        staging = (self.cfg.serving.image_staging_buckets
+                   if self.cfg.serving.device_resize else None)
+
+        def _sig(variant, B, L, r, S=0):
+            return ((variant, B, L, r) if staging is None
+                    else (variant, B, L, r, S))
+
+        def _image_sets(n):
+            if staging is None:
+                return [({"image_effnet": jnp.zeros((n, size, size, 3),
+                                                    jnp.uint8),
+                          "image_clip": jnp.zeros((n, size, size, 3),
+                                                  jnp.uint8)}, 0)]
+            from misinfo_tpu.preprocess.image import resize_param_row
+            row = resize_param_row(size, size, size)
+            return [({"image_staged": jnp.zeros((n, S, S, 3), jnp.uint8),
+                      "resize_params": jnp.asarray(np.tile(row, (n, 1)))}, S)
+                    for S in staging]
 
         for variant in variants:
             for n in batch_sizes:
                 B = self._req_bucket(n, buckets)
                 if variant == "visual_only":
-                    _dispatch(variant, _images(B), (variant, B, 0, 0))
+                    for img, S in _image_sets(B):
+                        _dispatch(variant, dict(img),
+                                  _sig(variant, B, 0, 0, S))
                     continue
-                img = _images(B) if variant == "full" else {}
-                for L in text_buckets:
-                    if dense_text:
-                        batch = {
-                            "roberta_ids": jnp.zeros((B, L), jnp.int32),
-                            "roberta_mask": jnp.ones((B, L), jnp.int32),
-                            **_clip_tokens(B), **img,
-                        }
-                        _dispatch(variant, batch, (variant, B, L, 0))
-                    if not packed:
-                        continue
-                    # row counts dispatch can actually emit: bucketed AND
-                    # rounded to the data axis (_packed_rows_bucketed)
-                    for r in sorted({self._req_bucket(r0, buckets)
-                                     for r0 in buckets}):
-                        # rows auto-pack can actually route to this bucket:
-                        # any r ≤ B when pack_text is forced True, else
-                        # only row counts that win the 25%-margin test
-                        # (_dispatch_group: rows*4 <= bucket*3)
-                        if r > B or (pack_mode is not True and r * 4 > B * 3):
+                img_sets = (_image_sets(B) if variant == "full"
+                            else [({}, 0)])
+                for img, S in img_sets:
+                    for L in text_buckets:
+                        if dense_text:
+                            batch = {
+                                "roberta_ids": jnp.zeros((B, L), jnp.int32),
+                                "roberta_mask": jnp.ones((B, L), jnp.int32),
+                                **_clip_tokens(B), **img,
+                            }
+                            _dispatch(variant, batch, _sig(variant, B, L, 0, S))
+                        if not packed:
                             continue
-                        pb = {
-                            "roberta_ids": jnp.zeros((r, L), jnp.int32),
-                            "roberta_mask": jnp.ones((r, L), jnp.int32),
-                            "roberta_pos": jnp.zeros((r, L), jnp.int32),
-                            "roberta_seg": jnp.zeros((r, L), jnp.int32),
-                            "cls_rows": jnp.zeros((B,), jnp.int32),
-                            "cls_cols": jnp.zeros((B,), jnp.int32),
-                            **(_clip_tokens(B) if variant == "full" else {}),
-                            **img,
-                        }
-                        _dispatch(variant, pb, (variant, B, L, r))
+                        # row counts dispatch can actually emit: bucketed AND
+                        # rounded to the data axis (_packed_rows_bucketed)
+                        for r in sorted({self._req_bucket(r0, buckets)
+                                         for r0 in buckets}):
+                            # rows auto-pack can actually route to this
+                            # bucket: any r ≤ B when pack_text is forced
+                            # True, else only row counts that win the
+                            # 25%-margin test (_dispatch_group:
+                            # rows*4 <= bucket*3)
+                            if r > B or (pack_mode is not True
+                                         and r * 4 > B * 3):
+                                continue
+                            pb = {
+                                "roberta_ids": jnp.zeros((r, L), jnp.int32),
+                                "roberta_mask": jnp.ones((r, L), jnp.int32),
+                                "roberta_pos": jnp.zeros((r, L), jnp.int32),
+                                "roberta_seg": jnp.zeros((r, L), jnp.int32),
+                                "cls_rows": jnp.zeros((B,), jnp.int32),
+                                "cls_cols": jnp.zeros((B,), jnp.int32),
+                                **(_clip_tokens(B) if variant == "full"
+                                   else {}),
+                                **img,
+                            }
+                            _dispatch(variant, pb, _sig(variant, B, L, r, S))
         F = self.cfg.video.max_frames
         for n in videos:
             V = self._req_bucket(n, vbuckets)
-            base = {**_images(V * F),
-                    "frame_valid": jnp.ones((V, F), jnp.bool_)}
-            _dispatch("video", dict(base), ("video", V, 0, 0))
-            for L in text_buckets:
-                _dispatch("video_text", {
-                    **base,
-                    "roberta_ids": jnp.zeros((V, L), jnp.int32),
-                    "roberta_mask": jnp.ones((V, L), jnp.int32),
-                    **_clip_tokens(V),
-                }, ("video_text", V, L, 0))
+            for img, S in _image_sets(V * F):
+                base = {**img, "frame_valid": jnp.ones((V, F), jnp.bool_)}
+                _dispatch("video", dict(base), _sig("video", V, 0, 0, S))
+                for L in text_buckets:
+                    _dispatch("video_text", {
+                        **base,
+                        "roberta_ids": jnp.zeros((V, L), jnp.int32),
+                        "roberta_mask": jnp.ones((V, L), jnp.int32),
+                        **_clip_tokens(V),
+                    }, _sig("video_text", V, L, 0, S))
         vault = self.vault
         if vault is not None and vault.text_embeddings is None:
             # vaults WITHOUT precomputed title embeddings compute the
@@ -743,13 +802,16 @@ class MisinfoForensics:
             outs.append(self._clip_text_jit(
                 self.params["clip"], jnp.zeros((2, cl_len), jnp.int32),
                 jnp.ones((2, cl_len), jnp.int32)))
-            done.append(("caption_title_sim", 2, cl_len, 0))
+            done.append(_sig("caption_title_sim", 2, cl_len, 0))
         from misinfo_tpu.utils.timing import sync_fetch
         sync_fetch(outs)  # data sync: relay block_until_ready can ack early
         if self.cfg.verbose:
+            def _fmt(sig):
+                v, b, s, r = sig[:4]
+                st = f"/st{sig[4]}" if len(sig) > 4 and sig[4] else ""
+                return f"{v}/b{b}/S{s}" + (f"/r{r}" if r else "") + st
             print(f"warmup: {len(done)} signatures compiled "
-                  + ", ".join(f"{v}/b{b}/S{s}" + (f"/r{r}" if r else "")
-                              for v, b, s, r in done))
+                  + ", ".join(_fmt(sig) for sig in done))
         return done
 
     # ------------------------------------------------- per-signal methods
@@ -993,9 +1055,8 @@ class MisinfoForensics:
                          clip_ids=jnp.asarray(cl_ids),
                          clip_mask=jnp.asarray(cl_mask))
         if variant in ("full", "visual_only"):
-            eff, clp = self._image_batch([r.get("image") for r in reqs], bucket)
-            batch.update(image_effnet=jnp.asarray(eff),
-                         image_clip=jnp.asarray(clp))
+            batch.update(self._image_batch(
+                [r.get("image") for r in reqs], bucket))
         batch = self._place_batch(batch)
         batch.update(self._vault_device)
         out = self._pack_out(
@@ -1039,26 +1100,30 @@ class MisinfoForensics:
                                        self.cfg.video.fps_fallback)
 
         padded_reqs = list(reqs) + [None] * (V - len(reqs))
-        if len(padded_reqs) > 1:
-            if self._prep_pool is None:
-                import concurrent.futures as cf
-                self._prep_pool = cf.ThreadPoolExecutor(
-                    max_workers=min(16, (os.cpu_count() or 1)))
-            sampled = list(self._prep_pool.map(sample, padded_reqs))
-        else:
-            sampled = [sample(r) for r in padded_reqs]
+        sampled = self._prep_map(sample, padded_reqs)
 
-        eff_frames, clip_frames, valids = [], [], []
-        for frames, valid in sampled:
-            pad = [None] * (F - len(frames))
-            eff_frames += [image_to_array(f, "effnet", size) for f in frames] + pad
-            clip_frames += [image_to_array(f, "clip", size) for f in frames] + pad
-            valids.append(np.asarray(valid, np.bool_))
-        batch: Dict = {
-            "image_effnet": jnp.asarray(batch_images(eff_frames, size)),
-            "image_clip": jnp.asarray(batch_images(clip_frames, size)),
-            "frame_valid": jnp.asarray(np.stack(valids)),   # [V, F]
-        }
+        valids = [np.asarray(valid, np.bool_) for _, valid in sampled]
+        if self.cfg.serving.device_resize:
+            # stage raw frames; both 224px flavors derive on device —
+            # saves 2 host resizes × V·F frames (ops/resize.py)
+            raw = []
+            for frames, _ in sampled:
+                raw += ([np.asarray(f, np.uint8) for f in frames]
+                        + [None] * (F - len(frames)))
+            batch: Dict = self._stage_images(raw, V * F)
+        else:
+            eff_frames, clip_frames = [], []
+            for frames, _ in sampled:
+                pad = [None] * (F - len(frames))
+                eff_frames += [image_to_array(f, "effnet", size)
+                               for f in frames] + pad
+                clip_frames += [image_to_array(f, "clip", size)
+                                for f in frames] + pad
+            batch = {
+                "image_effnet": jnp.asarray(batch_images(eff_frames, size)),
+                "image_clip": jnp.asarray(batch_images(clip_frames, size)),
+            }
+        batch["frame_valid"] = jnp.asarray(np.stack(valids))   # [V, F]
         if variant == "video_text":
             texts = [r.get("text", "") if r else "" for r in padded_reqs]
             rb_ids, rb_mask, cl_ids, cl_mask = self._tokenize_batch(texts, V)

@@ -149,8 +149,18 @@ def _text_branch(params, batch, det_cfg, policy, use_pallas,
 
 def _visual_branch(params, batch, det_cfg, cfg, policy, use_pallas,
                    caption_text_emb=None, has_caption=None, mesh=None):
-    img_eff = normalize_images(batch["image_effnet"], "imagenet", policy.compute)
-    img_clip = normalize_images(batch["image_clip"], "clip", policy.compute)
+    if "image_staged" in batch:
+        # on-device resize (ops/resize.py): the host shipped one padded
+        # frame per image; both 224px flavors are derived here as part of
+        # the fused program (ServingConfig.device_resize)
+        from misinfo_tpu.ops.resize import device_resize_pair
+        eff_u8, clip_u8 = device_resize_pair(
+            batch["image_staged"], batch["resize_params"],
+            out_size=cfg.seq.image_size)
+    else:
+        eff_u8, clip_u8 = batch["image_effnet"], batch["image_clip"]
+    img_eff = normalize_images(eff_u8, "imagenet", policy.compute)
+    img_clip = normalize_images(clip_u8, "clip", policy.compute)
     logits, _ = effnet_apply(params["efficientnet"], img_eff, policy=policy)
     deepfake_score = softmax_f32(logits)[:, 1]
     image_emb = l2_normalize(clip_image_features(
@@ -218,6 +228,7 @@ def signals_program(
 ) -> SignalOutput:
     B = (batch["cls_rows"].shape[0] if "cls_rows" in batch  # packed: N requests
          else batch["roberta_ids"].shape[0] if "roberta_ids" in batch
+         else batch["image_staged"].shape[0] if "image_staged" in batch
          else batch["image_clip"].shape[0])
     zeros = jnp.zeros((B,), jnp.float32)
     K = cfg.seq.vault_top_k

@@ -156,6 +156,67 @@ def image_to_array(
     return resize_center_crop(img, size)
 
 
+def resize_param_row(h: int, w: int, out_size: int = 224) -> np.ndarray:
+    """Per-image scalar inputs for the on-device resize
+    (:mod:`misinfo_tpu.ops.resize`): valid extents plus scale/offset per
+    flavor. The CLIP flavor's intermediate dims use the exact truncating
+    integer semantics of HF's shortest-edge resize (:func:`_hf_resize_dims`),
+    computed here on host so the device sees only f32 scalars."""
+    h, w = max(1, int(h)), max(1, int(w))
+    nw, nh = _hf_resize_dims(w, h, out_size)
+    top, left = (nh - out_size) // 2, (nw - out_size) // 2
+    return np.array([h, w, h / out_size, w / out_size,
+                     h / nh, top, w / nw, left], np.float32)
+
+
+def shrink_to_staging(arr: np.ndarray, staging: int) -> np.ndarray:
+    """Host pre-shrink for images exceeding the largest staging bucket:
+    aspect-preserving area downscale so the frame fits ``staging`` on both
+    sides. The subsequent on-device resize then runs on the shrunk frame —
+    a two-stage resample (documented divergence from the single PIL pass;
+    only frames beyond the last ``image_staging_buckets`` entry pay it)."""
+    h, w = arr.shape[:2]
+    if h <= staging and w <= staging:
+        return arr
+    sc = staging / max(h, w)
+    nh, nw = max(1, int(h * sc)), max(1, int(w * sc))
+    if _CV2:
+        return cv2.resize(arr, (nw, nh), interpolation=cv2.INTER_AREA)
+    return np.asarray(
+        Image.fromarray(arr).resize((nw, nh), Image.BILINEAR), np.uint8)
+
+
+def stage_image_batch(arrays, staging: int, out_size: int = 224):
+    """Decoded frames → (staged uint8 [N, staging, staging, 3],
+    resize_params f32 [N, 8]) for :func:`ops.resize.device_resize_pair`.
+
+    Each frame sits in the top-left corner, zero-padded; ``None`` entries
+    (missing media) stage as all-zero frames with identity params, so the
+    device resize reproduces the zero-fill contract exactly (reference
+    misinformation_dataset.py:186-189). Frames larger than ``staging`` are
+    pre-shrunk on host (:func:`shrink_to_staging`)."""
+    n = len(arrays)
+    staged = np.zeros((n, staging, staging, 3), np.uint8)
+    params = np.tile(resize_param_row(out_size, out_size, out_size), (n, 1))
+    for i, a in enumerate(arrays):
+        if a is None:
+            continue
+        a = shrink_to_staging(a, staging)
+        h, w = a.shape[:2]
+        staged[i, :h, :w] = a
+        params[i] = resize_param_row(h, w, out_size)
+    return staged, params
+
+
+def choose_staging_bucket(max_dim: int, buckets) -> int:
+    """Smallest staging bucket covering ``max_dim`` (last bucket if none —
+    oversize frames are then host-shrunk into it)."""
+    for b in buckets:
+        if max_dim <= b:
+            return b
+    return buckets[-1]
+
+
 def batch_images(arrays, size: int = 224) -> np.ndarray:
     """Stack uint8 HWC arrays → [B,size,size,3]; None entries become zeros
     (missing-media zero-fill contract, reference misinformation_dataset.py:186-189)."""

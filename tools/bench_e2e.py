@@ -35,7 +35,9 @@ def main():
     from misinfo_tpu.engine.forensics import MisinfoForensics
     from misinfo_tpu.utils.tracing import GLOBAL_TRACER
 
-    cfg = ForensicsConfig(verbose=False)
+    # from_env → serving knobs (MISINFO_TPU_DEVICE_RESIZE,
+    # MISINFO_TPU_PACK_TEXT, vault modes) A/B through this bench too
+    cfg = ForensicsConfig.from_env(verbose=False)
     engine = MisinfoForensics(config=cfg)
 
     rng = np.random.default_rng(0)
