@@ -62,6 +62,11 @@ class WhisperDecodeConfig:
 
     fallback_temperatures: Tuple[float, ...] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
     best_of: int = 5
+    # whisper/transcribe.py: language=None on a multilingual model triggers
+    # detect_language() on the first 30 s mel window; English-only (.en)
+    # layouts pin "en" without detection. A language code here ("en", "de",
+    # …) pins the decoder prompt and skips the detection step.
+    language: Optional[str] = None
     compression_ratio_threshold: float = 2.4
     logprob_threshold: float = -1.0
     no_speech_threshold: float = 0.6

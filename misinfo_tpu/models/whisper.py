@@ -594,6 +594,34 @@ def no_speech_prob(params: Dict, enc_out: jax.Array, sot_id: int,
     return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, nospeech_id]
 
 
+def detect_language(params: Dict, enc_out: jax.Array, sot_id: int,
+                    language_token_ids: jax.Array,
+                    cfg: WhisperConfig = WhisperConfig(),
+                    policy: Policy = DEFAULT_POLICY):
+    """Spoken-language identification from the SOT-position logits —
+    openai-whisper's ``model.detect_language`` (whisper/decoding.py
+    detect_language), which the reference's ``transcribe(audio, fp16=False)``
+    call (forensics_dashboard.py:80-83) runs implicitly whenever
+    ``language`` is unset on a multilingual model: one decoder step on
+    ``<|startoftranscript|>``, logits restricted to the language-token
+    block, softmax over that block only.
+
+    ``language_token_ids`` is the [L] int32 id array in canonical language
+    order (preprocess/whisper_tokenizer.WHISPER_LANGUAGES; v3 layouts append
+    Cantonese). Returns ``(argmax [B] int32 indices into that array,
+    probs [B, L] f32)``. One cached decoder step on a precomputed encoding —
+    same cost shape as :func:`no_speech_prob`."""
+    B = enc_out.shape[0]
+    cache = init_kv_cache(params, enc_out, 1, cfg, policy)
+    token = jnp.full((B,), sot_id, jnp.int32)
+    logits, _ = _cached_decoder_step(params, token, jnp.int32(0), enc_out,
+                                     cache, cfg, policy)
+    lang = jnp.take(logits.astype(jnp.float32),
+                    jnp.asarray(language_token_ids, jnp.int32), axis=-1)
+    return (jnp.argmax(lang, axis=-1).astype(jnp.int32),
+            jax.nn.softmax(lang, axis=-1))
+
+
 def greedy_decode(params: Dict, mel: jax.Array,
                   cfg: WhisperConfig = WhisperConfig(),
                   policy: Policy = DEFAULT_POLICY,

@@ -51,6 +51,7 @@ class _WhisperSpecials:
         self.eot = eot
         self.multilingual = multilingual
         self.sot = eot + 1
+        self.languages = tuple(languages)  # index order fixes the token ids
         self.language_ids = {lang: self.sot + 1 + i
                              for i, lang in enumerate(languages)}
         base = self.sot + 1 + len(languages)
@@ -106,9 +107,13 @@ class WhisperTokenizer:
         return cls(os.path.join(d, "vocab.json"),
                    os.path.join(d, "merges.txt"), **kw)
 
-    def sot_sequence(self, notimestamps: bool = True) -> List[int]:
-        return self.specials.sot_sequence(self.language, self.task,
-                                          notimestamps)
+    def sot_sequence(self, notimestamps: bool = True,
+                     language: Optional[str] = None) -> List[int]:
+        """``language`` overrides the constructor default for one prompt —
+        the auto-detection path (serve/transcript.py) conditions each clip
+        on its detected language like openai-whisper's transcribe()."""
+        return self.specials.sot_sequence(language or self.language,
+                                          self.task, notimestamps)
 
     def encode(self, text: str) -> List[int]:
         return self.bpe.encode(text)
@@ -131,9 +136,10 @@ class ByteWhisperTokenizer:
         self.language, self.task = language, task
         self.vocab_size = self.specials.vocab_size
 
-    def sot_sequence(self, notimestamps: bool = True) -> List[int]:
-        return self.specials.sot_sequence(self.language, self.task,
-                                          notimestamps)
+    def sot_sequence(self, notimestamps: bool = True,
+                     language: Optional[str] = None) -> List[int]:
+        return self.specials.sot_sequence(language or self.language,
+                                          self.task, notimestamps)
 
     def encode(self, text: str) -> List[int]:
         return list(text.encode("utf-8"))

@@ -179,8 +179,11 @@ class WhisperTranscriber:
             self.params = jax.device_put(self.params,
                                          NamedSharding(mesh, P()))
         self._fns = None  # jitted programs, built lazily on first use
+        # language of the most recent transcribe() (detected or pinned);
+        # None until the first clip
+        self.last_language: Optional[str] = None
 
-    def _place(self, mel, prompt):
+    def _place(self, mel, prompt=None):
         """Mesh placement for one window batch: shard the batch axis over
         the mesh's 'data' axis when it divides evenly, else replicate
         (the 1-window dashboard case). No-op without a mesh."""
@@ -193,7 +196,9 @@ class WhisperTranscriber:
                 else self.mesh.axis_names[0])
         b = axis if mel.shape[0] % self.mesh.shape[axis] == 0 else None
         mel = jax.device_put(mel, NamedSharding(self.mesh, P(b, None, None)))
-        prompt = jax.device_put(prompt, NamedSharding(self.mesh, P(b, None)))
+        if prompt is not None:
+            prompt = jax.device_put(prompt,
+                                    NamedSharding(self.mesh, P(b, None)))
         return mel, prompt
 
     # -------------------------------------------------------- programs
@@ -221,7 +226,15 @@ class WhisperTranscriber:
         sampled = jax.jit(lambda p, enc, prompt, t, rng: decode_transcript(
             p, None, cfg, policy, prompt_tokens=prompt, temperature=t,
             rng=rng, enc_out=enc, nospeech_id=sp.no_speech))
-        self._fns = (encode, greedy, sampled)
+        detect = None
+        if sp.multilingual:
+            from misinfo_tpu.models.whisper import detect_language
+            import jax.numpy as jnp
+            lang_ids = jnp.asarray([sp.language_ids[l] for l in sp.languages],
+                                   jnp.int32)
+            detect = jax.jit(lambda p, enc: detect_language(
+                p, enc, sp.sot, lang_ids, cfg, policy))
+        self._fns = (encode, greedy, sampled, detect)
         return self._fns
 
     # -------------------------------------------------------- warmup
@@ -245,7 +258,7 @@ class WhisperTranscriber:
         from misinfo_tpu.utils.timing import sync_fetch
 
         frames = 2 * self.cfg.max_source_positions
-        encode, greedy, sampled = self._programs()
+        encode, greedy, sampled, detect = self._programs()
         warmed = []
         for b in buckets:
             mel = jnp.zeros((b, frames, self.cfg.num_mel_bins), jnp.float32)
@@ -260,6 +273,12 @@ class WhisperTranscriber:
             # in-order stream (utils/timing.py relay semantics)
             sync_fetch(out)
             warmed.append(b)
+        if detect is not None and not self.decode_cfg.language:
+            # auto-detection runs on a 1-window encode: warm that signature
+            # even when the caller only asked for wider buckets
+            mel1, _ = self._place(
+                jnp.zeros((1, frames, self.cfg.num_mel_bins), jnp.float32))
+            sync_fetch(detect(self.params, encode(self.params, mel1)))
         return warmed
 
     # -------------------------------------------------------- transcribe
@@ -312,21 +331,56 @@ class WhisperTranscriber:
             return ""
         try:
             mels = self._window_mels(audio)
+            language = self._resolve_language(mels)
             dc = self.decode_cfg
             # chunk at the largest bucket so no clip length ever mints a
             # novel jit signature (same rule as the engine's video path)
             step = max(dc.window_buckets)
             kept: list = []
             for off in range(0, mels.shape[0], step):
-                kept.extend(self._decode_window_batch(mels[off:off + step]))
+                kept.extend(self._decode_window_batch(mels[off:off + step],
+                                                      language))
             return " ".join(x for x in kept if x).strip()
         except Exception as e:
             return f"[transcript error: {e}]"
 
-    def _decode_window_batch(self, mels: np.ndarray) -> list:
+    def _resolve_language(self, mels: np.ndarray) -> str:
+        """Language for this clip's decoder prompts.
+
+        whisper/transcribe.py semantics, inherited by the reference's
+        ``transcribe(audio, fp16=False)`` call (forensics_dashboard.py:
+        80-83): a pinned ``decode_cfg.language`` wins; English-only (.en)
+        layouts are always "en"; otherwise run ``detect_language`` on the
+        FIRST 30 s window and condition every window of the clip on the
+        detected language (whisper detects once per clip, not per
+        segment)."""
+        import jax.numpy as jnp
+
+        sp = self.tokenizer.specials
+        if self.decode_cfg.language:
+            self.last_language = self.decode_cfg.language
+            return self.decode_cfg.language
+        if not sp.multilingual:
+            self.last_language = "en"
+            return "en"
+        encode, _, _, detect = self._programs()
+        mel1, _ = self._place(jnp.asarray(mels[:1]))
+        idx, probs = detect(self.params, encode(self.params, mel1))
+        i = int(np.asarray(idx)[0])
+        lang = sp.languages[i]
+        self.last_language = lang
+        import logging
+        logging.getLogger(__name__).info(
+            "whisper: detected language %r (p=%.2f)",
+            lang, float(np.asarray(probs)[0, i]))
+        return lang
+
+    def _decode_window_batch(self, mels: np.ndarray,
+                             language: Optional[str] = None) -> list:
         """Temperature ladder + acceptance + silence gate over ≤bucket-max
         windows in one batched decode; returns the per-window texts that
-        survive whisper's silence rule."""
+        survive whisper's silence rule. ``language`` conditions the decoder
+        prompt (clip-level, from :meth:`_resolve_language`)."""
         import jax
         import jax.numpy as jnp
 
@@ -339,9 +393,10 @@ class WhisperTranscriber:
         if bucket > n_w:
             mels = np.concatenate(
                 [mels, np.repeat(mels[-1:], bucket - n_w, axis=0)])
-        encode, greedy, sampled = self._programs()
+        encode, greedy, sampled, _ = self._programs()
         prompt = jnp.asarray(
-            [self.tokenizer.sot_sequence()[1:]] * bucket, jnp.int32)
+            [self.tokenizer.sot_sequence(language=language)[1:]] * bucket,
+            jnp.int32)
         mels_j, prompt = self._place(jnp.asarray(mels), prompt)
         enc = encode(self.params, mels_j)
 
@@ -435,7 +490,15 @@ def _get_engine() -> Optional[WhisperTranscriber]:
     with _lock:
         if _engine is None and not _engine_failed:
             try:
+                import dataclasses
+                # WHISPER_LANGUAGE pins the decode language (skips the
+                # auto-detection step); unset → whisper's language=None
+                # default (detect per clip on multilingual layouts)
+                dc = dataclasses.replace(
+                    _DECODE_DEFAULTS,
+                    language=os.getenv("WHISPER_LANGUAGE") or None)
                 _engine = WhisperTranscriber(os.getenv("WHISPER_CHECKPOINT"),
+                                             decode_cfg=dc,
                                              mesh=_default_mesh)
             except Exception:
                 _engine_failed = True

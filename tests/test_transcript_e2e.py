@@ -386,9 +386,9 @@ def test_window_chunking_beyond_largest_bucket(trained_whisper):
     seen = []
     orig = tr._decode_window_batch
 
-    def spy(mels):
+    def spy(mels, *a, **kw):
         seen.append(mels.shape[0])
-        return orig(mels)
+        return orig(mels, *a, **kw)
     tr._decode_window_batch = spy
     text = tr.transcribe(p)
     assert text == " ".join([TEXT] * 5)
@@ -518,13 +518,13 @@ def test_best_of_sampled_rung(trained_whisper, monkeypatch):
         calls.append(lp)
         return len(calls) == 1  # greedy rung fails, first retry accepted
     monkeypatch.setattr(T, "needs_fallback", spy)
-    encode, greedy, sampled = tr._programs()
+    encode, greedy, sampled, detect = tr._programs()
     n = {"sampled": 0}
 
     def counting_sampled(*a, **kw):
         n["sampled"] += 1
         return sampled(*a, **kw)
-    tr._fns = (encode, greedy, counting_sampled)
+    tr._fns = (encode, greedy, counting_sampled, detect)
     text = tr.transcribe(wav_path)
     assert n["sampled"] == 3        # one rung × best_of draws
     assert len(calls) == 2          # greedy + the rung's best candidate
@@ -748,3 +748,130 @@ def test_prev_text_divergence_quantified(prompt_trained_whisper):
     assert dist == 0, (
         f"prev-text conditioning changed {dist}/{total_tokens} tokens — "
         "update the measured number in docs/MIGRATION.md")
+
+
+# ---------------------------------------------------------------- language
+# whisper/transcribe.py: language=None on a multilingual model triggers
+# detect_language() on the first 30 s window — the reference's
+# transcribe(audio, fp16=False) call (forensics_dashboard.py:80-83)
+# inherits that default. serve/transcript.py mirrors it.
+
+
+def test_detect_language_matches_masked_full_softmax(trained_whisper):
+    """models/whisper.detect_language == softmax over the language block of
+    the full SOT-position logits (openai-whisper's mask construction)."""
+    import jax.numpy as jnp
+
+    from misinfo_tpu.models.whisper import detect_language, whisper_encode
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    ckpt_dir, _ = trained_whisper
+    tr = WhisperTranscriber(ckpt_dir)
+    sp = tr.tokenizer.specials
+    mel = jnp.asarray(
+        pad_or_trim_mel(log_mel_spectrogram(_make_audio()),
+                        2 * tr.cfg.max_source_positions)[None])
+    enc = whisper_encode(tr.params, mel, tr.cfg, F32)
+    lang_ids = jnp.asarray([sp.language_ids[l] for l in sp.languages],
+                           jnp.int32)
+    idx, probs = detect_language(tr.params, enc, sp.sot, lang_ids,
+                                 tr.cfg, F32)
+    assert probs.shape == (1, len(sp.languages))
+    np.testing.assert_allclose(np.asarray(probs).sum(axis=-1), 1.0,
+                               rtol=1e-5)
+    # reference construction: full-prefix forward at SOT, -inf everywhere
+    # except the language tokens
+    logits = whisper_decode_step(
+        tr.params, jnp.asarray([[sp.sot]], jnp.int32), enc, tr.cfg, F32)
+    full = np.asarray(logits, np.float32)[0, 0]
+    mask = np.full_like(full, -np.inf)
+    ids = np.asarray(lang_ids)
+    mask[ids] = full[ids]
+    assert ids[int(np.asarray(idx)[0])] == int(np.argmax(mask))
+    exp = np.exp(full[ids] - full[ids].max())
+    np.testing.assert_allclose(np.asarray(probs)[0], exp / exp.sum(),
+                               rtol=1e-4)
+
+
+def test_auto_detection_picks_trained_language(trained_whisper):
+    """The tiny model was trained to emit <|en|> after SOT, so the default
+    (language=None) transcribe path detects 'en' and produces the same
+    transcript as an explicit pin."""
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    ckpt_dir, wav_path = trained_whisper
+    tr = WhisperTranscriber(ckpt_dir)
+    assert tr.decode_cfg.language is None  # whisper's default
+    assert tr.transcribe(wav_path) == TEXT
+    assert tr.last_language == "en"
+
+
+def test_pinned_language_skips_detection(trained_whisper, monkeypatch):
+    """decode_cfg.language set → no detection step runs and the decoder
+    prompt carries the pinned language token."""
+    import dataclasses as _dc
+
+    from misinfo_tpu.core.config import WhisperDecodeConfig
+    from misinfo_tpu.serve import transcript as T
+
+    ckpt_dir, wav_path = trained_whisper
+    tr = T.WhisperTranscriber(
+        ckpt_dir, decode_cfg=WhisperDecodeConfig(language="de"))
+    encode, greedy, sampled, detect = tr._programs()
+
+    def boom(*a, **kw):
+        raise AssertionError("detection ran despite a pinned language")
+    tr._fns = (encode, greedy, sampled, boom)
+
+    prompts = []
+    real = tr.tokenizer.sot_sequence
+
+    def spy(notimestamps=True, language=None):
+        seq = real(notimestamps=notimestamps, language=language)
+        prompts.append(seq)
+        return seq
+    monkeypatch.setattr(tr.tokenizer, "sot_sequence", spy)
+    out = tr.transcribe(wav_path)
+    assert not out.startswith("[transcript error")
+    assert tr.last_language == "de"
+    sp = tr.tokenizer.specials
+    assert all(seq[1] == sp.language_ids["de"] for seq in prompts)
+
+
+def test_english_only_layout_skips_detection(trained_whisper):
+    """.en layouts carry no language tokens: _resolve_language pins 'en'
+    without touching the detection program (openai-whisper transcribe.py
+    does the same for non-multilingual models)."""
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    ckpt_dir, _ = trained_whisper
+    tr = WhisperTranscriber(ckpt_dir)
+    tr.tokenizer.specials.multilingual = False
+    tr._fns = None
+
+    def boom():
+        raise AssertionError("_programs built during .en language resolve")
+    tr._programs = boom
+    mels = np.zeros((1, 2 * tr.cfg.max_source_positions,
+                     tr.cfg.num_mel_bins), np.float32)
+    assert tr._resolve_language(mels) == "en"
+    assert tr.last_language == "en"
+
+
+def test_whisper_language_env_pins_module_engine(trained_whisper,
+                                                 monkeypatch):
+    """WHISPER_LANGUAGE env → the module-cached transcriber's decode config
+    pins that language (operator override; unset keeps whisper's
+    auto-detect default)."""
+    from misinfo_tpu.serve import transcript as T
+
+    ckpt_dir, wav_path = trained_whisper
+    monkeypatch.setenv("WHISPER_CHECKPOINT", ckpt_dir)
+    monkeypatch.setenv("WHISPER_LANGUAGE", "en")
+    T.reset_transcriber()
+    try:
+        assert T.extract_transcript(wav_path) == TEXT
+        assert T._get_engine().decode_cfg.language == "en"
+        assert T._get_engine().last_language == "en"
+    finally:
+        T.reset_transcriber()
