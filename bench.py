@@ -56,6 +56,21 @@ def _tile_rows(base: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+def _swap_in_staged_frames(batch, rng, n):
+    """Replace the host-resized 224px planes with BENCH_STAGING²-staged raw
+    frames + per-image resize params (the ServingConfig.device_resize
+    serving path: both 224px flavors derived on device, ops/resize.py)."""
+    import jax.numpy as jnp
+
+    from misinfo_tpu.preprocess.image import stage_image_batch
+    frames = [rng.integers(0, 255, (480, 640, 3)).astype(np.uint8)
+              for _ in range(n)]
+    staged, rp = stage_image_batch(frames, STAGING)
+    del batch["image_effnet"], batch["image_clip"]
+    batch.update(image_staged=jnp.asarray(staged),
+                 resize_params=jnp.asarray(rp))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -89,6 +104,10 @@ def main():
     B, S, C = BATCH, SEQ_LEN or cfg.seq.roberta_max_len, cfg.seq.clip_max_len
     vault_rows = VAULT_ROWS
 
+    if DEVICE_RESIZE and VARIANT in ("text_only", "text_packed"):
+        raise SystemExit("BENCH_DEVICE_RESIZE=1 needs an image-bearing "
+                         "variant — the knob would be silently ignored")
+
     if VARIANT in ("video", "video_text"):
         # batched video forensics: V videos × F frames per program launch
         # (engine/signals.py video_program). BENCH_VIDEOS sets V.
@@ -112,13 +131,7 @@ def main():
                 rng.standard_normal((vault_rows, 512), dtype=np.float32)),
         }
         if DEVICE_RESIZE:
-            from misinfo_tpu.preprocess.image import stage_image_batch
-            frames = [rng.integers(0, 255, (480, 640, 3)).astype(np.uint8)
-                      for _ in range(V * F)]
-            staged, rp = stage_image_batch(frames, STAGING)
-            del batch["image_effnet"], batch["image_clip"]
-            batch.update(image_staged=jnp.asarray(staged),
-                         resize_params=jnp.asarray(rp))
+            _swap_in_staged_frames(batch, rng, V * F)
         if VARIANT == "video_text":
             batch.update(
                 roberta_ids=jnp.asarray(rng.integers(3, 50000, (V, S)), jnp.int32),
@@ -131,7 +144,8 @@ def main():
         dt, _ = time_program(lambda: fn(params, batch), ITERS)
         throughput = V * ITERS / dt
         print(json.dumps({
-            "metric": f"analyze_throughput_{VARIANT}",
+            "metric": f"analyze_throughput_{VARIANT}"
+                      + ("_dresize" if DEVICE_RESIZE else ""),
             "value": round(throughput, 2), "unit": "videos/sec/chip",
             "vs_baseline": None, "videos_per_batch": V, "frames": F,
             "p50_batch_latency_ms": round(dt / ITERS * 1000.0, 2),
@@ -230,6 +244,8 @@ def main():
     }
     if vault_scale is not None:
         batch["vault_scale"] = jnp.asarray(vault_scale)
+    if DEVICE_RESIZE:
+        _swap_in_staged_frames(batch, rng, B)
     text_base = rng.standard_normal(
         (min(vault_rows, 1 << 16), 512), dtype=np.float32)
     if VAULT_DTYPE == "int4":  # packed titles, gathered+unpacked inline
@@ -300,6 +316,8 @@ def main():
         metric += "_ivf"
     if VAULT_DTYPE != "float32":
         metric += f"_vault-{VAULT_DTYPE}"
+    if DEVICE_RESIZE:
+        metric += "_dresize"
     print(json.dumps({
         "metric": metric,
         "value": round(throughput, 2),

@@ -187,10 +187,11 @@ class ServingConfig:
     # frame per image and the fused program derives both 224px flavors as
     # MXU matmuls with PIL-faithful antialiased weights (≤2 uint8 levels
     # vs PIL where the cv2 host fast path diverges by ~50; docs/PERF.md).
-    # Removes ~90% of per-image host prep (~6 ms/image single-core) at the
-    # cost of a larger host→device transfer (staged S² vs 2·224² bytes) —
-    # the right trade on co-located hosts; off by default for
-    # remote-attached devices where transfer dominates.
+    # Halves per-image host prep (measured 4.6 → 2.4 ms/image single-core,
+    # decode-bound after; docs/PERF.md device-resize row) at the cost of a
+    # larger host→device transfer (staged S² vs 2·224² bytes) — the right
+    # trade on co-located hosts; off by default for remote-attached
+    # devices where transfer dominates.
     device_resize: bool = False
     # Square staging sizes (one jit signature each per image-bearing
     # program); frames beyond the last bucket are host-shrunk into it.

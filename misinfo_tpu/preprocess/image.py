@@ -180,13 +180,14 @@ def shrink_to_staging(arr: np.ndarray, staging: int) -> np.ndarray:
         return arr
     sc = staging / max(h, w)
     nh, nw = max(1, int(h * sc)), max(1, int(w * sc))
-    if _CV2:
+    if _use_cv2():
         return cv2.resize(arr, (nw, nh), interpolation=cv2.INTER_AREA)
     return np.asarray(
         Image.fromarray(arr).resize((nw, nh), Image.BILINEAR), np.uint8)
 
 
-def stage_image_batch(arrays, staging: int, out_size: int = 224):
+def stage_image_batch(arrays, staging: int, out_size: int = 224,
+                      prep_map=None):
     """Decoded frames → (staged uint8 [N, staging, staging, 3],
     resize_params f32 [N, 8]) for :func:`ops.resize.device_resize_pair`.
 
@@ -194,17 +195,30 @@ def stage_image_batch(arrays, staging: int, out_size: int = 224):
     (missing media) stage as all-zero frames with identity params, so the
     device resize reproduces the zero-fill contract exactly (reference
     misinformation_dataset.py:186-189). Frames larger than ``staging`` are
-    pre-shrunk on host (:func:`shrink_to_staging`)."""
+    pre-shrunk on host (:func:`shrink_to_staging`).
+
+    ``prep_map(fn, items)`` (the engine's thread pool) parallelizes the
+    per-image shrink + buffer copy across host cores — rows are disjoint,
+    and cv2/PIL/large numpy copies release the GIL."""
     n = len(arrays)
     staged = np.zeros((n, staging, staging, 3), np.uint8)
     params = np.tile(resize_param_row(out_size, out_size, out_size), (n, 1))
-    for i, a in enumerate(arrays):
+
+    def place(item):
+        i, a = item
         if a is None:
-            continue
+            return
         a = shrink_to_staging(a, staging)
         h, w = a.shape[:2]
         staged[i, :h, :w] = a
         params[i] = resize_param_row(h, w, out_size)
+
+    items = list(enumerate(arrays))
+    if prep_map is None:
+        for it in items:
+            place(it)
+    else:
+        prep_map(place, items)
     return staged, params
 
 
