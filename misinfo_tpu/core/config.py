@@ -193,6 +193,12 @@ class ServingConfig:
     # trade on co-located hosts; off by default for remote-attached
     # devices where transfer dominates.
     device_resize: bool = False
+    # Reduced JPEG decode (libjpeg DCT-domain 1/2^n scaled decode) for
+    # path inputs whose short side stays ≥448 px after reduction — on a
+    # 1-core host the serving ceiling IS the JPEG decode (docs/PERF.md
+    # fast-decode row: measured host-prep savings + pixel deltas). Exact
+    # full decode stays the default (reference behavior).
+    fast_decode: bool = False
     # Square staging sizes (one jit signature each per image-bearing
     # program); frames beyond the last bucket are host-shrunk into it.
     image_staging_buckets: Tuple[int, ...] = (320, 640, 1280)
@@ -276,6 +282,11 @@ class ForensicsConfig:
             cfg = dataclasses.replace(
                 cfg, serving=dataclasses.replace(
                     cfg.serving, device_resize=_dr in ("1", "true", "on")))
+        _fd = os.getenv("MISINFO_TPU_FAST_DECODE")
+        if _fd in ("1", "true", "on", "0", "false", "off"):
+            cfg = dataclasses.replace(
+                cfg, serving=dataclasses.replace(
+                    cfg.serving, fast_decode=_fd in ("1", "true", "on")))
         vd = os.getenv("MISINFO_TPU_VAULT_DTYPE")
         if vd in ("float32", "bfloat16", "int8", "int4"):
             cfg = dataclasses.replace(

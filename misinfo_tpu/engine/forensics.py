@@ -559,15 +559,17 @@ class MisinfoForensics:
         host prep — 4.6 → 2.4 ms/image single-core, docs/PERF.md)."""
         size = self.cfg.seq.image_size
         from misinfo_tpu.preprocess.image import decode_rgb
+        fast = self.cfg.serving.fast_decode
         if self.cfg.serving.device_resize:
             arrs = self._prep_map(
-                lambda im: None if im is None else decode_rgb(im), images)
+                lambda im: None if im is None else decode_rgb(im, fast=fast),
+                images)
             return self._stage_images(arrs, bucket)
 
         def prep(im):
             if im is None:
                 return None, None
-            arr = decode_rgb(im)  # decode once, resize twice
+            arr = decode_rgb(im, fast=fast)  # decode once, resize twice
             return (image_to_array(arr, "effnet", size),
                     image_to_array(arr, "clip", size))
 

@@ -56,6 +56,43 @@ def set_image_backend(name: str) -> None:
 def _use_cv2() -> bool:
     return _CV2 if _BACKEND == "auto" else _BACKEND == "cv2"
 
+
+# Opt-in DCT-domain reduced JPEG decode (libjpeg 1/2^n scaled decode via
+# cv2.IMREAD_REDUCED_COLOR_* or PIL's Image.draft). On a 1-core host the
+# serving ceiling is the JPEG decode itself (docs/PERF.md host-prep rows);
+# decoding frames whose short side stays ≥ _FAST_DECODE_FLOOR pixels keeps
+# every later resize a ≥2× antialiased downscale to the 224px targets.
+# Documented divergence from the reference's full decode (PIL-level pixel
+# deltas only on large frames); off by default.
+_FAST_DECODE = os.environ.get("MISINFO_TPU_FAST_DECODE", "0") == "1"
+_FAST_DECODE_FLOOR = 448  # 2 × the 224px model inputs
+
+
+def set_fast_decode(on: bool) -> None:
+    """Module-wide default for :func:`decode_rgb`'s ``fast`` argument
+    (engine honors ``ServingConfig.fast_decode`` per call instead)."""
+    global _FAST_DECODE
+    _FAST_DECODE = bool(on)
+
+
+def _reduced_factor(path, floor: int = _FAST_DECODE_FLOOR) -> int:
+    """Largest k in {8,4,2} keeping the JPEG's short side ≥ ``floor`` after
+    a 1/k scaled decode; 1 for non-JPEG files, small frames, or unreadable
+    headers (PIL's lazy open reads only the header)."""
+    if not _PIL:
+        return 1
+    try:
+        with Image.open(str(path)) as im:
+            if im.format != "JPEG":
+                return 1
+            w, h = im.size
+    except Exception:
+        return 1
+    for k in (8, 4, 2):
+        if min(w, h) >= floor * k:
+            return k
+    return 1
+
 CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
@@ -99,12 +136,38 @@ def resize_center_crop(img: "Image.Image", size: int = 224) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
-def decode_rgb(image_or_path) -> np.ndarray:
+def decode_rgb(image_or_path, fast: bool | None = None) -> np.ndarray:
     """Decode once to uint8 HWC RGB (backend-aware). Feed the result to
-    image_to_array for each resize flavor to avoid double decoding."""
+    image_to_array for each resize flavor to avoid double decoding.
+
+    ``fast=True`` (default from ``MISINFO_TPU_FAST_DECODE`` /
+    :func:`set_fast_decode`) enables the reduced JPEG decode for path
+    inputs — see :func:`_reduced_factor`; arrays/PIL images and non-JPEG
+    files always take the exact full decode."""
+    fast = _FAST_DECODE if fast is None else fast
+    if fast and isinstance(image_or_path, (str, os.PathLike)):
+        k = _reduced_factor(image_or_path)
+        if k > 1:
+            return _decode_reduced(image_or_path, k)
     if _use_cv2():
         return _to_rgb_array(image_or_path)
     return np.asarray(load_image_rgb(image_or_path), dtype=np.uint8)
+
+
+def _decode_reduced(path, k: int) -> np.ndarray:
+    """1/k scaled JPEG decode (k ∈ {2,4,8}): libjpeg downsamples in the
+    DCT domain during entropy decode — ~k× cheaper than full decode and an
+    ideal low-pass, the standard thumbnailing fast path."""
+    if _use_cv2():
+        flag = {2: cv2.IMREAD_REDUCED_COLOR_2, 4: cv2.IMREAD_REDUCED_COLOR_4,
+                8: cv2.IMREAD_REDUCED_COLOR_8}[k]
+        bgr = cv2.imread(str(path), flag)
+        if bgr is None:
+            raise FileNotFoundError(f"cannot decode image: {path}")
+        return np.ascontiguousarray(bgr[..., ::-1])
+    img = Image.open(str(path))
+    img.draft("RGB", (max(1, img.size[0] // k), max(1, img.size[1] // k)))
+    return np.asarray(img.convert("RGB"), dtype=np.uint8)
 
 
 def _to_rgb_array(image_or_path) -> np.ndarray:

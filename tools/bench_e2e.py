@@ -26,6 +26,10 @@ ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 # is prepped + dispatched while batch N executes/fetches, so the tunnel
 # RTT that bounds the synchronous path overlaps with device work.
 PIPELINE = os.environ.get("BENCH_PIPELINE", "0") == "1"
+# BENCH_JPEG_RES=<short side px> feeds JPEG FILE paths at that resolution
+# (16:9) instead of in-memory 480p PIL images — the traffic shape where
+# MISINFO_TPU_FAST_DECODE=1 (reduced JPEG decode) engages.
+JPEG_RES = int(os.environ.get("BENCH_JPEG_RES", "0"))
 
 
 def main():
@@ -46,8 +50,18 @@ def main():
     requests = []
     for i in range(BATCH):
         text = " ".join(rng.choice(words, size=18))
-        img = Image.fromarray(
-            rng.integers(0, 255, (480, 640, 3)).astype(np.uint8))
+        if JPEG_RES:
+            h, w = JPEG_RES, JPEG_RES * 16 // 9
+            y = np.linspace(0, 255, h, dtype=np.float32)[:, None]
+            x = np.linspace(0, 255, w, dtype=np.float32)[None, :]
+            rgb = np.stack([y + 0 * x, 0 * y + x, (y + x) / 2],
+                           -1).astype(np.uint8)
+            rgb ^= rng.integers(0, 16, rgb.shape).astype(np.uint8)
+            img = f"/tmp/misinfo_bench_{JPEG_RES}_{i}.jpg"
+            Image.fromarray(rgb).save(img, quality=90)
+        else:
+            img = Image.fromarray(
+                rng.integers(0, 255, (480, 640, 3)).astype(np.uint8))
         requests.append({"text": text, "image": img})
 
     engine.analyze_batch(requests)  # warmup/compile
