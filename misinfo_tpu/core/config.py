@@ -81,6 +81,16 @@ class WhisperDecodeConfig:
     # with more windows than the largest bucket are processed in chunks of
     # that size, so NO window count ever mints a novel jit signature.
     window_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 20)
+    # "int8" enables the int8 STREAMING decode (opt-in, no reference
+    # counterpart — the reference decodes f32 torch): the per-step decoder
+    # is HBM-bandwidth-bound (docs/PERF.md decode-floor accounting), so the
+    # tensors the loop re-reads every step — decoder dense kernels, the
+    # [V, D] token embedding behind the logits matmul, and the cross-
+    # attention K/V caches — are stored int8 with per-row/channel scales
+    # and consumed by int8×int8→int32 MXU dots (double bf16 rate, and the
+    # int8 stream cannot be conversion-hoisted the way a bf16 cast is).
+    # Env: WHISPER_QUANT=int8. Exact decode stays the default.
+    quant: str = "none"
 
 
 @dataclass(frozen=True)

@@ -185,8 +185,16 @@ def _cached_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
     H = cfg.num_heads
     Dh = D // H
 
-    x = (jnp.take(dec["token_embedding"], token, axis=0)
-         + dec["positions"][pos]).astype(policy.compute)      # [B, D]
+    if "token_embedding_q" in dec:
+        # int8 streaming mode (quantize_whisper_decoder): the input lookup
+        # dequantizes just the B gathered rows — token-dependent, so XLA
+        # cannot hoist it into a full dequantized embedding
+        emb = (jnp.take(dec["token_embedding_q"], token, axis=0)
+               .astype(jnp.float32)
+               * jnp.take(dec["emb_scale"], token)[:, None])
+    else:
+        emb = jnp.take(dec["token_embedding"], token, axis=0)
+    x = (emb + dec["positions"][pos]).astype(policy.compute)  # [B, D]
     x = x[:, None, :]                                          # [B, 1, D]
 
     S_max = (kv_cache["self_k"][0].shape[1] if pallas_self_attn
@@ -240,13 +248,40 @@ def _cached_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
         q = dense(blk["cross_attn"]["q"], h, policy).reshape(B, 1, H, Dh)
         ck_x = kv_cache["cross_k"][li]                          # [B,H,T,Dh]
         cv_x = kv_cache["cross_v"][li]
-        scores = jnp.einsum("bqhd,bhsd->bhqs", q, ck_x,
-                            preferred_element_type=jnp.float32,
-                            precision=policy.precision) / np.sqrt(Dh)
-        probs = jax.nn.softmax(scores, axis=-1).astype(policy.compute)
-        ctx = jnp.einsum("bhqs,bhsd->bqhd", probs, cv_x,
-                         preferred_element_type=policy.accum,
-                         precision=policy.precision).astype(policy.compute)
+        if "cross_k_scale" in kv_cache:
+            # int8 streaming mode: the K/V planes are int8 with per-row
+            # scales (init_kv_cache quant=True); q and the attention probs
+            # quantize per (batch, head) row in-loop (tiny VPU work) so both
+            # einsums run int8×int8→int32 on the MXU and HBM streams half
+            # the cache bytes. K row scales multiply onto the scores; V row
+            # scales fold into the probs BEFORE their quantization.
+            sk = kv_cache["cross_k_scale"][li]                  # [B,H,T] f32
+            sv = kv_cache["cross_v_scale"][li]
+            qf = q.astype(jnp.float32)
+            sq = jnp.maximum(
+                jnp.max(jnp.abs(qf), axis=-1, keepdims=True) / 127.0, 1e-8)
+            qq = jnp.clip(jnp.round(qf / sq), -127, 127).astype(jnp.int8)
+            si = jnp.einsum("bqhd,bhsd->bhqs", qq, ck_x,
+                            preferred_element_type=jnp.int32)
+            scores = (si.astype(jnp.float32) * sq.transpose(0, 2, 1, 3)
+                      * sk[:, :, None, :]) / np.sqrt(Dh)
+            probs = jax.nn.softmax(scores, axis=-1)             # f32 [B,H,1,T]
+            pv = probs * sv[:, :, None, :]
+            sp = jnp.maximum(
+                jnp.max(pv, axis=-1, keepdims=True) / 127.0, 1e-30)
+            pq = jnp.clip(jnp.round(pv / sp), 0, 127).astype(jnp.int8)
+            ci = jnp.einsum("bhqs,bhsd->bqhd", pq, cv_x,
+                            preferred_element_type=jnp.int32)
+            ctx = (ci.astype(jnp.float32)
+                   * sp.transpose(0, 2, 1, 3)).astype(policy.compute)
+        else:
+            scores = jnp.einsum("bqhd,bhsd->bhqs", q, ck_x,
+                                preferred_element_type=jnp.float32,
+                                precision=policy.precision) / np.sqrt(Dh)
+            probs = jax.nn.softmax(scores, axis=-1).astype(policy.compute)
+            ctx = jnp.einsum("bhqs,bhsd->bqhd", probs, cv_x,
+                             preferred_element_type=policy.accum,
+                             precision=policy.precision).astype(policy.compute)
         x = x + dense(blk["cross_attn"]["o"], ctx.reshape(B, 1, D), policy)
 
         h = layer_norm(blk["ln2"], x, policy=policy)
@@ -269,9 +304,22 @@ def _cached_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
                           policy)
 
     x = layer_norm(params["decoder"]["final_ln"], x, policy=policy)[:, 0]
-    logits = jnp.dot(x, dec["token_embedding"].T.astype(policy.compute),
-                     preferred_element_type=jnp.float32,
-                     precision=policy.precision)
+    if "token_embedding_q" in dec:
+        # the [V, D] logits matmul is the single largest per-step stream
+        # (~53 MB/step bf16 for base); int8 halves it and rides the
+        # double-rate int8 MXU. x quantizes per row (B rows — trivial).
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(
+            jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0, 1e-8)
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        li = jax.lax.dot_general(xq, dec["token_embedding_q"],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        logits = li.astype(jnp.float32) * sx * dec["emb_scale"][None, :]
+    else:
+        logits = jnp.dot(x, dec["token_embedding"].T.astype(policy.compute),
+                         preferred_element_type=jnp.float32,
+                         precision=policy.precision)
     kv_cache = {**kv_cache, "self_k": new_cache["self_k"],
                 "self_v": new_cache["self_v"]}
     return logits, kv_cache
@@ -292,6 +340,12 @@ def fuse_whisper_decoder_qkv(params: Dict) -> Dict:
         sa = blk["self_attn"]
         if "qkv" in sa:
             return blk
+        if "kernel_q" in sa["q"]:
+            # concatenating int8 kernels would mix per-channel scale groups;
+            # the transform order is fuse THEN quantize (serve/transcript.py)
+            raise ValueError(
+                "fuse_whisper_decoder_qkv on int8-quantized params — apply "
+                "quantize_whisper_decoder AFTER fusing")
         q, k, v = sa["q"], sa["k"], sa["v"]
         qkv = {"kernel": jnp.concatenate(
             [q["kernel"], k["kernel"], v["kernel"]], axis=1)}
@@ -400,13 +454,20 @@ def _scan_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
 
 def init_kv_cache(params: Dict, enc_out: jax.Array, max_len: int,
                   cfg: WhisperConfig, policy: Policy,
-                  merged_self: bool = False) -> Dict:
+                  merged_self: bool = False, quant: bool = False) -> Dict:
     """Allocate self-attention cache buffers and precompute cross K/V —
     everything in the head-major [B, H, S, Dh] layout the decode-step
     einsums contract without transposing (the cross K/V transpose happens
     ONCE here, outside the decode loop). Stacked-decoder params (see
     stack_whisper_decoder) get stacked [L, B, H, S, Dh] cache leaves for
-    the scanned step."""
+    the scanned step.
+
+    ``quant=True`` stores the cross K/V int8 with per-(batch, head,
+    position) row scales (``cross_k_scale`` [B, H, T] f32 etc.) — the int8
+    streaming-decode mode (WhisperDecodeConfig.quant): the cross caches
+    are the largest per-step HBM stream after the params (~74 MB/step bf16
+    for base at T=1500), and the step's einsums consume the int8 planes
+    directly on the MXU's double-rate int8 path."""
     dec = params["decoder"]
     B, T = enc_out.shape[0], enc_out.shape[1]
     H, Dh = cfg.num_heads, cfg.d_model // cfg.num_heads
@@ -415,6 +476,16 @@ def init_kv_cache(params: Dict, enc_out: jax.Array, max_len: int,
         y = dense(blk["cross_attn"][which], enc_out, policy)
         return y.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)    # [B,H,T,Dh]
 
+    def row_quant(y):
+        yf = y.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(yf), axis=-1) / 127.0, 1e-8)
+        q = jnp.clip(jnp.round(yf / s[..., None]), -127, 127).astype(jnp.int8)
+        return q, s                                            # int8, [B,H,T]
+
+    if quant and (merged_self or "blocks_stacked" in dec):
+        raise ValueError("quant=True supports only the unstacked, "
+                         "unmerged cache layout (no scan_layers / "
+                         "pallas_self_attn)")
     if "blocks_stacked" in dec:
         stacked = dec["blocks_stacked"]
         L = stacked["ln1"]["scale"].shape[0]
@@ -429,11 +500,22 @@ def init_kv_cache(params: Dict, enc_out: jax.Array, max_len: int,
     self_shape = ((B, max_len, cfg.d_model) if merged_self
                   else (B, H, max_len, Dh))
     cache = {"self_k": [], "self_v": [], "cross_k": [], "cross_v": []}
+    if quant:
+        cache["cross_k_scale"] = []
+        cache["cross_v_scale"] = []
     for blk in dec["blocks"]:
         cache["self_k"].append(jnp.zeros(self_shape, policy.compute))
         cache["self_v"].append(jnp.zeros(self_shape, policy.compute))
-        cache["cross_k"].append(cross_kv(blk, "k"))
-        cache["cross_v"].append(cross_kv(blk, "v"))
+        if quant:
+            kq, ks = row_quant(cross_kv(blk, "k"))
+            vq, vs = row_quant(cross_kv(blk, "v"))
+            cache["cross_k"].append(kq)
+            cache["cross_k_scale"].append(ks)
+            cache["cross_v"].append(vq)
+            cache["cross_v_scale"].append(vs)
+        else:
+            cache["cross_k"].append(cross_kv(blk, "k"))
+            cache["cross_v"].append(cross_kv(blk, "v"))
     return cache
 
 
@@ -448,7 +530,8 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
                       nospeech_id: Optional[int] = None,
                       scan_layers: bool = False,
                       pallas_ffn: bool = False,
-                      pallas_self_attn: bool = False):
+                      pallas_self_attn: bool = False,
+                      quant: bool = False):
     """KV-cached transcript decoding, O(L) per step, early-exiting the
     decode loop once every batch row has emitted EOS (post-EOS stays EOS,
     so outputs are identical to running all ``max_len`` steps).
@@ -467,8 +550,25 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
     ``p(<|nospeech|>)`` [B] captured from the decoder's position-0 step
     (the SOT logits openai-whisper's silence gate reads) — fused into the
     decode so the gate costs no extra device dispatch or compiled
-    program."""
+    program.
+
+    ``quant=True`` stores the cross-attention K/V caches int8
+    (init_kv_cache) — one half of the int8 STREAMING decode
+    (WhisperDecodeConfig.quant; the other half, int8 decoder params +
+    token embedding, is ops/serving.quantize_whisper_decoder and is
+    detected from the params). Composes only with the default unrolled
+    step."""
     max_len = max_len or cfg.max_target_positions
+    quant_params = "token_embedding_q" in params["decoder"]
+    if (quant or quant_params) and (scan_layers or pallas_ffn
+                                    or pallas_self_attn
+                                    or "blocks_stacked" in params["decoder"]):
+        # the scan/Pallas variants read f32/bf16 kernel leaves and the
+        # stacked/merged cache layouts; a silently-ignored combination
+        # would mis-attribute benchmark numbers (same rule as scan+pallas)
+        raise ValueError("int8 streaming decode (quant / quantized params) "
+                         "composes only with the default unrolled step — "
+                         "drop scan_layers / pallas_ffn / pallas_self_attn")
     if enc_out is None:
         enc_out = whisper_encode(params, mel, cfg, policy)
     if scan_layers or "blocks_stacked" in params["decoder"]:
@@ -503,12 +603,13 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
         tokens = tokens.at[:, 1:1 + P].set(prompt_tokens)
         start = 1 + P
     cache0 = init_kv_cache(params, enc_out, max_len, cfg, policy,
-                           merged_self=pallas_self_attn and not scan_layers)
+                           merged_self=pallas_self_attn and not scan_layers,
+                           quant=quant)
     # cross K/V are per-utterance constants: close over them instead of
     # threading them through the loop carry, so the loop state is only
     # the (small) self caches + tokens
-    cross = {"cross_k": cache0.pop("cross_k"),
-             "cross_v": cache0.pop("cross_v")}
+    cross = {k: cache0.pop(k) for k in list(cache0)
+             if k.startswith("cross_")}
     done0 = jnp.zeros((B,), jnp.bool_)
     if sampled and rng is None:
         rng = jax.random.PRNGKey(0)

@@ -143,6 +143,66 @@ def optimize_whisper_for_serving(params, policy,
     return params
 
 
+def quantize_whisper_decoder(params):
+    """int8 streaming-decode transform for Whisper (opt-in,
+    `WhisperDecodeConfig.quant="int8"` / `WHISPER_QUANT=int8`).
+
+    The KV-cached decode step is HBM-bandwidth-bound: every step re-reads
+    all decoder dense kernels plus the [V, D] token embedding for the
+    logits matmul (~96 MB/step bf16 for base — docs/PERF.md decode-floor
+    accounting). A bf16 cast cannot shrink that stream further because XLA
+    hoists the in-loop dequant conversion out of the while_loop; int8
+    operands, by contrast, feed int8×int8→int32 MXU dots directly (double
+    bf16 rate — the vault's measured int8 path, docs/PERF.md 4M-row row),
+    so storing these tensors int8 genuinely halves the loop's weight
+    traffic.
+
+    Quantized (symmetric, ops/quant.py scheme):
+      - per-block dense kernels the loop reads every step: self-attention
+        q/k/v (or the fused qkv) + o, cross-attention q + o, both FFN
+        kernels — per-output-channel scales;
+      - the decoder token embedding → ``token_embedding_q`` int8 [V, D]
+        with per-row ``emb_scale`` f32 [V] (the logits matmul consumes it
+        transposed; the input lookup dequantizes the gathered rows).
+
+    Deliberately NOT quantized: cross-attention k/v kernels (consumed once
+    per utterance in init_kv_cache, OUTSIDE the loop — error for zero
+    bandwidth payoff), the encoder (runs once per utterance), LayerNorms /
+    biases / positions (precision-critical, latency-irrelevant). The
+    cross-attention K/V *caches* are quantized separately at
+    init_kv_cache(quant=True) — they are activations, not params.
+
+    Apply AFTER fuse_whisper_decoder_qkv (fusing concatenates f32/bf16
+    kernels; it raises on already-quantized blocks)."""
+    from misinfo_tpu.ops.quant import quantize_dense
+
+    dec = params.get("decoder")
+    if dec is None or "token_embedding" not in dec:
+        return params  # idempotent (already quantized) / not a decoder tree
+
+    def q8(p: Dict) -> Dict:
+        return quantize_dense(p) if "kernel" in p else p
+
+    def quant_block(blk: Dict) -> Dict:
+        out = dict(blk)
+        out["self_attn"] = {k: q8(v) for k, v in blk["self_attn"].items()}
+        out["cross_attn"] = {k: (q8(v) if k in ("q", "o") else v)
+                             for k, v in blk["cross_attn"].items()}
+        out["mlp_in"] = q8(blk["mlp_in"])
+        out["mlp_out"] = q8(blk["mlp_out"])
+        return out
+
+    new_dec = dict(dec)
+    new_dec["blocks"] = [quant_block(b) for b in dec["blocks"]]
+    emb = jnp.asarray(dec["token_embedding"], jnp.float32)
+    se = jnp.maximum(jnp.max(jnp.abs(emb), axis=1) / 127.0, 1e-8)
+    new_dec["token_embedding_q"] = jnp.clip(
+        jnp.round(emb / se[:, None]), -127, 127).astype(jnp.int8)
+    new_dec["emb_scale"] = se
+    del new_dec["token_embedding"]
+    return {**params, "decoder": new_dec}
+
+
 def optimize_for_serving(params, policy, quant: str = "none",
                          fuse: bool = False, cast: bool = True):
     """The engine's standard serving pipeline: optionally fuse QKV, then

@@ -169,6 +169,16 @@ class WhisperTranscriber:
         # token-equality tested in tests/test_whisper_parity.py)
         from misinfo_tpu.models.whisper import fuse_whisper_decoder_qkv
         self.params = fuse_whisper_decoder_qkv(self.params)
+        # opt-in int8 STREAMING decode (WhisperDecodeConfig.quant /
+        # WHISPER_QUANT=int8): the per-step decoder is HBM-bandwidth-bound,
+        # so the tensors the loop re-reads every step — dense kernels, the
+        # [V, D] logits embedding, and (below, at cache init) the cross
+        # K/V — store int8 and feed double-rate int8 MXU dots. Applied
+        # AFTER the qkv fuse (ops/serving.quantize_whisper_decoder).
+        self.quant = decode_cfg.quant == "int8"
+        if self.quant:
+            from misinfo_tpu.ops.serving import quantize_whisper_decoder
+            self.params = quantize_whisper_decoder(self.params)
         # optional jax.sharding.Mesh: params replicate across it and
         # multi-window decodes shard the window-batch axis over 'data'
         # (same DP story as the engine, §2.5; long clips batch 30 s
@@ -218,14 +228,15 @@ class WhisperTranscriber:
         # both decode programs also return p(<|nospeech|>) captured from
         # the position-0 step inside the decode loop — the silence gate
         # costs no separate dispatch or compiled program
+        quant = self.quant
         greedy = jax.jit(lambda p, enc, prompt: decode_transcript(
             p, None, cfg, policy, prompt_tokens=prompt, enc_out=enc,
-            nospeech_id=sp.no_speech))
+            nospeech_id=sp.no_speech, quant=quant))
         # temperature is a TRACED scalar: every sampled rung reuses one
         # compiled program (TPU compiles are minutes; 5 rungs, 1 compile)
         sampled = jax.jit(lambda p, enc, prompt, t, rng: decode_transcript(
             p, None, cfg, policy, prompt_tokens=prompt, temperature=t,
-            rng=rng, enc_out=enc, nospeech_id=sp.no_speech))
+            rng=rng, enc_out=enc, nospeech_id=sp.no_speech, quant=quant))
         detect = None
         if sp.multilingual:
             from misinfo_tpu.models.whisper import detect_language
@@ -496,7 +507,10 @@ def _get_engine() -> Optional[WhisperTranscriber]:
                 # default (detect per clip on multilingual layouts)
                 dc = dataclasses.replace(
                     _DECODE_DEFAULTS,
-                    language=os.getenv("WHISPER_LANGUAGE") or None)
+                    language=os.getenv("WHISPER_LANGUAGE") or None,
+                    # WHISPER_QUANT=int8 → int8 streaming decode (opt-in;
+                    # core/config.py WhisperDecodeConfig.quant)
+                    quant=os.getenv("WHISPER_QUANT", _DECODE_DEFAULTS.quant))
                 _engine = WhisperTranscriber(os.getenv("WHISPER_CHECKPOINT"),
                                              decode_cfg=dc,
                                              mesh=_default_mesh)

@@ -320,6 +320,27 @@ def test_audio_padding_matches_whisper_silence_value():
     assert len(pad_or_trim_audio(padded, SR)) == SR
 
 
+def test_quant_streaming_decode_token_fidelity(trained_whisper):
+    """int8 streaming decode (WhisperDecodeConfig.quant="int8"): on a
+    trained model the quantized transcriber reproduces the exact
+    transcript — int8 weight/embedding/cache error stays below the
+    trained logit margins. Math-level error bounds live in
+    tests/test_whisper_quant.py; throughput in docs/PERF.md."""
+    import dataclasses
+
+    from misinfo_tpu.core.config import WhisperDecodeConfig
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    ckpt_dir, wav_path = trained_whisper
+    tr = WhisperTranscriber(
+        ckpt_dir,
+        decode_cfg=dataclasses.replace(WhisperDecodeConfig(), quant="int8"))
+    assert tr.quant
+    # the transform actually applied: the logits embedding is int8
+    assert tr.params["decoder"]["token_embedding_q"].dtype == jnp.int8
+    assert tr.transcribe(wav_path) == TEXT
+
+
 def test_multi_window_transcription(trained_whisper):
     """Audio longer than one encoder window transcribes EVERY window
     (whisper/transcribe.py's seek loop; previously only the first 30 s

@@ -80,9 +80,18 @@ def main():
         params = stack_whisper_decoder(params)
     pallas_ffn = os.environ.get("BENCH_PALLAS_FFN", "0") == "1"
     pallas_self_attn = os.environ.get("BENCH_PALLAS_ATTN", "0") == "1"
+    quant = os.environ.get("BENCH_QUANT", "") == "int8"
+    if quant:
+        # int8 streaming decode (WhisperDecodeConfig.quant): int8 decoder
+        # params + logits embedding (after the qkv fuse, like the
+        # transcriber) + int8 cross K/V caches via quant=True below
+        from misinfo_tpu.models.whisper import fuse_whisper_decoder_qkv
+        from misinfo_tpu.ops.serving import quantize_whisper_decoder
+        params = quantize_whisper_decoder(fuse_whisper_decoder_qkv(params))
     dec_fn = jax.jit(lambda p, e: decode_transcript(
         p, None, cfg, policy, max_len=DECODE_LEN, enc_out=e,
-        pallas_ffn=pallas_ffn, pallas_self_attn=pallas_self_attn))
+        pallas_ffn=pallas_ffn, pallas_self_attn=pallas_self_attn,
+        quant=quant))
     dt_dec, _ = time_program(lambda: dec_fn(params, enc_out), ITERS)
     dec_ms = dt_dec / ITERS * 1000.0
     # random-init weights never argmax EOS → all (max_len - 1) steps run
@@ -101,6 +110,7 @@ def main():
         "fuse_qkv": fuse_qkv,
         "pallas_ffn": pallas_ffn,
         "pallas_self_attn": pallas_self_attn,
+        "quant": "int8" if quant else "none",
         "device": str(jax.devices()[0]),
     }))
 
