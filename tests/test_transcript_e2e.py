@@ -771,6 +771,83 @@ def test_prev_text_divergence_quantified(prompt_trained_whisper):
         "update the measured number in docs/MIGRATION.md")
 
 
+# ---------------------------------------------------------------------------
+# VERDICT r3 #6: the int8 streaming decode's fidelity as a NUMBER, not a
+# bound. Token-level A/B of the int8 transcriber (quant="int8": int8 decoder
+# params + logits embedding + int8 cross K/V caches) against the default
+# streaming transcriber, across the FULL temperature ladder (greedy rung +
+# every sampled rung with production's rng keys) and the language-detect
+# path. The measured divergence is recorded in docs/MIGRATION.md next to the
+# prev-text number — keep the doc in sync if this changes.
+# ---------------------------------------------------------------------------
+
+
+def test_int8_streaming_divergence_quantified(trained_whisper):
+    import dataclasses as _dc
+
+    from misinfo_tpu.core.config import WhisperDecodeConfig
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    ckpt_dir, wav_path = trained_whisper
+    tr_f = WhisperTranscriber(ckpt_dir)
+    tr_q = WhisperTranscriber(
+        ckpt_dir,
+        decode_cfg=_dc.replace(WhisperDecodeConfig(), quant="int8"))
+    assert tr_q.quant and not tr_f.quant
+    tok = tr_f.tokenizer
+
+    mels = jnp.asarray(tr_f._window_mels(_make_audio()))
+    prompt = jnp.asarray([tok.sot_sequence()[1:]], jnp.int32)
+    enc_fn_f, greedy_f, sampled_f, detect_f = tr_f._programs()
+    enc_fn_q, greedy_q, sampled_q, detect_q = tr_q._programs()
+    enc_f = enc_fn_f(tr_f.params, mels)
+    enc_q = enc_fn_q(tr_q.params, mels)  # encoder params are NOT quantized
+
+    total = dist = 0
+    max_lp_delta = 0.0
+    per_rung = []
+    for t in tr_f.decode_cfg.fallback_temperatures:
+        if t == 0.0:
+            tok_f, lp_f, _ = greedy_f(tr_f.params, enc_f, prompt)
+            tok_q, lp_q, _ = greedy_q(tr_q.params, enc_q, prompt)
+        else:
+            # production's draw-0 key for this rung (_decode_window_batch)
+            rng = jax.random.PRNGKey(int(t * 10) * 131)
+            tok_f, lp_f, _ = sampled_f(tr_f.params, enc_f, prompt,
+                                       jnp.float32(t), rng)
+            tok_q, lp_q, _ = sampled_q(tr_q.params, enc_q, prompt,
+                                       jnp.float32(t), rng)
+        a = tok.encode(tok.decode([int(x) for x in np.asarray(tok_f)[0]])
+                       .strip())
+        b = tok.encode(tok.decode([int(x) for x in np.asarray(tok_q)[0]])
+                       .strip())
+        d = _token_edit_distance(a, b)
+        total += len(a)
+        dist += d
+        max_lp_delta = max(max_lp_delta,
+                           abs(float(np.asarray(lp_f)[0])
+                               - float(np.asarray(lp_q)[0])))
+        per_rung.append((t, d, len(a)))
+
+    # language-detect path runs the SAME quantized decoder step
+    idx_f, probs_f = detect_f(tr_f.params, enc_f)
+    idx_q, probs_q = detect_q(tr_q.params, enc_q)
+    assert int(np.asarray(idx_f)[0]) == int(np.asarray(idx_q)[0])
+    detect_delta = float(np.max(np.abs(np.asarray(probs_f)
+                                       - np.asarray(probs_q))))
+
+    print(f"int8 streaming divergence: {dist}/{total} tokens across "
+          f"{len(per_rung)} ladder rungs {per_rung}; "
+          f"max |Δavg_logprob|={max_lp_delta:.4f}; "
+          f"detect max |Δp|={detect_delta:.4f}")
+    # docs/MIGRATION.md records these measurements
+    assert dist == 0, (
+        f"int8 streaming changed {dist}/{total} tokens — update the "
+        "measured number in docs/MIGRATION.md")
+    assert max_lp_delta < 0.05
+    assert detect_delta < 0.02
+
+
 # ---------------------------------------------------------------- language
 # whisper/transcribe.py: language=None on a multilingual model triggers
 # detect_language() on the first 30 s window — the reference's
