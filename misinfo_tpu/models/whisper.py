@@ -166,7 +166,8 @@ def _cached_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
                          enc_out: jax.Array, kv_cache: Dict,
                          cfg: WhisperConfig, policy: Policy,
                          pallas_ffn: bool = False,
-                         pallas_self_attn: bool = False):
+                         pallas_self_attn: bool = False,
+                         pallas_cross: bool = False):
     """One decoder step with KV caching.
 
     token [B] int32, pos scalar int32 → (logits [B,V], updated cache).
@@ -243,6 +244,20 @@ def _cached_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
                              preferred_element_type=policy.accum,
                              precision=policy.precision).astype(policy.compute)
             x = x + dense(blk["self_attn"]["o"], ctx.reshape(B, 1, D), policy)
+
+        if pallas_cross:
+            # ONE kernel for the layer's whole second half: LN → cross-attn
+            # (merged-lane [B, T, D] K/V) → o proj → residual → LN → FFN →
+            # residual (ops/pallas_cross_ffn.py; decode is kernel-chain-
+            # bound — docs/PERF.md round 4)
+            from misinfo_tpu.ops.pallas_cross_ffn import fused_cross_ffn_step
+            x = fused_cross_ffn_step(
+                x[:, 0], blk["ln_cross"], blk["cross_attn"]["q"],
+                blk["cross_attn"]["o"], blk["ln2"], blk["mlp_in"],
+                blk["mlp_out"], kv_cache["cross_k"][li],
+                kv_cache["cross_v"][li], enc_out.shape[1], n_heads=H,
+                policy=policy)[:, None, :]
+            continue
 
         h = layer_norm(blk["ln_cross"], x, policy=policy)
         q = dense(blk["cross_attn"]["q"], h, policy).reshape(B, 1, H, Dh)
@@ -454,7 +469,8 @@ def _scan_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
 
 def init_kv_cache(params: Dict, enc_out: jax.Array, max_len: int,
                   cfg: WhisperConfig, policy: Policy,
-                  merged_self: bool = False, quant: bool = False) -> Dict:
+                  merged_self: bool = False, quant: bool = False,
+                  merged_cross: bool = False) -> Dict:
     """Allocate self-attention cache buffers and precompute cross K/V —
     everything in the head-major [B, H, S, Dh] layout the decode-step
     einsums contract without transposing (the cross K/V transpose happens
@@ -467,13 +483,25 @@ def init_kv_cache(params: Dict, enc_out: jax.Array, max_len: int,
     streaming-decode mode (WhisperDecodeConfig.quant): the cross caches
     are the largest per-step HBM stream after the params (~74 MB/step bf16
     for base at T=1500), and the step's einsums consume the int8 planes
-    directly on the MXU's double-rate int8 path."""
+    directly on the MXU's double-rate int8 path.
+
+    ``merged_cross=True`` keeps the cross K/V heads merged in the lane
+    dimension ([B, T, D], no head transpose) — the layout the fused
+    cross-attention+FFN Pallas step consumes (ops/pallas_cross_ffn.py;
+    lane-splitting reshapes don't lower in Mosaic)."""
     dec = params["decoder"]
     B, T = enc_out.shape[0], enc_out.shape[1]
     H, Dh = cfg.num_heads, cfg.d_model // cfg.num_heads
 
     def cross_kv(blk, which):
         y = dense(blk["cross_attn"][which], enc_out, policy)
+        if merged_cross:
+            # [B, Tp, D]: tile-padded for the kernel's static-unroll DMA
+            # loop; the kernel masks positions ≥ T before the softmax
+            from misinfo_tpu.ops.pallas_cross_ffn import cross_cache_pad
+            Tp = cross_cache_pad(T)
+            return (jnp.pad(y, ((0, 0), (0, Tp - T), (0, 0)))
+                    if Tp != T else y)
         return y.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)    # [B,H,T,Dh]
 
     def row_quant(y):
@@ -482,10 +510,10 @@ def init_kv_cache(params: Dict, enc_out: jax.Array, max_len: int,
         q = jnp.clip(jnp.round(yf / s[..., None]), -127, 127).astype(jnp.int8)
         return q, s                                            # int8, [B,H,T]
 
-    if quant and (merged_self or "blocks_stacked" in dec):
+    if quant and (merged_self or merged_cross or "blocks_stacked" in dec):
         raise ValueError("quant=True supports only the unstacked, "
                          "unmerged cache layout (no scan_layers / "
-                         "pallas_self_attn)")
+                         "pallas_self_attn / pallas_cross)")
     if "blocks_stacked" in dec:
         stacked = dec["blocks_stacked"]
         L = stacked["ln1"]["scale"].shape[0]
@@ -531,6 +559,7 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
                       scan_layers: bool = False,
                       pallas_ffn: bool = False,
                       pallas_self_attn: bool = False,
+                      pallas_cross: bool = False,
                       quant: bool = False):
     """KV-cached transcript decoding, O(L) per step, early-exiting the
     decode loop once every batch row has emitted EOS (post-EOS stays EOS,
@@ -561,24 +590,31 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
     max_len = max_len or cfg.max_target_positions
     quant_params = "token_embedding_q" in params["decoder"]
     if (quant or quant_params) and (scan_layers or pallas_ffn
-                                    or pallas_self_attn
+                                    or pallas_self_attn or pallas_cross
                                     or "blocks_stacked" in params["decoder"]):
         # the scan/Pallas variants read f32/bf16 kernel leaves and the
         # stacked/merged cache layouts; a silently-ignored combination
         # would mis-attribute benchmark numbers (same rule as scan+pallas)
         raise ValueError("int8 streaming decode (quant / quantized params) "
                          "composes only with the default unrolled step — "
-                         "drop scan_layers / pallas_ffn / pallas_self_attn")
+                         "drop scan_layers / pallas_ffn / pallas_self_attn / "
+                         "pallas_cross")
+    if pallas_cross and (pallas_ffn or pallas_self_attn):
+        # the cross+FFN kernel already contains the FFN, and composing with
+        # the (measured-worse) self-attn kernel would only blur attribution
+        raise ValueError("pallas_cross subsumes the FFN and composes only "
+                         "with the default self-attention step — drop "
+                         "pallas_ffn / pallas_self_attn")
     if enc_out is None:
         enc_out = whisper_encode(params, mel, cfg, policy)
     if scan_layers or "blocks_stacked" in params["decoder"]:
-        if pallas_ffn or pallas_self_attn:
+        if pallas_ffn or pallas_self_attn or pallas_cross:
             # refuse silently-ignored combinations: a benchmark or caller
             # would otherwise attribute its numbers to kernels that never
             # ran (the scanned step has no Pallas variants)
             raise ValueError(
                 "scan_layers decoding does not implement pallas_ffn / "
-                "pallas_self_attn — drop one of the flags")
+                "pallas_self_attn / pallas_cross — drop one of the flags")
         # stacked-layer scan: one loop-body emission instead of L unrolled
         # layers per decode step (VERDICT r2 #3; measured in docs/PERF.md).
         # Stacking inside the traced call is a handful of concats hoisted
@@ -590,8 +626,9 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
         if pallas_self_attn:
             params = fuse_whisper_decoder_qkv(params)  # kernel's layout
         step_fn = (_ft.partial(_cached_decoder_step, pallas_ffn=pallas_ffn,
-                               pallas_self_attn=pallas_self_attn)
-                   if (pallas_ffn or pallas_self_attn)
+                               pallas_self_attn=pallas_self_attn,
+                               pallas_cross=pallas_cross)
+                   if (pallas_ffn or pallas_self_attn or pallas_cross)
                    else _cached_decoder_step)
     B = enc_out.shape[0]
     sampled = not (isinstance(temperature, (int, float)) and temperature == 0)
@@ -604,7 +641,8 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
         start = 1 + P
     cache0 = init_kv_cache(params, enc_out, max_len, cfg, policy,
                            merged_self=pallas_self_attn and not scan_layers,
-                           quant=quant)
+                           quant=quant,
+                           merged_cross=pallas_cross and not scan_layers)
     # cross K/V are per-utterance constants: close over them instead of
     # threading them through the loop carry, so the loop state is only
     # the (small) self caches + tokens

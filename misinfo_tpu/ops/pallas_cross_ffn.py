@@ -1,0 +1,261 @@
+"""Pallas TPU fused decoder CROSS-ATTENTION + FFN step for KV-cached
+decoding.
+
+Round-4 decode-floor finding (docs/PERF.md): the Whisper decode loop is
+bound by the serial per-step kernel chain (~90 kernels/step; the int8
+streaming A/B falsified the HBM-bandwidth hypothesis — halving the weight
+stream recovered 1.6 ms of a predicted 7.5), so the live lever is kernel
+COUNT. This kernel collapses the entire second half of one decoder layer's
+step — pre-LN → cross-attention query projection → per-head softmax
+attention over the precomputed encoder K/V → output projection → residual
+→ pre-LN → FFN (dense → GELU → dense) → residual — into ONE kernel,
+removing ~8 XLA kernels (and their operand prefetch copies) per layer per
+step. The profiled decode spends ~80% of its per-step time in async-copy /
+slice ops (tools/profile_whisper.py), which is exactly what fewer, bigger
+kernels attack.
+
+The cross K/V planes (2 × [B, T, D] ≈ 12.6 MB/layer for base at T=1500)
+do NOT fit VMEM next to the layer's weights (~5 MB) — the first, fully
+VMEM-resident version of this kernel was rejected by Mosaic at 16.58 MB
+scoped vmem vs the 16 MB core budget. So the caches stay in HBM
+(``memory_space=ANY``) and stream through a double-buffered VMEM tile
+scratch with explicit async copies: pass 1 streams K tiles and fills a
+full [B·H, Tp] f32 score buffer (tiny — softmax needs no online trick),
+pass 2 streams V tiles through the SAME scratch and accumulates the
+context. The tile loop is a static Python unroll (3 tiles at T=1500), so
+every slice is static — the layout rules that sank the self-attention
+kernel (ops/pallas_decode.py: no lane-splitting reshapes, heads as static
+lane slices, per-head VPU mul+reduce) are followed throughout, and
+``init_kv_cache(merged_cross=True)`` produces the [B, Tp, D] merged-lane,
+tile-padded planes this kernel consumes.
+
+Numerics mirror the XLA path (models/whisper._cached_decoder_step)
+cast-for-cast: LN statistics and softmax in f32 (single-pass variance in
+bf16 serving mode, two-pass in f32 parity), matmuls with f32 accumulation,
+intermediates rounded to the compute dtype exactly where ops/common.dense
+does; padding positions are masked to -1e9 before the softmax. GELU
+follows the decode-step Pallas rule (models/whisper.py): erf in f32 parity
+mode, tanh on the bf16 TPU serving path (Mosaic has no erf lowering;
+activation delta ≤4.7e-4 — below bf16 noise). Token-level equality vs the
+unfused decode is asserted in interpret mode (tests/test_whisper_parity.py)
+per the CLAUDE.md kernel rule.
+
+Reference workload: the dashboard transcript path
+(/root/reference/forensics_dashboard.py:80-83) → whisper's per-step
+decoder. Enabled via ``decode_transcript(pallas_cross=True)`` /
+``BENCH_PALLAS_CROSS=1`` (tools/bench_whisper.py); the keep/reject
+decision and TPU numbers live in docs/PERF.md round 4.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from misinfo_tpu.ops.common import DEFAULT_POLICY, Policy
+
+# K/V stream tile along T. 512 rows × D=512 bf16 = 512 KB per batch row —
+# two double-buffered [B, _TILE, D] slots ≈ 4.2 MB at base/b4, leaving the
+# layer weights (~5 MB) comfortable headroom inside the 16 MB VMEM budget.
+_TILE = 512
+
+
+def cross_cache_pad(t: int) -> int:
+    """Padded T for the merged-lane cross caches this kernel consumes:
+    a _TILE multiple when tiling engages, else a lane-aligned 128 multiple
+    (small/test shapes run as a single tile)."""
+    if t > _TILE:
+        return -(-t // _TILE) * _TILE
+    return -(-t // 128) * 128
+
+
+def _cross_ffn_kernel(x_ref, lncs_ref, lncb_ref, wq_ref, bqc_ref,
+                      wo_ref, bo_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref,
+                      w2_ref, b2_ref, ck_ref, cv_ref, o_ref, scores_ref,
+                      tile_ref, sem_ref, *, n_heads: int, t_actual: int,
+                      precision, ln_single_pass: bool, gelu_tanh: bool):
+    B, D = x_ref.shape
+    H = n_heads
+    Dh = D // H
+    Tp = ck_ref.shape[1]
+    tile = tile_ref.shape[2]                           # [2, B, tile, D]
+    n_tiles = Tp // tile
+
+    x = x_ref[...]
+    compute_dtype = x.dtype
+
+    def ln(v, s_ref, b_ref):
+        # formula matched to ops/common.layer_norm per policy mode
+        vf = v.astype(jnp.float32)
+        mu = jnp.mean(vf, axis=-1, keepdims=True)
+        if ln_single_pass:
+            var = jnp.maximum(
+                jnp.mean(jnp.square(vf), axis=-1, keepdims=True)
+                - jnp.square(mu), 0.0)
+        else:
+            var = jnp.mean(jnp.square(vf - mu), axis=-1, keepdims=True)
+        y = (vf - mu) * jax.lax.rsqrt(var + 1e-5)
+        return (y * s_ref[...] + b_ref[...]).astype(compute_dtype)
+
+    def dense(v, w_ref, b_ref):
+        # ops/common.dense cast-for-cast: f32 accumulation, bias in f32,
+        # result rounded to the compute dtype
+        y = jax.lax.dot_general(
+            v, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        return (y + b_ref[...]).astype(compute_dtype)
+
+    def tile_dma(src_ref, j, slot):
+        return pltpu.make_async_copy(
+            src_ref.at[:, j * tile:(j + 1) * tile, :],
+            tile_ref.at[slot], sem_ref.at[slot])
+
+    # ---- cross-attention: LN → q proj, then two streamed passes over HBM.
+    # Per-head math rides the MXU as block-masked matmuls (the VPU
+    # mul-reduce form of the first version measured 66 vs 81 utt/s): for
+    # each batch row b, scores[:, b·H:(b+1)·H] = K_b · (q_bᵀ ⊙ blockmask)
+    # computes EXACTLY the per-head dot products because the mask zeroes
+    # every q lane outside head h's Dh block — no lane-splitting reshapes,
+    # no batched dot_general, no transposes (q is produced directly in
+    # [D, B] layout by contracting Wq's input axis against h's feature
+    # axis, with a column-layout copy of the bias).
+    h = ln(x, lncs_ref, lncb_ref)
+    # qT [D, B] f32→compute: same values as dense(h, Wq), transposed layout
+    qT = jax.lax.dot_general(
+        wq_ref[...], h, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    qT = (qT + bqc_ref[...]).astype(compute_dtype)
+    # blockmask [D, H]: mask[d, h] = 1 iff lane d belongs to head h
+    dmask = (jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // Dh
+             == jax.lax.broadcasted_iota(jnp.int32, (D, H), 1))
+    qmask = [(jax.lax.slice_in_dim(qT, b, b + 1, axis=1)
+              * dmask.astype(compute_dtype)).astype(compute_dtype)
+             for b in range(B)]                        # B × [D, H]
+
+    # pass 1: stream K tiles, fill the [Tp, B·H] f32 score columns
+    # (column-major per batch row so every store slice is static)
+    tile_dma(ck_ref, 0, 0).start()
+    for j in range(n_tiles):
+        slot = j % 2
+        if j + 1 < n_tiles:
+            tile_dma(ck_ref, j + 1, (j + 1) % 2).start()
+        tile_dma(ck_ref, j, slot).wait()
+        for b in range(B):
+            kt_b = tile_ref[slot, b]                   # [tile, D]
+            part = jax.lax.dot_general(
+                kt_b, qmask[b], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision) / np.sqrt(Dh)     # [tile, H]
+            scores_ref[j * tile:(j + 1) * tile, b * H:(b + 1) * H] = part
+
+    # full-column softmax (f32) over the T axis (sublanes); padded
+    # positions masked off — zero-padded K rows would otherwise
+    # contribute exp(0) mass
+    scores = scores_ref[...]
+    if t_actual < Tp:
+        pad = (jax.lax.broadcasted_iota(jnp.int32, (Tp, B * H), 0)
+               >= t_actual)
+        scores = jnp.where(pad, -1e9, scores)
+    scores = scores - jnp.max(scores, axis=0, keepdims=True)
+    e = jnp.exp(scores)
+    probs = (e / jnp.sum(e, axis=0, keepdims=True)).astype(
+        compute_dtype)                                 # [Tp, B·H]
+
+    # pass 2: stream V tiles through the SAME scratch; per batch row,
+    # probs_bᵀ · V_b → [H, D], then the blockmask row-reduce collapses the
+    # head axis onto the merged-lane context (disjoint blocks sum cleanly)
+    hmask = (jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // Dh
+             == jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+             ).astype(jnp.float32)
+    ctx_rows = [jnp.zeros((1, D), jnp.float32) for _ in range(B)]
+    tile_dma(cv_ref, 0, 0).start()
+    for j in range(n_tiles):
+        slot = j % 2
+        if j + 1 < n_tiles:
+            tile_dma(cv_ref, j + 1, (j + 1) % 2).start()
+        tile_dma(cv_ref, j, slot).wait()
+        for b in range(B):
+            vt_b = tile_ref[slot, b]                   # [tile, D]
+            pt_b = probs[j * tile:(j + 1) * tile, b * H:(b + 1) * H]
+            hd = jax.lax.dot_general(
+                pt_b, vt_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)                   # [H, D]
+            ctx_rows[b] = ctx_rows[b] + jnp.sum(hd * hmask, axis=0,
+                                                keepdims=True)
+    ctx = jnp.concatenate(ctx_rows, axis=0).astype(compute_dtype)  # [B, D]
+    x2 = x + dense(ctx, wo_ref, bo_ref)
+
+    # ---- FFN: LN → dense → GELU → dense, residual
+    h2 = ln(x2, ln2s_ref, ln2b_ref)
+    mid = dense(h2, w1_ref, b1_ref)
+    g = jax.nn.gelu(mid.astype(jnp.float32),
+                    approximate=gelu_tanh).astype(compute_dtype)
+    o_ref[...] = x2 + dense(g, w2_ref, b2_ref)
+
+
+def fused_cross_ffn_step(x: jax.Array, ln_cross: Dict, q: Dict, o: Dict,
+                         ln2: Dict, mlp_in: Dict, mlp_out: Dict,
+                         cache_k: jax.Array, cache_v: jax.Array,
+                         t_actual: int, *, n_heads: int,
+                         policy: Policy = DEFAULT_POLICY) -> jax.Array:
+    """One decoder layer's cross-attention + FFN decode step in one kernel.
+
+    x [B, D] (seq-len-1 squeezed), ln_cross/ln2 {scale, bias}, q/o the
+    cross-attention query/output projections {kernel [D, D], bias [D]},
+    mlp_in/mlp_out the FFN pair, cache_k/cache_v [B, Tp, D] merged-head,
+    tile-padded encoder K/V planes (init_kv_cache(merged_cross=True)),
+    t_actual the real encoder length (positions ≥ t_actual are masked).
+    Returns x₃ = x₂ + FFN(LN(x₂)) where x₂ = x + crossAttn(LN(x)).
+    """
+    B, D = x.shape
+    F = mlp_in["kernel"].shape[1]
+    Tp = cache_k.shape[1]
+    tile = min(_TILE, Tp)
+    assert Tp % tile == 0, (Tp, tile)
+    compute = policy.compute
+    x = x.astype(compute)
+    kern = functools.partial(
+        _cross_ffn_kernel, n_heads=n_heads, t_actual=t_actual,
+        precision=policy.precision,
+        ln_single_pass=policy.compute == jnp.dtype(jnp.bfloat16),
+        gelu_tanh=policy.compute == jnp.dtype(jnp.bfloat16))
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)    # noqa: E731
+    return pl.pallas_call(
+        kern,
+        in_specs=[vmem() for _ in range(13)] + [hbm(), hbm()],
+        out_specs=vmem(),
+        out_shape=jax.ShapeDtypeStruct((B, D), compute),
+        scratch_shapes=[
+            pltpu.VMEM((Tp, B * n_heads), jnp.float32),       # scores
+            pltpu.VMEM((2, B, tile, D), cache_k.dtype),       # K/V tiles
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (2 * D * D + 2 * D * F)
+            + 4 * B * t_actual * D,
+            bytes_accessed=(2 * D * D + 2 * D * F) * 2
+            + 2 * Tp * D * B * cache_k.dtype.itemsize,
+            transcendentals=B * (Tp * n_heads + F),
+        ),
+    )(x,
+      ln_cross["scale"].astype(jnp.float32).reshape(1, D),
+      ln_cross["bias"].astype(jnp.float32).reshape(1, D),
+      q["kernel"].astype(compute),
+      q["bias"].astype(jnp.float32).reshape(D, 1),   # column layout for qT
+      o["kernel"].astype(compute), o["bias"].astype(jnp.float32).reshape(1, D),
+      ln2["scale"].astype(jnp.float32).reshape(1, D),
+      ln2["bias"].astype(jnp.float32).reshape(1, D),
+      mlp_in["kernel"].astype(compute),
+      mlp_in["bias"].astype(jnp.float32).reshape(1, F),
+      mlp_out["kernel"].astype(compute),
+      mlp_out["bias"].astype(jnp.float32).reshape(1, D),
+      cache_k, cache_v)

@@ -449,6 +449,58 @@ def test_pallas_self_attn_decode_matches(monkeypatch=None):
     np.testing.assert_allclose(np.asarray(ns_a), np.asarray(ns_b), atol=1e-6)
 
 
+def test_pallas_cross_ffn_decode_matches():
+    """decode_transcript(pallas_cross=True): the one-kernel cross-attention
+    + FFN step (ops/pallas_cross_ffn.py, interpret mode on CPU) is
+    token-identical to the unfused decode in f32 — LN formula, cast points,
+    softmax, erf GELU and the merged-lane [B, T, D] cross-cache layout all
+    matched. Composes with the transcriber's fused-QKV self-attention."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from misinfo_tpu.models.whisper import (decode_transcript,
+                                            fuse_whisper_decoder_qkv)
+
+    params = whisper_init(jax.random.PRNGKey(14), TINY)
+    rng = np.random.default_rng(15)
+    T = 2 * TINY.max_source_positions
+    mel = jnp.asarray(rng.normal(size=(3, T, TINY.num_mel_bins))
+                      .astype(np.float32))
+    tok_a, lp_a, ns_a = decode_transcript(params, mel, TINY, F32,
+                                          max_len=14, nospeech_id=7)
+    with pltpu.force_tpu_interpret_mode():
+        tok_b, lp_b, ns_b = decode_transcript(
+            params, mel, TINY, F32, max_len=14, nospeech_id=7,
+            pallas_cross=True)
+        # the production composition: fused QKV self-attn + fused cross+FFN
+        tok_c, lp_c, ns_c = decode_transcript(
+            fuse_whisper_decoder_qkv(params), mel, TINY, F32, max_len=14,
+            nospeech_id=7, pallas_cross=True)
+    np.testing.assert_array_equal(np.asarray(tok_a), np.asarray(tok_b))
+    np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ns_a), np.asarray(ns_b), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(tok_a), np.asarray(tok_c))
+    np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_c), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ns_a), np.asarray(ns_c), atol=1e-6)
+
+
+def test_pallas_cross_rejects_conflicting_flags():
+    """pallas_cross subsumes the FFN; combinations that would silently
+    double-run or mislabel kernels raise."""
+    from misinfo_tpu.models.whisper import decode_transcript
+
+    params = whisper_init(jax.random.PRNGKey(16), TINY)
+    rng = np.random.default_rng(17)
+    mel = jnp.asarray(rng.normal(
+        size=(1, 2 * TINY.max_source_positions, TINY.num_mel_bins))
+        .astype(np.float32))
+    with pytest.raises(ValueError, match="pallas_cross"):
+        decode_transcript(params, mel, TINY, F32, max_len=8,
+                          pallas_cross=True, pallas_ffn=True)
+    with pytest.raises(ValueError, match="pallas_cross"):
+        decode_transcript(params, mel, TINY, F32, max_len=8,
+                          pallas_cross=True, quant=True)
+
+
 def test_scan_layers_rejects_pallas_flags():
     """Conflicting decode flags raise instead of silently dropping the
     Pallas kernels (a bench would otherwise mislabel its numbers)."""

@@ -80,6 +80,7 @@ def main():
         params = stack_whisper_decoder(params)
     pallas_ffn = os.environ.get("BENCH_PALLAS_FFN", "0") == "1"
     pallas_self_attn = os.environ.get("BENCH_PALLAS_ATTN", "0") == "1"
+    pallas_cross = os.environ.get("BENCH_PALLAS_CROSS", "0") == "1"
     quant = os.environ.get("BENCH_QUANT", "") == "int8"
     if quant:
         # int8 streaming decode (WhisperDecodeConfig.quant): int8 decoder
@@ -91,7 +92,7 @@ def main():
     dec_fn = jax.jit(lambda p, e: decode_transcript(
         p, None, cfg, policy, max_len=DECODE_LEN, enc_out=e,
         pallas_ffn=pallas_ffn, pallas_self_attn=pallas_self_attn,
-        quant=quant))
+        pallas_cross=pallas_cross, quant=quant))
     dt_dec, _ = time_program(lambda: dec_fn(params, enc_out), ITERS)
     dec_ms = dt_dec / ITERS * 1000.0
     # random-init weights never argmax EOS → all (max_len - 1) steps run
@@ -110,6 +111,7 @@ def main():
         "fuse_qkv": fuse_qkv,
         "pallas_ffn": pallas_ffn,
         "pallas_self_attn": pallas_self_attn,
+        "pallas_cross": pallas_cross,
         "quant": "int8" if quant else "none",
         "device": str(jax.devices()[0]),
     }))

@@ -52,6 +52,14 @@ def main():
     if SCAN:
         from misinfo_tpu.models.whisper import stack_whisper_decoder
         params = stack_whisper_decoder(params)
+    # same knobs as tools/bench_whisper.py so profiles match bench configs
+    quant = os.environ.get("BENCH_QUANT", "") == "int8"
+    if os.environ.get("BENCH_FUSE_QKV", "0") == "1" or quant:
+        from misinfo_tpu.models.whisper import fuse_whisper_decoder_qkv
+        params = fuse_whisper_decoder_qkv(params)
+    if quant:
+        from misinfo_tpu.ops.serving import quantize_whisper_decoder
+        params = quantize_whisper_decoder(params)
 
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal(
@@ -59,7 +67,7 @@ def main():
         .astype(np.float32))
     enc = jax.jit(lambda p, m: whisper_encode(p, m, cfg, policy))(params, mel)
     dec = jax.jit(lambda p, e: decode_transcript(
-        p, None, cfg, policy, max_len=DECODE_LEN, enc_out=e))
+        p, None, cfg, policy, max_len=DECODE_LEN, enc_out=e, quant=quant))
     sync_fetch(dec(params, enc))     # compile outside the trace
 
     import shutil
