@@ -297,6 +297,20 @@ class ForensicsConfig:
             cfg = dataclasses.replace(
                 cfg, serving=dataclasses.replace(
                     cfg.serving, fast_decode=_fd in ("1", "true", "on")))
+        if os.getenv("MISINFO_TPU_HOST_POLICY") == "auto" and _fd is None:
+            # measure THIS host's image-prep ceiling once and apply the
+            # safe knobs when it is the serving constraint (VERDICT r3 #5;
+            # an explicit MISINFO_TPU_FAST_DECODE always wins)
+            from misinfo_tpu.preprocess.hostprobe import auto_policy
+            updates = auto_policy()
+            if updates:
+                import logging
+                logging.getLogger("misinfo_tpu.config").warning(
+                    "MISINFO_TPU_HOST_POLICY=auto: applying %s (host-bound "
+                    "image prep; see /metrics host_prep for the probe)",
+                    updates)
+                cfg = dataclasses.replace(
+                    cfg, serving=dataclasses.replace(cfg.serving, **updates))
         vd = os.getenv("MISINFO_TPU_VAULT_DTYPE")
         if vd in ("float32", "bfloat16", "int8", "int4"):
             cfg = dataclasses.replace(

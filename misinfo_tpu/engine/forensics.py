@@ -160,6 +160,16 @@ class MisinfoForensics:
                   f"(devices={jax.device_count()}, "
                   f"vault={'loaded' if self.vault_loaded else 'absent'}, "
                   f"ckpt={self.load_report.get('mode')}, tokenizer={tok})")
+            try:
+                # host-prep sizing hint (VERDICT r3 #5): one ~0.3 s probe
+                # so a fresh operator learns the image-traffic ceiling of
+                # THIS host — and the knobs that move it — at boot instead
+                # of from docs/PERF.md after the fact
+                rec = self.host_prep_report()
+                if rec["host_bound_at_probe_res"]:
+                    print(f"host-prep notice: {rec['summary']}")
+            except Exception:
+                pass  # probe is advisory; never block engine construction
 
     # ----------------------------------------------------------- helpers
 
@@ -629,6 +639,23 @@ class MisinfoForensics:
                 out["hbm_headroom_bytes"] = (out["hbm_limit_bytes"]
                                              - out["hbm_in_use_bytes"])
         return out
+
+    def host_prep_report(self) -> Dict:
+        """Measured image-prep capacity of THIS host and the policy
+        recommendation (VERDICT r3 #5): one cached ~0.3 s probe of the
+        exact `_image_batch` path (preprocess/hostprobe.py). Surfaced in
+        the verbose boot banner and /metrics so a fresh operator learns
+        whether image traffic is host-bound — and which knobs move the
+        ceiling — without reading docs/PERF.md. Includes the knobs
+        currently in effect so the /metrics reader sees probe AND state."""
+        from misinfo_tpu.preprocess.hostprobe import recommend
+        rec = dict(recommend())
+        rec["active"] = {
+            "fast_decode": self.cfg.serving.fast_decode,
+            "device_resize": self.cfg.serving.device_resize,
+            "prep_pool_workers": min(16, (os.cpu_count() or 1)),
+        }
+        return rec
 
     def warmup(self, batch_sizes: Optional[Sequence[int]] = None,
                text_buckets: Optional[Sequence[int]] = None,

@@ -112,6 +112,12 @@ class ForensicsAPI:
             out["memory"] = self.engine.memory_report()
         except Exception:
             pass
+        try:
+            # measured host image-prep ceiling + knob recommendation
+            # (cached one-time probe; VERDICT r3 #5)
+            out["host_prep"] = self.engine.host_prep_report()
+        except Exception:
+            pass
         return out
 
     def analyze(self, req: Dict) -> Dict:
