@@ -91,6 +91,18 @@ class WhisperDecodeConfig:
     # int8 stream cannot be conversion-hoisted the way a bf16 cast is).
     # Env: WHISPER_QUANT=int8. Exact decode stays the default.
     quant: str = "none"
+    # Fused Pallas decode step: the whole decoder layer as TWO kernels —
+    # self-attention (ops/pallas_decode.py) + cross-attention+FFN
+    # (ops/pallas_cross_ffn.py) — measured 113.2 vs 80.9 utt/s at b4
+    # (docs/PERF.md round 4; the decode loop is kernel-chain-bound).
+    # "auto" (default) enables it on a real TPU backend when no mesh is
+    # attached and quant is off (the kernels are TPU Mosaic programs;
+    # GSPMD has no partitioning rules for them, and the int8 mode keeps
+    # its own layouts); "on"/"off" force. Env: WHISPER_PALLAS=auto|on|off.
+    # Numerics: exact-math kernels; in bf16 serving mode the FFN GELU is
+    # the tanh form (≤4.7e-4, the same default trade the text towers
+    # make); f32 parity mode keeps erf and is token-exact (tested).
+    pallas: str = "auto"
 
 
 @dataclass(frozen=True)

@@ -169,13 +169,19 @@ def clip_image_features(
     v = params["vision"]
     B = images.shape[0]
     # patchify via conv with stride=patch (maps onto the MXU as a matmul)
+    # output dtype = policy.compute directly: conv's transpose rule
+    # requires same-dtype operands, so an accum-dtype output from bf16
+    # operands breaks every bf16 TRAINING step (same latent bug as
+    # efficientnet._conv, found by tools/bench_train.py round 4; TPU
+    # results identical — the MXU accumulates f32 internally either way,
+    # and f32 parity mode has compute == accum)
     patches = jax.lax.conv_general_dilated(
         images.astype(policy.compute),
         v["patch_embedding"].astype(policy.compute),
         window_strides=(cfg.patch_size, cfg.patch_size),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=policy.accum,
+        preferred_element_type=policy.compute,
         precision=policy.precision,
     ).astype(policy.compute)
     patches = patches.reshape(B, -1, cfg.vision_width)

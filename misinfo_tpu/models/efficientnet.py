@@ -111,13 +111,21 @@ def effnet_b0_init(key, num_classes: int = 2) -> Dict:
 def _conv(x, kernel, stride: int, groups: int = 1, policy=DEFAULT_POLICY):
     k = kernel.shape[0]
     pad = (k - 1) // 2
+    # output dtype = policy.compute directly (NOT accum-then-cast): the MXU
+    # accumulates f32 internally either way, so TPU results are identical
+    # with one rounding — and conv's TRANSPOSE rule requires same-dtype
+    # operands, so an f32 conv output from bf16 operands makes every bf16
+    # TRAINING step fail pairing the f32 cotangent with the bf16 kernel
+    # (latent until tools/bench_train.py exercised the CIFAKE trainer's
+    # default precision="bfloat16"; f32 parity mode has compute == accum
+    # and is byte-identical to the old form)
     return jax.lax.conv_general_dilated(
         x.astype(policy.compute), kernel.astype(policy.compute),
         window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=policy.accum,
+        preferred_element_type=policy.compute,
         precision=policy.precision,
     ).astype(policy.compute)
 

@@ -112,12 +112,17 @@ def whisper_init(key, cfg: WhisperConfig = WhisperConfig()) -> Dict:
 
 
 def _conv1d(p: Dict, x: jax.Array, stride: int, policy: Policy) -> jax.Array:
-    """1-D conv over time (kernel [K, Cin, Cout]), SAME padding."""
+    """1-D conv over time (kernel [K, Cin, Cout]), SAME padding.
+
+    Output dtype = policy.compute directly (not accum-then-cast): conv's
+    transpose rule requires same-dtype operands, so an accum-dtype output
+    from bf16 operands breaks bf16 training (the efficientnet._conv bug,
+    round 4); TPU forward results identical, f32 mode unchanged."""
     y = jax.lax.conv_general_dilated(
         x.astype(policy.compute), p["kernel"].astype(policy.compute),
         window_strides=(stride,), padding=[(1, 1)],
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=policy.accum,
+        preferred_element_type=policy.compute,
         precision=policy.precision).astype(policy.compute)
     return y + p["bias"].astype(policy.compute)
 
@@ -599,12 +604,10 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
                          "composes only with the default unrolled step — "
                          "drop scan_layers / pallas_ffn / pallas_self_attn / "
                          "pallas_cross")
-    if pallas_cross and (pallas_ffn or pallas_self_attn):
-        # the cross+FFN kernel already contains the FFN, and composing with
-        # the (measured-worse) self-attn kernel would only blur attribution
-        raise ValueError("pallas_cross subsumes the FFN and composes only "
-                         "with the default self-attention step — drop "
-                         "pallas_ffn / pallas_self_attn")
+    if pallas_cross and pallas_ffn:
+        # the cross+FFN kernel already contains the FFN; pallas_self_attn
+        # composes (disjoint stages — together the whole layer is 2 kernels)
+        raise ValueError("pallas_cross subsumes the FFN — drop pallas_ffn")
     if enc_out is None:
         enc_out = whisper_encode(params, mel, cfg, policy)
     if scan_layers or "blocks_stacked" in params["decoder"]:

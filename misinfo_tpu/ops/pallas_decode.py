@@ -50,8 +50,8 @@ from misinfo_tpu.ops.common import DEFAULT_POLICY, Policy
 
 
 def _self_attn_step_kernel(pos_ref, x_ref, lns_ref, lnb_ref, wqkv_ref,
-                           bqkv_ref, wo_ref, bo_ref, ck_in_ref, cv_in_ref,
-                           o_ref, ck_ref, cv_ref, *, n_heads: int,
+                           bqkv_ref, bqc_ref, wo_ref, bo_ref, ck_in_ref,
+                           cv_in_ref, o_ref, ck_ref, cv_ref, *, n_heads: int,
                            precision, ln_single_pass: bool):
     B, D = x_ref.shape
     H = n_heads
@@ -75,14 +75,15 @@ def _self_attn_step_kernel(pos_ref, x_ref, lns_ref, lnb_ref, wqkv_ref,
     h = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
     h = (h * lns_ref[...] + lnb_ref[...]).astype(compute_dtype)
 
-    # fused QKV projection, f32 accumulation
-    qkv = jax.lax.dot_general(
-        h, wqkv_ref[...], (((1,), (0,)), ((), ())),
+    # fused K/V projection, f32 accumulation (q is derived separately in
+    # [D, B] layout below — the MXU attention form needs it transposed,
+    # and re-deriving beats a Mosaic transpose)
+    kv = jax.lax.dot_general(
+        h, wqkv_ref[:, D:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
-    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(compute_dtype)
-    q = qkv[:, :D]                                          # [B, D]
-    k_new = qkv[:, D:2 * D]
-    v_new = qkv[:, 2 * D:]
+    kv = (kv + bqkv_ref[..., D:].astype(jnp.float32)).astype(compute_dtype)
+    k_new = kv[:, :D]
+    v_new = kv[:, D:]
 
     # cache write at `pos` as a masked full-plane select: Mosaic cannot
     # prove alignment for a dynamic single-row sublane store, and the
@@ -93,32 +94,49 @@ def _self_attn_step_kernel(pos_ref, x_ref, lns_ref, lnb_ref, wqkv_ref,
     row_is_pos = (jax.lax.broadcasted_iota(jnp.int32, (B, S, D), 1) == pos)
     ck_ref[...] = jnp.where(row_is_pos, k_new[:, None, :], ck_in_ref[...])
     cv_ref[...] = jnp.where(row_is_pos, v_new[:, None, :], cv_in_ref[...])
-    ck = ck_ref[...].astype(jnp.float32)                    # [B, S, D]
-    cv = cv_ref[...].astype(jnp.float32)
 
-    # masked per-head attention. Heads live in static lane slices; the
-    # head loop unrolls (H=8 for whisper-base). Contractions are tiny
-    # (B·S·D ≈ 256K MACs) — VPU mul+reduce, f32 accumulation like the
-    # XLA einsums' preferred_element_type.
-    qf = q.astype(jnp.float32)
-    smask = (jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
-             <= pos).astype(jnp.float32)
-    neg = (1.0 - smask) * -1e9
-    ctx_heads = []
-    for hh in range(H):
-        qh = jax.lax.slice_in_dim(qf, hh * Dh, (hh + 1) * Dh, axis=1)
-        ckh = jax.lax.slice_in_dim(ck, hh * Dh, (hh + 1) * Dh, axis=2)
-        cvh = jax.lax.slice_in_dim(cv, hh * Dh, (hh + 1) * Dh, axis=2)
-        scores = jnp.sum(qh[:, None, :] * ckh,
-                         axis=-1) / np.sqrt(Dh)             # [B, S]
-        scores = scores + neg
-        scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    # masked per-head attention on the MXU via block-masked matmuls (the
+    # round-4 rework that made the cross-attention kernel win,
+    # ops/pallas_cross_ffn.py — the original per-head VPU mul-reduce form
+    # measured 79.4 vs 80.7 utt/s): for each batch row b,
+    # K_b · (q_bᵀ ⊙ blockmask) computes EXACTLY the per-head scores
+    # because the mask zeroes every q lane outside head h's Dh block, and
+    # probs_bᵀ · V_b followed by a masked head-reduce recovers the
+    # merged-lane context — no lane-splitting reshapes, no batched
+    # dot_general, no transposes (q is re-derived in [D, B] layout by
+    # contracting Wqkv's input axis against h's feature axis).
+    qT = jax.lax.dot_general(
+        wqkv_ref[:, :D], h, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+    qT = (qT + bqc_ref[...]).astype(compute_dtype)          # [D, B]
+    dmask = (jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // Dh
+             == jax.lax.broadcasted_iota(jnp.int32, (D, H), 1))
+    hmask = (jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // Dh
+             == jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+             ).astype(jnp.float32)
+    smask_col = (jax.lax.broadcasted_iota(jnp.int32, (S, H), 0)
+                 > pos)                                     # [S, H]
+    ctx_rows = []
+    for b in range(B):
+        qmask_b = (jax.lax.slice_in_dim(qT, b, b + 1, axis=1)
+                   * dmask.astype(compute_dtype)).astype(compute_dtype)
+        k_b = ck_ref[b].astype(compute_dtype)               # [S, D]
+        v_b = cv_ref[b].astype(compute_dtype)
+        scores = jax.lax.dot_general(
+            k_b, qmask_b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision) / np.sqrt(Dh)              # [S, H]
+        scores = jnp.where(smask_col, -1e9, scores)
+        scores = scores - jnp.max(scores, axis=0, keepdims=True)
         e = jnp.exp(scores)
-        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
-            compute_dtype).astype(jnp.float32)
-        ctx_heads.append(jnp.sum(probs[:, :, None] * cvh,
-                                 axis=1))                   # [B, Dh]
-    ctx = jnp.concatenate(ctx_heads, axis=-1).astype(compute_dtype)
+        probs = (e / jnp.sum(e, axis=0, keepdims=True)).astype(
+            compute_dtype)
+        hd = jax.lax.dot_general(
+            probs, v_b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                            # [H, D]
+        ctx_rows.append(jnp.sum(hd * hmask, axis=0, keepdims=True))
+    ctx = jnp.concatenate(ctx_rows, axis=0).astype(compute_dtype)
 
     out = jax.lax.dot_general(
         ctx, wo_ref[...], (((1,), (0,)), ((), ())),
@@ -153,7 +171,7 @@ def fused_self_attn_step(x: jax.Array, ln: Dict, qkv: Dict, o: Dict,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # pos
             vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
-            vmem(), vmem(),
+            vmem(), vmem(), vmem(),
         ],
         out_specs=[vmem(), vmem(), vmem()],
         out_shape=[
@@ -161,11 +179,12 @@ def fused_self_attn_step(x: jax.Array, ln: Dict, qkv: Dict, o: Dict,
             jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
             jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
         ],
-        input_output_aliases={8: 1, 9: 2},           # caches update in place
+        input_output_aliases={9: 1, 10: 2},          # caches update in place
     )(pos,
       x,
       ln["scale"].astype(jnp.float32), ln["bias"].astype(jnp.float32),
       qkv["kernel"].astype(compute), qkv["bias"].astype(jnp.float32),
+      qkv["bias"].astype(jnp.float32)[:D].reshape(D, 1),  # q bias, column
       o["kernel"].astype(compute), o["bias"].astype(jnp.float32),
       cache_k, cache_v)
     return out, ck, cv

@@ -179,6 +179,21 @@ class WhisperTranscriber:
         if self.quant:
             from misinfo_tpu.ops.serving import quantize_whisper_decoder
             self.params = quantize_whisper_decoder(self.params)
+        # fused Pallas decode step (WhisperDecodeConfig.pallas): the whole
+        # decoder layer as two kernels — measured 113.2 vs 80.9 utt/s at b4
+        # (docs/PERF.md round 4). "auto" → on for a real TPU backend with
+        # no mesh and no int8 mode (Mosaic kernels; GSPMD has no
+        # partitioning rules for them; quant keeps its own cache layouts)
+        if decode_cfg.pallas == "on":
+            self.pallas = True
+        elif decode_cfg.pallas == "off":
+            self.pallas = False
+        else:
+            self.pallas = (not self.quant and mesh is None
+                           and jax.devices()[0].platform == "tpu")
+        if self.pallas and self.quant:
+            raise ValueError("WhisperDecodeConfig: pallas='on' does not "
+                             "compose with quant='int8' (pick one)")
         # optional jax.sharding.Mesh: params replicate across it and
         # multi-window decodes shard the window-batch axis over 'data'
         # (same DP story as the engine, §2.5; long clips batch 30 s
@@ -229,14 +244,17 @@ class WhisperTranscriber:
         # the position-0 step inside the decode loop — the silence gate
         # costs no separate dispatch or compiled program
         quant = self.quant
+        pallas = self.pallas
         greedy = jax.jit(lambda p, enc, prompt: decode_transcript(
             p, None, cfg, policy, prompt_tokens=prompt, enc_out=enc,
-            nospeech_id=sp.no_speech, quant=quant))
+            nospeech_id=sp.no_speech, quant=quant,
+            pallas_cross=pallas, pallas_self_attn=pallas))
         # temperature is a TRACED scalar: every sampled rung reuses one
         # compiled program (TPU compiles are minutes; 5 rungs, 1 compile)
         sampled = jax.jit(lambda p, enc, prompt, t, rng: decode_transcript(
             p, None, cfg, policy, prompt_tokens=prompt, temperature=t,
-            rng=rng, enc_out=enc, nospeech_id=sp.no_speech, quant=quant))
+            rng=rng, enc_out=enc, nospeech_id=sp.no_speech, quant=quant,
+            pallas_cross=pallas, pallas_self_attn=pallas))
         detect = None
         if sp.multilingual:
             from misinfo_tpu.models.whisper import detect_language
@@ -510,7 +528,11 @@ def _get_engine() -> Optional[WhisperTranscriber]:
                     language=os.getenv("WHISPER_LANGUAGE") or None,
                     # WHISPER_QUANT=int8 → int8 streaming decode (opt-in;
                     # core/config.py WhisperDecodeConfig.quant)
-                    quant=os.getenv("WHISPER_QUANT", _DECODE_DEFAULTS.quant))
+                    quant=os.getenv("WHISPER_QUANT", _DECODE_DEFAULTS.quant),
+                    # WHISPER_PALLAS=auto|on|off → fused 2-kernel decode
+                    # step (TPU default via "auto"; docs/PERF.md round 4)
+                    pallas=os.getenv("WHISPER_PALLAS",
+                                     _DECODE_DEFAULTS.pallas))
                 _engine = WhisperTranscriber(os.getenv("WHISPER_CHECKPOINT"),
                                              decode_cfg=dc,
                                              mesh=_default_mesh)

@@ -29,3 +29,95 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+# ---------------------------------------------------------------- slow split
+# VERDICT r3 #8: the full suite takes ~15 min on this box; the routine gate
+# (`python -m pytest tests/ -q`) skips the multi-second e2e/mesh tests below
+# (~250 s instead). Run EVERYTHING with MISINFO_TPU_FULL_SUITE=1, or just the
+# slow set with `-m slow`. The list is maintained centrally here (regenerate
+# with `MISINFO_TPU_FULL_SUITE=1 pytest tests/ -q --durations=60`: anything
+# ≥~4 s belongs here); parametrized ids match on the bare test name.
+
+_SLOW_MODULES = {
+    # whole files whose cost is mesh/e2e by construction (incl. their
+    # module-scoped engine/server fixtures)
+    "test_api", "test_multichip", "test_multichip_engine",
+    "test_trainers_mesh", "test_warmup_grid",
+}
+
+_SLOW_TESTS = {
+    "test_quantized_detector_scores_drift_bounded",
+    "test_video_aggregation_matches_per_frame",
+    "test_dashboard_predict_contract",
+    "test_fused_no_speech_matches_standalone",
+    "test_feature_fusion_triple_return",
+    "test_feature_fusion_demo",
+    "test_full_step_multiaxis",
+    "test_converter_cli_whisper",
+    "test_pallas_self_attn_decode_matches",
+    "test_forward_parity",
+    "test_softmax_deepfake_score",
+    "test_effnet_step_updates_bn_stats",
+    "test_pallas_ffn_decode_matches_dense",
+    "test_reduced_factor_selection",
+    "test_packed_train_step_runs_and_learns",
+    "test_scan_layers_decode_matches_unrolled",
+    "test_quant_cross_cache_logits_close_to_exact",
+    "test_no_speech_prob_is_probability",
+    "test_full_grid_warmup_freezes_staged_signatures",
+    "test_trained_ckpt_roundtrips_through_reference_layout",
+    "test_packed_scores_match_unpacked",
+    "test_fused_qkv_decode_matches_unfused",
+    "test_two_process_dcn_init_and_dp_step",
+    "test_device_resize_under_mesh_matches_single",
+    "test_roberta_ffn_mode_matches_xla_path",
+    "test_reload_flips_shard_threshold",
+    "test_encoder_parity",
+    "test_precompute_and_train",
+    "test_warmup_transcriber",
+    "test_padding_invariance",
+    "test_transcriber_without_weights_degrades",
+    "test_decode_transcript_greedy_matches_and_logprob",
+    "test_quant_params_logits_close_to_exact",
+    "test_batched_videos_match_single_requests",
+    "test_decoder_parity",
+    "test_int8_streaming_divergence_quantified",
+    "test_video_without_text_uses_fallback_verdict",
+    "test_head_conversion_matches_torch",
+    "test_optimize_for_serving_full_detector_scores_stable",
+    "test_converter_refuses_empty_and_partial",
+    "test_engine_video_analysis",
+    "test_decode_transcript_temperature_samples",
+    "test_prev_text_divergence_quantified",
+    "test_scan_layers_decode_matches_with_prompt",
+    "test_kv_cached_decode_matches_full_prefix",
+    "test_video_frames_stage_through_device_resize",
+    "test_detect_language_matches_masked_full_softmax",
+    "test_engine_scores_match_pil_host_path",
+    "test_fusion_judge_train_on_scores",
+    "test_warmup_precompiles_serving_signatures",
+    "test_pallas_cross_ffn_decode_matches",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-second e2e/mesh test — skipped by default; "
+        "MISINFO_TPU_FULL_SUITE=1 runs everything, -m slow runs only these")
+
+
+def pytest_collection_modifyitems(config, items):
+    run_all = os.environ.get("MISINFO_TPU_FULL_SUITE") == "1"
+    # an explicit -m expression naming `slow` means the caller is selecting
+    # by marker — let pytest's own filtering decide, never double-skip
+    markexpr = getattr(config.option, "markexpr", "") or ""
+    skip = pytest.mark.skip(
+        reason="slow (set MISINFO_TPU_FULL_SUITE=1 or -m slow)")
+    for item in items:
+        base = item.name.split("[")[0]
+        mod = os.path.splitext(os.path.basename(str(item.fspath)))[0]
+        if base in _SLOW_TESTS or mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+            if not run_all and "slow" not in markexpr:
+                item.add_marker(skip)

@@ -71,6 +71,27 @@ def test_text_head_step_trains_and_freezes():
         np.asarray(params["ai_head"]["fc1"]["kernel"]), ai_before)
 
 
+def test_effnet_step_bf16_policy_runs():
+    """Regression (round 4): the CIFAKE trainer's DEFAULT precision is
+    bfloat16 (train_cifake_efficientnet.py train(precision="bfloat16")),
+    but every prior test used the f32 parity policy — and _conv's old
+    accum-dtype output made the conv TRANSPOSE rule fail on the
+    f32-cotangent/bf16-kernel pair, so bf16 EffNet training crashed at
+    trace time. The step must run and produce a finite f32 loss."""
+    params = _params()
+    tx = make_optimizer(OptimConfig(lr=1e-3, total_steps=10, clip_norm=None,
+                                    schedule="constant"),
+                        trainable_mask=branch_mask(params, ["efficientnet"]))
+    opt_state = tx.init(params)
+    bf16 = Policy(PrecisionConfig(compute_dtype="bfloat16"))
+    step = make_effnet_step(tx, bf16, stats="clip")
+    params, opt_state, m = step(params, opt_state, _image_batch(),
+                                jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    # master weights stay f32 (param_dtype) through the bf16 step
+    assert params["efficientnet"]["stem"]["conv"].dtype == jnp.float32
+
+
 def test_effnet_step_updates_bn_stats():
     params = _params()
     tx = make_optimizer(OptimConfig(lr=1e-3, total_steps=10, clip_norm=None,

@@ -341,6 +341,38 @@ def test_quant_streaming_decode_token_fidelity(trained_whisper):
     assert tr.transcribe(wav_path) == TEXT
 
 
+def test_pallas_decode_mode_resolution_and_equality(trained_whisper):
+    """WhisperDecodeConfig.pallas: 'auto' resolves OFF on the CPU backend
+    (Mosaic kernels are TPU programs), 'on' forces the 2-kernel fused
+    decode step — which must reproduce the exact transcript (run here
+    under interpret mode) — and 'on'+quant='int8' is refused."""
+    import dataclasses as _dc
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from misinfo_tpu.core.config import WhisperDecodeConfig
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    ckpt_dir, wav_path = trained_whisper
+    tr_auto = WhisperTranscriber(ckpt_dir)
+    assert tr_auto.pallas is False  # CPU backend
+
+    tr_on = WhisperTranscriber(
+        ckpt_dir, decode_cfg=_dc.replace(WhisperDecodeConfig(), pallas="on"))
+    assert tr_on.pallas is True
+    with pltpu.force_tpu_interpret_mode():
+        assert tr_on.transcribe(wav_path) == TEXT
+        assert tr_on.warmup() == [1]
+
+    with pytest.raises(ValueError, match="pallas"):
+        WhisperTranscriber(ckpt_dir, decode_cfg=_dc.replace(
+            WhisperDecodeConfig(), pallas="on", quant="int8"))
+    # int8 + auto resolves to the quant layouts, no conflict
+    tr_q = WhisperTranscriber(ckpt_dir, decode_cfg=_dc.replace(
+        WhisperDecodeConfig(), quant="int8"))
+    assert tr_q.pallas is False
+
+
 def test_multi_window_transcription(trained_whisper):
     """Audio longer than one encoder window transcribes EVERY window
     (whisper/transcribe.py's seek loop; previously only the first 30 s

@@ -475,12 +475,19 @@ def test_pallas_cross_ffn_decode_matches():
         tok_c, lp_c, ns_c = decode_transcript(
             fuse_whisper_decoder_qkv(params), mel, TINY, F32, max_len=14,
             nospeech_id=7, pallas_cross=True)
+        # the 2-kernel whole layer: fused self-attn step + fused cross+FFN
+        tok_d, lp_d, ns_d = decode_transcript(
+            params, mel, TINY, F32, max_len=14, nospeech_id=7,
+            pallas_cross=True, pallas_self_attn=True)
     np.testing.assert_array_equal(np.asarray(tok_a), np.asarray(tok_b))
     np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_b), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ns_a), np.asarray(ns_b), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(tok_a), np.asarray(tok_c))
     np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_c), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ns_a), np.asarray(ns_c), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(tok_a), np.asarray(tok_d))
+    np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_d), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ns_a), np.asarray(ns_d), atol=1e-6)
 
 
 def test_pallas_cross_rejects_conflicting_flags():

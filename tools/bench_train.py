@@ -1,13 +1,17 @@
-"""Training-throughput benchmark: the RoBERTa detective step (C15,
-reference train_roberta_detective.py semantics — AdamW, cosine schedule,
-grad clip 1.0) on TPU. Prints one JSON line with steps/s and examples/s.
+"""Training-throughput benchmark for the jit'd trainer steps on TPU.
+Prints one JSON line with steps/s and examples/s.
 
-The reference trains this recipe on a 6 GB consumer GPU with AMP at
-batch 16 / max_len 256 (train_roberta_detective.py:4,155-165); this
-measures the same-shape jit'd step on one TPU chip.
-
-    python tools/bench_train.py            # TPU
+    python tools/bench_train.py                        # RoBERTa detective (C15)
+    BENCH_TRAINER=effnet python tools/bench_train.py   # CIFAKE EffNet (C17)
+    BENCH_TRAINER=clip python tools/bench_train.py     # CLIP InfoNCE (C18)
     BENCH_BATCH=32 BENCH_SEQ=256 python tools/bench_train.py
+
+Reference shapes: the RoBERTa detective trains at batch 16 / max_len 256
+on a 6 GB consumer GPU with AMP (train_roberta_detective.py:4,155-165);
+the CIFAKE trainer full-model-trains EfficientNet-B0 at batch 16 / 224 px
+(train_cifake_forensics.py:276-385); the CLIP detective trains
+projections+logit_scale with symmetric InfoNCE at batch 16
+(train_clip_detective.py:129-166). None publish throughput (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -21,10 +25,113 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+TRAINER = os.environ.get("BENCH_TRAINER", "roberta")  # roberta|effnet|clip
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 SEQ = int(os.environ.get("BENCH_SEQ", "256"))
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 PACK = os.environ.get("BENCH_PACK", "0") == "1"  # packed ragged batches
+
+
+def _bench_loop(step, params, opt_state, batches, n_examples, metric,
+                unit_note):
+    import jax
+
+    from misinfo_tpu.utils.timing import sync_fetch
+
+    key = jax.random.PRNGKey(0)
+    params, opt_state, m = step(params, opt_state, batches[0], key)
+    sync_fetch(m["loss"])  # compile + warmup (data sync — utils/timing.py)
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        key, k = jax.random.split(key)
+        params, opt_state, m = step(params, opt_state,
+                                    batches[i % len(batches)], k)
+    sync_fetch(m["loss"])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": metric,
+        "value": round(STEPS / dt, 2),
+        "unit": f"steps/sec ({unit_note})",
+        "examples_per_sec": round(n_examples * STEPS / dt, 1),
+        "examples_per_step": round(float(n_examples), 1),
+        "step_ms": round(dt / STEPS * 1000, 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+def _bench_effnet():
+    """CIFAKE EffNet step (C17): full-model conv/BN training with
+    functional running-stat merge — a different unit mix from the
+    RoBERTa step (VERDICT r3 #4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from misinfo_tpu.core.config import PrecisionConfig
+    from misinfo_tpu.models.detector import DetectorConfig, detector_init
+    from misinfo_tpu.ops.common import Policy
+    from misinfo_tpu.train.optim import (OptimConfig, branch_mask,
+                                         make_optimizer)
+    from misinfo_tpu.train.steps import make_effnet_step
+
+    det_cfg = DetectorConfig()
+    policy = Policy(PrecisionConfig(gelu_mode="erf"))
+    params = detector_init(jax.random.PRNGKey(0), det_cfg)
+    tx = make_optimizer(
+        OptimConfig(lr=1e-3, weight_decay=0.0, warmup_fraction=0.0,
+                    total_steps=1000, clip_norm=None, schedule="constant"),
+        trainable_mask=branch_mask(params, ["efficientnet"]))
+    opt_state = tx.init(params)
+    step = make_effnet_step(tx, policy, stats="clip")
+
+    rng = np.random.default_rng(0)
+    size = det_cfg.clip.image_size
+    batches = [{
+        "images_u8": jnp.asarray(
+            rng.integers(0, 255, (BATCH, size, size, 3)), jnp.uint8),
+        "labels": jnp.asarray(rng.integers(0, 2, (BATCH,)), jnp.int32),
+    } for _ in range(4)]
+    _bench_loop(step, params, opt_state, batches, BATCH,
+                "cifake_effnet_train_step", f"batch {BATCH}, {size}px")
+
+
+def _bench_clip():
+    """CLIP detective InfoNCE step (C18): both CLIP towers forward, grads
+    only on projections+logit_scale (the reference's freeze)."""
+    import jax
+    import jax.numpy as jnp
+
+    from misinfo_tpu.core.config import PrecisionConfig
+    from misinfo_tpu.models.detector import DetectorConfig, detector_init
+    from misinfo_tpu.ops.common import Policy
+    from misinfo_tpu.train.clip_detective import clip_trainable_mask
+    from misinfo_tpu.train.optim import OptimConfig, make_optimizer
+    from misinfo_tpu.train.steps import make_clip_step
+
+    det_cfg = DetectorConfig()
+    policy = Policy(PrecisionConfig(gelu_mode="erf"))
+    params = detector_init(jax.random.PRNGKey(0), det_cfg)
+    tx = make_optimizer(OptimConfig(lr=1e-4, weight_decay=0.01,
+                                    warmup_fraction=0.0, total_steps=1000,
+                                    clip_norm=1.0),
+                        trainable_mask=clip_trainable_mask(params))
+    opt_state = tx.init(params)
+    step = make_clip_step(tx, det_cfg, policy)
+
+    rng = np.random.default_rng(0)
+    size = det_cfg.clip.image_size
+    L = det_cfg.clip.max_text_len
+    batches = [{
+        "input_ids": jnp.asarray(
+            rng.integers(3, det_cfg.clip.vocab_size - 1, (BATCH, L)),
+            jnp.int32),
+        "attention_mask": jnp.ones((BATCH, L), jnp.int32),
+        "images_u8": jnp.asarray(
+            rng.integers(0, 255, (BATCH, size, size, 3)), jnp.uint8),
+    } for _ in range(4)]
+    _bench_loop(step, params, opt_state, batches, BATCH,
+                "clip_detective_train_step",
+                f"batch {BATCH}, {size}px, text {L}")
 
 
 def main():
@@ -34,6 +141,11 @@ def main():
     from misinfo_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if TRAINER == "effnet":
+        return _bench_effnet()
+    if TRAINER == "clip":
+        return _bench_clip()
 
     from misinfo_tpu.core.config import PrecisionConfig
     from misinfo_tpu.models.detector import DetectorConfig, detector_init
@@ -93,30 +205,10 @@ def main():
                 "labels": jnp.asarray(rng.integers(0, 2, (BATCH,)), jnp.int32),
             })
 
-    from misinfo_tpu.utils.timing import sync_fetch
-
-    key = jax.random.PRNGKey(0)
-    params, opt_state, m = step(params, opt_state, batches[0], key)
-    sync_fetch(m["loss"])  # compile + warmup (data sync — see utils/timing.py)
-
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        key, k = jax.random.split(key)
-        params, opt_state, m = step(params, opt_state,
-                                    batches[i % len(batches)], k)
-    sync_fetch(m["loss"])
-    dt = time.perf_counter() - t0
-
-    print(json.dumps({
-        "metric": ("roberta_detective_train_step_packed" if PACK
-                   else "roberta_detective_train_step"),
-        "value": round(STEPS / dt, 2),
-        "unit": "steps/sec (batch %d, seq %d)" % (BATCH, SEQ),
-        "examples_per_sec": round(n_examples_per_step * STEPS / dt, 1),
-        "examples_per_step": round(n_examples_per_step, 1),
-        "step_ms": round(dt / STEPS * 1000, 2),
-        "device": str(jax.devices()[0]),
-    }))
+    _bench_loop(step, params, opt_state, batches, n_examples_per_step,
+                ("roberta_detective_train_step_packed" if PACK
+                 else "roberta_detective_train_step"),
+                "batch %d, seq %d" % (BATCH, SEQ))
 
 
 if __name__ == "__main__":
