@@ -593,17 +593,28 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
     detected from the params). Composes only with the default unrolled
     step."""
     max_len = max_len or cfg.max_target_positions
-    quant_params = "token_embedding_q" in params["decoder"]
-    if (quant or quant_params) and (scan_layers or pallas_ffn
-                                    or pallas_self_attn or pallas_cross
-                                    or "blocks_stacked" in params["decoder"]):
+    dec_p = params["decoder"]
+    emb_q = "token_embedding_q" in dec_p
+    # block-kernel quantization (quantize_whisper_decoder) vs the
+    # embedding-only transform (quantize_whisper_embedding): only the
+    # former pins the step to the plain unrolled form — the int8 embedding
+    # lookup + logits matmul live OUTSIDE the Pallas kernels and compose
+    blocks_q = bool(dec_p.get("blocks")) and any(
+        isinstance(v, dict) and "kernel_q" in v
+        for v in dec_p["blocks"][0]["self_attn"].values())
+    if (quant or blocks_q) and (scan_layers or pallas_ffn
+                                or pallas_self_attn or pallas_cross
+                                or "blocks_stacked" in dec_p):
         # the scan/Pallas variants read f32/bf16 kernel leaves and the
         # stacked/merged cache layouts; a silently-ignored combination
         # would mis-attribute benchmark numbers (same rule as scan+pallas)
-        raise ValueError("int8 streaming decode (quant / quantized params) "
-                         "composes only with the default unrolled step — "
-                         "drop scan_layers / pallas_ffn / pallas_self_attn / "
-                         "pallas_cross")
+        raise ValueError("int8 streaming decode (quant / quantized block "
+                         "kernels) composes only with the default unrolled "
+                         "step — drop scan_layers / pallas_ffn / "
+                         "pallas_self_attn / pallas_cross")
+    if emb_q and (scan_layers or "blocks_stacked" in dec_p):
+        raise ValueError("int8 token embedding does not compose with the "
+                         "stacked-layer scan decode")
     if pallas_cross and pallas_ffn:
         # the cross+FFN kernel already contains the FFN; pallas_self_attn
         # composes (disjoint stages — together the whole layer is 2 kernels)

@@ -194,6 +194,23 @@ def quantize_whisper_decoder(params):
 
     new_dec = dict(dec)
     new_dec["blocks"] = [quant_block(b) for b in dec["blocks"]]
+    return quantize_whisper_embedding({**params, "decoder": new_dec})
+
+
+def quantize_whisper_embedding(params):
+    """int8 token embedding ONLY (`WhisperDecodeConfig.quant="embedding"` /
+    `WHISPER_QUANT=embedding`): the [V, D] logits matmul is the single
+    largest per-step stream of the fused-kernel decode (~53 MB/step bf16
+    for base ≈ 30% of the 2-kernel step, docs/PERF.md round 4) and lives
+    OUTSIDE the Pallas kernels — so unlike the full int8 streaming mode
+    (block kernels + caches, which needs its own layouts), this transform
+    COMPOSES with the pallas decode default. Same scheme as the full mode:
+    symmetric per-row scales; the input lookup dequantizes the gathered
+    rows, the logits matmul rides the double-rate int8 MXU."""
+    dec = params.get("decoder")
+    if dec is None or "token_embedding" not in dec:
+        return params  # idempotent / not a decoder tree
+    new_dec = dict(dec)
     emb = jnp.asarray(dec["token_embedding"], jnp.float32)
     se = jnp.maximum(jnp.max(jnp.abs(emb), axis=1) / 127.0, 1e-8)
     new_dec["token_embedding_q"] = jnp.clip(

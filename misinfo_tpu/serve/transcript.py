@@ -176,9 +176,16 @@ class WhisperTranscriber:
         # K/V — store int8 and feed double-rate int8 MXU dots. Applied
         # AFTER the qkv fuse (ops/serving.quantize_whisper_decoder).
         self.quant = decode_cfg.quant == "int8"
+        # "embedding": int8 token embedding + logits matmul ONLY — the
+        # largest per-step stream of the fused-kernel decode; composes
+        # with the pallas default (ops/serving.quantize_whisper_embedding)
+        self.quant_embedding = decode_cfg.quant == "embedding"
         if self.quant:
             from misinfo_tpu.ops.serving import quantize_whisper_decoder
             self.params = quantize_whisper_decoder(self.params)
+        elif self.quant_embedding:
+            from misinfo_tpu.ops.serving import quantize_whisper_embedding
+            self.params = quantize_whisper_embedding(self.params)
         # fused Pallas decode step (WhisperDecodeConfig.pallas): the whole
         # decoder layer as two kernels — measured 113.2 vs 80.9 utt/s at b4
         # (docs/PERF.md round 4). "auto" → on for a real TPU backend with

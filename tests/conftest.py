@@ -98,6 +98,18 @@ _SLOW_TESTS = {
     "test_fusion_judge_train_on_scores",
     "test_warmup_precompiles_serving_signatures",
     "test_pallas_cross_ffn_decode_matches",
+    "test_caption_title_similarity_fallback",
+    "test_greedy_decode_static_shapes",
+    "test_orbax_roundtrip",
+    "test_decode_early_exit_all_eos",
+    "test_vault_search_sharded_int4_equals_replicated",
+    "test_ivf_bf16_gather_matches_f32_path",
+    "test_ivf_full_probe_equals_brute_force",
+    "test_mesh_sharded_transcription",
+    "test_quant_streaming_decode_token_fidelity",
+    "test_engine_host_prep_report",
+    "test_pallas_decode_mode_resolution_and_equality",
+    "test_sharded_search_equivalence",
 }
 
 

@@ -372,6 +372,19 @@ def test_pallas_decode_mode_resolution_and_equality(trained_whisper):
         WhisperDecodeConfig(), quant="int8"))
     assert tr_q.pallas is False
 
+    # quant="embedding" (int8 token embedding/logits only) COMPOSES with
+    # the pallas kernels — the transcript must survive the composition
+    tr_eq = WhisperTranscriber(ckpt_dir, decode_cfg=_dc.replace(
+        WhisperDecodeConfig(), quant="embedding", pallas="on"))
+    assert tr_eq.quant_embedding and not tr_eq.quant and tr_eq.pallas
+    assert tr_eq.params["decoder"]["token_embedding_q"].dtype == jnp.int8
+    # block kernels stay unquantized (the pallas kernels read them)
+    sa = tr_eq.params["decoder"]["blocks"][0]["self_attn"]
+    assert all("kernel_q" not in v for v in sa.values()
+               if isinstance(v, dict))
+    with pltpu.force_tpu_interpret_mode():
+        assert tr_eq.transcribe(wav_path) == TEXT
+
 
 def test_multi_window_transcription(trained_whisper):
     """Audio longer than one encoder window transcribes EVERY window

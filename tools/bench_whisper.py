@@ -81,7 +81,8 @@ def main():
     pallas_ffn = os.environ.get("BENCH_PALLAS_FFN", "0") == "1"
     pallas_self_attn = os.environ.get("BENCH_PALLAS_ATTN", "0") == "1"
     pallas_cross = os.environ.get("BENCH_PALLAS_CROSS", "0") == "1"
-    quant = os.environ.get("BENCH_QUANT", "") == "int8"
+    qmode = os.environ.get("BENCH_QUANT", "")
+    quant = qmode == "int8"
     if quant:
         # int8 streaming decode (WhisperDecodeConfig.quant): int8 decoder
         # params + logits embedding (after the qkv fuse, like the
@@ -89,6 +90,10 @@ def main():
         from misinfo_tpu.models.whisper import fuse_whisper_decoder_qkv
         from misinfo_tpu.ops.serving import quantize_whisper_decoder
         params = quantize_whisper_decoder(fuse_whisper_decoder_qkv(params))
+    elif qmode == "embedding":
+        # int8 token embedding/logits only — composes with the pallas flags
+        from misinfo_tpu.ops.serving import quantize_whisper_embedding
+        params = quantize_whisper_embedding(params)
     dec_fn = jax.jit(lambda p, e: decode_transcript(
         p, None, cfg, policy, max_len=DECODE_LEN, enc_out=e,
         pallas_ffn=pallas_ffn, pallas_self_attn=pallas_self_attn,
@@ -112,7 +117,7 @@ def main():
         "pallas_ffn": pallas_ffn,
         "pallas_self_attn": pallas_self_attn,
         "pallas_cross": pallas_cross,
-        "quant": "int8" if quant else "none",
+        "quant": qmode or "none",
         "device": str(jax.devices()[0]),
     }))
 
