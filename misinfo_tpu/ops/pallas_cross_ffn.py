@@ -67,6 +67,38 @@ from misinfo_tpu.ops.common import DEFAULT_POLICY, Policy
 _TILE = 512
 
 
+def pallas_decode_max_batch(d_model: int, ffn_dim: int,
+                            max_len: int, t_enc: int,
+                            budget_bytes: int = 13 * 2 ** 20) -> int:
+    """Largest decode batch for which BOTH fused decode kernels fit the
+    ~16 MB VMEM core budget (conservative 13 MB working budget), or 0 when
+    the layer's weights alone don't fit (whisper-medium/large — their
+    FFN pair is >20 MB bf16; a chunk-streamed FFN variant would be needed).
+
+    Accounting (bf16 bytes): the cross+FFN kernel holds the four layer
+    weights + double-buffered K/V tiles + the f32 score scratch; the
+    self-attention kernel holds Wqkv/Wo + the [B, max_len, D] K/V planes,
+    counted for both the input and the aliased output (Mosaic's scoped
+    accounting is the binding constraint, not HBM). The transcriber uses
+    this to resolve `WhisperDecodeConfig.pallas="auto"` PER jit signature
+    — window buckets past the cap decode through the XLA path, small
+    buckets (the 1-window dashboard case) get the fused kernels."""
+    D, F = d_model, ffn_dim
+    cross_weights = (2 * D * D + 2 * D * F) * 2
+    self_weights = (3 * D * D + D * D) * 2
+    tp = cross_cache_pad(t_enc)
+    for b in range(16, 0, -1):
+        tile = min(_TILE, tp)
+        while b * tile * D * 2 * 2 > 6 * 2 ** 20 and tile > 128:
+            tile //= 2
+        cross = (cross_weights + 2 * b * tile * D * 2
+                 + tp * b * 32 * 4)                    # tiles + scores(≤32h)
+        self_k = self_weights + 4 * b * max_len * D * 2
+        if max(cross, self_k) <= budget_bytes:
+            return b
+    return 0
+
+
 def cross_cache_pad(t: int) -> int:
     """Padded T for the merged-lane cross caches this kernel consumes:
     a _TILE multiple when tiling engages, else a lane-aligned 128 multiple
@@ -219,6 +251,12 @@ def fused_cross_ffn_step(x: jax.Array, ln_cross: Dict, q: Dict, o: Dict,
     F = mlp_in["kernel"].shape[1]
     Tp = cache_k.shape[1]
     tile = min(_TILE, Tp)
+    # shrink the tile as B grows so the double-buffered scratch stays
+    # ≤~6 MB (same rule as pallas_decode_max_batch's estimate); Tp is a
+    # _TILE multiple when tiling engages, so halves keep dividing it
+    while B * tile * D * 2 * 2 > 6 * 2 ** 20 and tile > 128 \
+            and Tp % (tile // 2) == 0:
+        tile //= 2
     assert Tp % tile == 0, (Tp, tile)
     compute = policy.compute
     x = x.astype(compute)

@@ -252,16 +252,40 @@ class WhisperTranscriber:
         # costs no separate dispatch or compiled program
         quant = self.quant
         pallas = self.pallas
-        greedy = jax.jit(lambda p, enc, prompt: decode_transcript(
-            p, None, cfg, policy, prompt_tokens=prompt, enc_out=enc,
-            nospeech_id=sp.no_speech, quant=quant,
-            pallas_cross=pallas, pallas_self_attn=pallas))
+
+        def use_pallas(enc) -> bool:
+            # resolved PER jit signature (the window batch is static at
+            # trace time): the fused kernels' VMEM need scales with
+            # batch × max_len × d_model, so big window buckets and big
+            # models decode through the XLA path while the 1-window
+            # dashboard case gets the kernels
+            # (ops/pallas_cross_ffn.pallas_decode_max_batch)
+            if not pallas:
+                return False
+            from misinfo_tpu.ops.pallas_cross_ffn import \
+                pallas_decode_max_batch
+            return enc.shape[0] <= pallas_decode_max_batch(
+                cfg.d_model, cfg.ffn_dim, cfg.max_target_positions,
+                enc.shape[1])
+
+        def _greedy(p, enc, prompt):
+            pk = use_pallas(enc)
+            return decode_transcript(
+                p, None, cfg, policy, prompt_tokens=prompt, enc_out=enc,
+                nospeech_id=sp.no_speech, quant=quant,
+                pallas_cross=pk, pallas_self_attn=pk)
+
+        def _sampled(p, enc, prompt, t, rng):
+            pk = use_pallas(enc)
+            return decode_transcript(
+                p, None, cfg, policy, prompt_tokens=prompt, temperature=t,
+                rng=rng, enc_out=enc, nospeech_id=sp.no_speech, quant=quant,
+                pallas_cross=pk, pallas_self_attn=pk)
+
+        greedy = jax.jit(_greedy)
         # temperature is a TRACED scalar: every sampled rung reuses one
         # compiled program (TPU compiles are minutes; 5 rungs, 1 compile)
-        sampled = jax.jit(lambda p, enc, prompt, t, rng: decode_transcript(
-            p, None, cfg, policy, prompt_tokens=prompt, temperature=t,
-            rng=rng, enc_out=enc, nospeech_id=sp.no_speech, quant=quant,
-            pallas_cross=pallas, pallas_self_attn=pallas))
+        sampled = jax.jit(_sampled)
         detect = None
         if sp.multilingual:
             from misinfo_tpu.models.whisper import detect_language

@@ -386,6 +386,59 @@ def test_pallas_decode_mode_resolution_and_equality(trained_whisper):
         assert tr_eq.transcribe(wav_path) == TEXT
 
 
+def test_pallas_vmem_gate_per_signature(trained_whisper, monkeypatch):
+    """The fused decode kernels' VMEM need scales with batch × max_len ×
+    d_model: the cap helper rejects whisper-medium outright and bounds the
+    window batch for base; the transcriber resolves the flag PER jit
+    signature, so an over-cap bucket silently decodes through the XLA
+    path (never a Mosaic OOM mid-request) while small buckets keep the
+    kernels."""
+    import dataclasses as _dc
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from misinfo_tpu.core.config import WhisperDecodeConfig
+    from misinfo_tpu.ops.pallas_cross_ffn import pallas_decode_max_batch
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    # base fits a handful of windows; medium's FFN weights alone overflow
+    assert 4 <= pallas_decode_max_batch(512, 2048, 448, 1500) <= 8
+    assert pallas_decode_max_batch(1024, 4096, 448, 1500) == 0
+    assert pallas_decode_max_batch(64, 128, 32, 128) >= 16  # tiny
+
+    ckpt_dir, wav_path = trained_whisper
+    tr = WhisperTranscriber(
+        ckpt_dir, decode_cfg=_dc.replace(WhisperDecodeConfig(), pallas="on"))
+    seen = {}
+    import misinfo_tpu.models.whisper as W
+    import misinfo_tpu.ops.pallas_cross_ffn as PCF
+    real_decode = W.decode_transcript
+    monkeypatch.setattr(PCF, "pallas_decode_max_batch",
+                        lambda *a, **k: 1)
+
+    def spy(params, mel, *a, **kw):
+        enc = kw.get("enc_out")
+        seen[enc.shape[0]] = kw.get("pallas_cross")
+        return real_decode(params, mel, *a, **kw)
+    monkeypatch.setattr(W, "decode_transcript", spy)
+    # rebuild programs against the spy; transcribe a 2-window clip with
+    # buckets (1, 2): bucket 2 exceeds the (patched) cap, bucket 1 fits
+    import wave as _wave
+    audio = _make_audio()
+    p2 = wav_path.replace("speech.wav", "speech_gate.wav")
+    with _wave.open(p2, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes(np.tile((audio * 32767).astype(np.int16), 2).tobytes())
+    tr.decode_cfg = _dc.replace(tr.decode_cfg, window_buckets=(1, 2))
+    with pltpu.force_tpu_interpret_mode():
+        assert tr.transcribe(p2) == " ".join([TEXT] * 2)   # bucket 2, XLA
+        assert tr.transcribe(wav_path) == TEXT             # bucket 1, pallas
+    assert seen[2] is False
+    assert seen[1] is True
+
+
 def test_multi_window_transcription(trained_whisper):
     """Audio longer than one encoder window transcribes EVERY window
     (whisper/transcribe.py's seek loop; previously only the first 30 s
