@@ -64,12 +64,14 @@ def _percentiles(xs):
             "n": len(s)}
 
 
-def _jit_cache_size(eng) -> int:
-    # same accounting as tests/test_warmup_grid.py
-    n = eng._pack_out._cache_size() + eng._clip_text_jit._cache_size()
-    for fn in eng.programs._jitted.values():
-        n += fn._cache_size()
-    return n
+def _jit_cache_sizes(eng) -> dict:
+    # same accounting as tests/test_warmup_grid.py, but per-fn so a mid-run
+    # mint NAMES the program with the warmup hole
+    d = {"pack_out": eng._pack_out._cache_size(),
+         "clip_text": eng._clip_text_jit._cache_size()}
+    for name, fn in eng.programs._jitted.items():
+        d[name] = fn._cache_size()
+    return d
 
 
 def _make_video(path: str) -> bool:
@@ -161,8 +163,16 @@ def main():
 
     # ---- warmup: the production rule — no request may mint a signature
     t_w = time.perf_counter()
-    warmed = engine.warmup(full_grid=WARMUP == "full",
-                           videos=(1, VIDEO_BURST) if have_video else ())
+    # videos=None under full_grid warms EVERY video bucket — required
+    # because the micro-batcher can drain a burst into any group size
+    # (e.g. 8 burst requests split by variant into two groups of 4 →
+    # V-bucket-4 signatures for video AND video_text; measured round 4:
+    # restricting warmup to (1, VIDEO_BURST) minted exactly those two
+    # mid-run, and the mid-run compiles pushed p50 to ~86 s)
+    warmed = engine.warmup(
+        full_grid=WARMUP == "full",
+        videos=(None if (WARMUP == "full" and have_video)
+                else ((1, VIDEO_BURST) if have_video else ())))
     transcriber = None
     if TRANSCRIBE:
         from misinfo_tpu.serve import transcript as T
@@ -172,7 +182,7 @@ def main():
         T.warmup_transcriber()
         transcriber = T
     warmup_s = time.perf_counter() - t_w
-    n_sig0 = _jit_cache_size(engine)
+    sig0 = _jit_cache_sizes(engine)
 
     server = BatchingEngine(engine)
     records = []          # (kind, t_submit, future)
@@ -252,7 +262,10 @@ def main():
     server.close()
     n_done = sum(len(v) for v in lat.values())
     wall = max(t_last - t0, 1e-9)
-    n_sig1 = _jit_cache_size(engine)
+    sig1 = _jit_cache_sizes(engine)
+    minted = {k: sig1[k] - sig0.get(k, 0) for k in sig1
+              if sig1[k] != sig0.get(k, 0)}
+    n_minted = sum(minted.values())
 
     all_lat = [x for v in lat.values() for x in v]
     print(json.dumps({
@@ -267,13 +280,14 @@ def main():
         "latency_ms_all": _percentiles(all_lat),
         "video_burst": burst_result or None,
         "transcript": transcript_result or None,
-        "new_jit_signatures": n_sig1 - n_sig0,
+        "new_jit_signatures": n_minted,
+        "minted_by_program": minted or None,
         "warmup": {"mode": WARMUP, "signatures": len(warmed),
                    "seconds": round(warmup_s, 1)},
     }))
-    if n_sig1 != n_sig0:
-        print(f"WARNING: {n_sig1 - n_sig0} jit signature(s) minted mid-run — "
-              "the warmup grid has a hole", file=sys.stderr)
+    if n_minted:
+        print(f"WARNING: {n_minted} jit signature(s) minted mid-run "
+              f"({minted}) — the warmup grid has a hole", file=sys.stderr)
         return 1
     return 0
 
