@@ -5,7 +5,12 @@ global engine (reference forensics_dashboard.py:91-94). Here concurrent
 callers enqueue requests; a collector thread drains the queue every
 `max_wait_ms`, groups by modality variant, pads to the nearest batch
 bucket and executes ONE fused program per group — so N concurrent
-dashboard/API calls cost ~1 program launch instead of N.
+dashboard/API calls cost ~1 program launch instead of N. A second
+(finalizer) thread owns the device wait + result fetch + report
+formatting, so batch N+1's host prep overlaps batch N's finalization
+and the steady-state cycle costs max(dispatch, finalize), not the sum;
+a bounded hand-off queue (depth 2) backpressures the collector when
+the finalizer falls behind.
 
 Usage:
     server = BatchingEngine(engine)
@@ -29,10 +34,17 @@ class BatchingEngine:
                          else engine.cfg.serving.max_wait_ms) / 1000.0
         self.max_batch = max_batch or max(engine.cfg.serving.batch_buckets)
         self._q: "queue.Queue" = queue.Queue()
+        # dispatched-but-unfinalized batches; maxsize bounds the device
+        # queue depth (collector blocks on put when the finalizer falls
+        # behind — backpressure instead of unbounded in-flight work)
+        self._fin_q: "queue.Queue" = queue.Queue(maxsize=2)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="misinfo-batcher")
+        self._finalizer = threading.Thread(target=self._fin_loop, daemon=True,
+                                           name="misinfo-finalizer")
         self._thread.start()
+        self._finalizer.start()
 
     def submit(self, request: Dict) -> Future:
         fut: Future = Future()
@@ -51,6 +63,7 @@ class BatchingEngine:
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=2.0)
+        self._finalizer.join(timeout=2.0)
 
     # ------------------------------------------------------------ internals
 
@@ -74,36 +87,61 @@ class BatchingEngine:
                     break
         return items
 
-    def _loop(self) -> None:
-        # depth-1 pipeline: while batch N executes on device, drain + prep
-        # + dispatch batch N+1, then finalize N (engine.analyze_batch_async)
-        pending = None  # (futures, finalize)
+    @staticmethod
+    def _finish(p) -> None:
+        futures, finalize = p
+        try:
+            for fut, res in zip(futures, finalize()):
+                fut.set_result(res)
+        except Exception as e:
+            for fut in futures:
+                if not fut.done():
+                    fut.set_exception(e)
 
-        def _finish(p):
-            futures, finalize = p
+    def _put_fin(self, p) -> None:
+        """Hand a dispatched batch to the finalizer; the bounded queue
+        blocks (backpressure) when it falls behind. At shutdown, finalize
+        inline rather than risk dropping resolved futures."""
+        while True:
             try:
-                for fut, res in zip(futures, finalize()):
-                    fut.set_result(res)
-            except Exception as e:
-                for fut in futures:
-                    if not fut.done():
-                        fut.set_exception(e)
+                self._fin_q.put(p, timeout=0.1)
+                return
+            except queue.Full:
+                if self._stop.is_set():
+                    self._finish(p)
+                    return
 
+    def _loop(self) -> None:
+        # Dispatch half of the two-thread pipeline: drain + host prep +
+        # device enqueue (engine.analyze_batch_async returns without a
+        # device sync). Finalization — device wait, the relay/PCIe result
+        # fetch, report formatting, explanations — runs on the finalizer
+        # thread, so the steady-state cycle costs max(dispatch, finalize)
+        # instead of their sum (measured round 4, tools/bench_serve.py:
+        # dispatch p50 254 ms vs finalize p50 662 ms per 62-request batch
+        # on a 1-core host; a single thread serializes the two).
         while not self._stop.is_set():
             items = self._drain()
-            nxt = None
-            if items:
-                requests = [r for r, _ in items]
-                futures = [f for _, f in items]
-                try:
-                    finalize = self.engine.analyze_batch_async(
-                        requests, explanations=True)
-                    nxt = (futures, finalize)
-                except Exception as e:
-                    for fut in futures:
-                        fut.set_exception(e)
-            if pending is not None:
-                _finish(pending)
-            pending = nxt
-        if pending is not None:
-            _finish(pending)
+            if not items:
+                continue
+            requests = [r for r, _ in items]
+            futures = [f for _, f in items]
+            try:
+                finalize = self.engine.analyze_batch_async(
+                    requests, explanations=True)
+            except Exception as e:
+                for fut in futures:
+                    fut.set_exception(e)
+                continue
+            self._put_fin((futures, finalize))
+
+    def _fin_loop(self) -> None:
+        # exit only once the collector can no longer put (stopped AND
+        # dead) and everything pending is finalized
+        while not (self._stop.is_set() and not self._thread.is_alive()
+                   and self._fin_q.empty()):
+            try:
+                p = self._fin_q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            self._finish(p)

@@ -125,6 +125,32 @@ def test_batching_engine_concurrent(tmp_path):
         single["scores"]["misinfo_score"], abs=1e-5)
 
 
+def test_batching_engine_pipelined_batches():
+    """Many submits with a small max_batch force >=5 collector cycles
+    through the dispatcher->finalizer hand-off queue (engine/batching.py
+    two-thread pipeline): every future resolves, order maps back to its
+    request, and scores match the synchronous path."""
+    from misinfo_tpu.engine.batching import BatchingEngine
+    from misinfo_tpu.engine.forensics import MisinfoForensics
+
+    cfg = CFG.replace(seq=CFG.seq.__class__(roberta_max_len=32,
+                                            image_size=DET.clip.image_size))
+    engine = MisinfoForensics(config=cfg, det_cfg=DET,
+                              params=detector_init(jax.random.PRNGKey(0), DET))
+    server = BatchingEngine(engine, max_wait_ms=5, max_batch=8)
+    futures = [server.submit({"text": f"claim number {i % 7}"})
+               for i in range(40)]
+    results = [f.result(timeout=300) for f in futures]
+    server.close()
+    assert len(results) == 40
+    assert all(r["verdict_text"] in ("REAL", "FAKE") for r in results)
+    single = engine.analyze(text="claim number 3", verbose=False)
+    for i, r in enumerate(results):
+        if i % 7 == 3:
+            assert r["scores"]["misinfo_score"] == pytest.approx(
+                single["scores"]["misinfo_score"], abs=1e-5)
+
+
 def test_analyze_stream_matches_batch():
     """analyze_stream: generator input, in-order results equal to the
     synchronous path, chunked at batch_size with one batch in flight."""

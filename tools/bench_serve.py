@@ -184,6 +184,29 @@ def main():
     warmup_s = time.perf_counter() - t_w
     sig0 = _jit_cache_sizes(engine)
 
+    # per-cycle attribution: split each collector batch into dispatch
+    # (host prep + enqueue, no device sync) vs finalize (device wait +
+    # relay fetch + report formatting) — names the binding constraint
+    # when sustained throughput lands below the single-variant rows
+    cycle_stats: list = []
+    orig_async = engine.analyze_batch_async
+
+    def timed_async(reqs, explanations=False):
+        t0 = time.perf_counter()
+        fin = orig_async(reqs, explanations)
+        t_disp = time.perf_counter() - t0
+
+        def fin2():
+            t1 = time.perf_counter()
+            out = fin()
+            cycle_stats.append((len(reqs), t_disp,
+                                time.perf_counter() - t1))
+            return out
+
+        return fin2
+
+    engine.analyze_batch_async = timed_async
+
     server = BatchingEngine(engine)
     records = []          # (kind, t_submit, future)
     lock = threading.Lock()
@@ -268,6 +291,15 @@ def main():
     n_minted = sum(minted.values())
 
     all_lat = [x for v in lat.values() for x in v]
+    cycles = None
+    if cycle_stats:
+        ns = [n for n, _, _ in cycle_stats]
+        disp = [d for _, d, _ in cycle_stats]
+        fin = [f for _, _, f in cycle_stats]
+        cycles = {"batches": len(ns),
+                  "mean_batch": round(float(np.mean(ns)), 1),
+                  "dispatch_ms": _percentiles(disp),
+                  "finalize_ms": _percentiles(fin)}
     print(json.dumps({
         "metric": "serving_under_load",
         "value": round(n_done / wall, 1),
@@ -280,6 +312,7 @@ def main():
         "latency_ms_all": _percentiles(all_lat),
         "video_burst": burst_result or None,
         "transcript": transcript_result or None,
+        "collector_cycles": cycles,
         "new_jit_signatures": n_minted,
         "minted_by_program": minted or None,
         "warmup": {"mode": WARMUP, "signatures": len(warmed),
