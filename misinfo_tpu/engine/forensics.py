@@ -662,7 +662,8 @@ class MisinfoForensics:
                variants: Sequence[str] = _WARMUP_VARIANTS,
                videos: Optional[Sequence[int]] = None,
                packed: Optional[bool] = None,
-               full_grid: bool = False) -> List[tuple]:
+               full_grid: bool = False,
+               parallel: Optional[int] = None) -> List[tuple]:
         """Precompile serving signatures before traffic arrives.
 
         Cold TPU compiles of the fused programs take minutes through this
@@ -690,7 +691,12 @@ class MisinfoForensics:
         a one-time cost thanks to the persistent cache). ``videos=()``
         skips the video programs; ``variants`` takes only the three
         request variants (video programs are selected via ``videos``).
-        Returns the warmed ``(variant, batch, text_len, packed_rows)``
+        ``parallel`` (or ``MISINFO_TPU_WARMUP_PARALLEL``) compiles that
+        many signatures concurrently: the per-signature long pole is IO
+        (persistent-cache load or the compile RPC), so overlapping it
+        cuts the full-grid wall time on remote-attached deployments;
+        0/1 keeps the serial order. Returns the warmed
+        ``(variant, batch, text_len, packed_rows)``
         signatures (``packed_rows=0`` ⇒ dense). With
         ``serving.device_resize`` every image-bearing program is warmed
         once per ``image_staging_buckets`` entry and signatures gain a
@@ -724,19 +730,53 @@ class MisinfoForensics:
             # via packed=True / full_grid (see docstring)
             packed = pack_mode is True or (full_grid and bool(pack_mode))
         dense_text = pack_mode is not True  # True-mode never serves dense
+        if parallel is None:
+            parallel = int(os.environ.get("MISINFO_TPU_WARMUP_PARALLEL",
+                                          "0") or 0)
         done: List[tuple] = []
         seen = set()
         outs = []
+        tasks: List[tuple] = []   # (variant, batch, sig) — deferred compile
+
+        def _run_one(variant, batch, sig):
+            batch = self._place_batch(batch)
+            batch.update(self._vault_device)
+            return self._pack_out(
+                self.programs.get(variant)(self.params, batch))
 
         def _dispatch(variant, batch, sig):
             if sig in seen:   # e.g. two batch_sizes rounding to one bucket
                 return
             seen.add(sig)
-            batch = self._place_batch(batch)
-            batch.update(self._vault_device)
-            outs.append(self._pack_out(
-                self.programs.get(variant)(self.params, batch)))
+            if parallel > 1:
+                tasks.append((variant, batch, sig))
+                return
+            outs.append(_run_one(variant, batch, sig))
             done.append(sig)
+
+        def _flush_tasks():
+            """Compile/load the queued signatures ``parallel`` at a time.
+            The per-signature long pole is IO — the persistent-cache load
+            or the remote compile RPC (docs/PERF.md: minutes through this
+            image's relay) — so concurrent jit calls on DIFFERENT
+            signatures overlap those round trips. Slices bound the number
+            of in-flight synthetic batches; ``self.programs.get`` is
+            pre-warmed per variant so worker threads never race the
+            program-cache dict."""
+            if not tasks:
+                return
+            import concurrent.futures as cf
+            for v in {v for v, _, _ in tasks}:
+                self.programs.get(v)
+            step = max(8, 2 * parallel)
+            with cf.ThreadPoolExecutor(max_workers=parallel) as ex:
+                for lo in range(0, len(tasks), step):
+                    chunk = tasks[lo:lo + step]
+                    for (variant, _, sig), out in zip(
+                            chunk, ex.map(lambda t: _run_one(*t), chunk)):
+                        outs.append(out)
+                        done.append(sig)
+            tasks.clear()
 
         def _clip_tokens(n):
             return {"clip_ids": jnp.zeros((n, cl_len), jnp.int32),
@@ -833,6 +873,7 @@ class MisinfoForensics:
                 self.params["clip"], jnp.zeros((2, cl_len), jnp.int32),
                 jnp.ones((2, cl_len), jnp.int32)))
             done.append(_sig("caption_title_sim", 2, cl_len, 0))
+        _flush_tasks()
         from misinfo_tpu.utils.timing import sync_fetch
         sync_fetch(outs)  # data sync: relay block_until_ready can ack early
         if self.cfg.verbose:

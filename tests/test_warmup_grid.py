@@ -77,6 +77,25 @@ def test_full_grid_warmup_freezes_jit_signatures(pack_text):
             f"signature after full-grid warmup (pack_text={pack_text})")
 
 
+def test_parallel_warmup_matches_serial_grid():
+    """warmup(parallel=N) compiles the SAME signature set as the serial
+    path (order preserved) and freezes the jit caches just as hard —
+    the pool only overlaps the per-signature compile/cache-load IO."""
+    eng_s = _engine(pack_text="auto")
+    sigs_s = eng_s.warmup(full_grid=True, videos=())
+    eng_p = _engine(pack_text="auto")
+    sigs_p = eng_p.warmup(full_grid=True, videos=(), parallel=4)
+    assert sigs_p == sigs_s
+    n0 = _jit_cache_size(eng_p)
+    assert n0 == _jit_cache_size(eng_s)
+    for reqs in _traffic():
+        out = eng_p.analyze_batch(reqs)
+        assert len(out) == len(reqs)
+        assert _jit_cache_size(eng_p) == n0, (
+            f"request mix {[(list(r)) for r in reqs]} minted a new jit "
+            "signature after parallel full-grid warmup")
+
+
 def test_default_warmup_covers_endpoint_shapes():
     """The default (endpoint) warmup covers batch buckets 1 and max with
     every text bucket — single requests and max-size bursts then reuse
