@@ -81,16 +81,19 @@ class WhisperDecodeConfig:
     # with more windows than the largest bucket are processed in chunks of
     # that size, so NO window count ever mints a novel jit signature.
     window_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 20)
-    # "int8" enables the int8 STREAMING decode (opt-in, no reference
-    # counterpart — the reference decodes f32 torch): the per-step decoder
-    # is HBM-bandwidth-bound (docs/PERF.md decode-floor accounting), so the
-    # tensors the loop re-reads every step — decoder dense kernels, the
-    # [V, D] token embedding behind the logits matmul, and the cross-
-    # attention K/V caches — are stored int8 with per-row/channel scales
-    # and consumed by int8×int8→int32 MXU dots (double bf16 rate, and the
-    # int8 stream cannot be conversion-hoisted the way a bf16 cast is).
-    # Env: WHISPER_QUANT=int8. Exact decode stays the default.
-    quant: str = "none"
+    # Decode-weight quantization (no reference counterpart — the reference
+    # decodes f32 torch). "auto" (default): int8 token embedding + logits
+    # matmul — the largest per-step stream of the fused-kernel decode —
+    # whenever the Pallas fused path is active on a real TPU backend
+    # (measured 131.1 vs 112.5 utt/s at b4, +16.6%, docs/PERF.md round 4;
+    # trained-model transcript equality tested under the composition);
+    # resolves to exact decode everywhere else. "embedding" forces that
+    # mode, "none" disables. "int8" is the full int8 STREAMING decode
+    # (opt-in): dense kernels + embedding + cross-K/V caches stored int8
+    # with per-row/channel scales, consumed by int8×int8→int32 MXU dots —
+    # measured +3.9% only (the decode floor is the kernel chain, not HBM
+    # bytes) but halves decoder param+cache HBM. Env: WHISPER_QUANT.
+    quant: str = "auto"
     # Fused Pallas decode step: the whole decoder layer as TWO kernels —
     # self-attention (ops/pallas_decode.py) + cross-attention+FFN
     # (ops/pallas_cross_ffn.py) — measured 113.2 vs 80.9 utt/s at b4

@@ -169,35 +169,46 @@ class WhisperTranscriber:
         # token-equality tested in tests/test_whisper_parity.py)
         from misinfo_tpu.models.whisper import fuse_whisper_decoder_qkv
         self.params = fuse_whisper_decoder_qkv(self.params)
-        # opt-in int8 STREAMING decode (WhisperDecodeConfig.quant /
-        # WHISPER_QUANT=int8): the per-step decoder is HBM-bandwidth-bound,
-        # so the tensors the loop re-reads every step — dense kernels, the
-        # [V, D] logits embedding, and (below, at cache init) the cross
-        # K/V — store int8 and feed double-rate int8 MXU dots. Applied
-        # AFTER the qkv fuse (ops/serving.quantize_whisper_decoder).
-        self.quant = decode_cfg.quant == "int8"
-        # "embedding": int8 token embedding + logits matmul ONLY — the
-        # largest per-step stream of the fused-kernel decode; composes
-        # with the pallas default (ops/serving.quantize_whisper_embedding)
-        self.quant_embedding = decode_cfg.quant == "embedding"
+        # fused Pallas decode step (WhisperDecodeConfig.pallas): the whole
+        # decoder layer as two kernels — measured 113.2 vs 80.9 utt/s at b4
+        # (docs/PERF.md round 4). "auto" → on for a real TPU backend with
+        # no mesh and no int8 mode (Mosaic kernels; GSPMD has no
+        # partitioning rules for them; quant keeps its own cache layouts).
+        # Resolved BEFORE quant: the quant default depends on it.
+        quant_req = decode_cfg.quant
+        if decode_cfg.pallas == "on":
+            pallas = True
+        elif decode_cfg.pallas == "off":
+            pallas = False
+        else:
+            pallas = (quant_req != "int8" and mesh is None
+                      and jax.devices()[0].platform == "tpu")
+        # quant="auto" (the default): int8 token embedding + logits — the
+        # largest per-step stream of the fused-kernel decode — exactly in
+        # the MEASURED configuration: fused kernels active on a real TPU.
+        # A/B at the fused baseline: 131.1 vs 112.5 utt/s (+16.6%,
+        # docs/PERF.md round 4); trained-model transcript equality under
+        # the composition is tested, and the int8-superset token A/B
+        # bounds the divergence (0/66 tokens, Δavg_logprob ≤4e-4).
+        if quant_req in ("auto", ""):
+            quant_req = ("embedding"
+                         if pallas and jax.devices()[0].platform == "tpu"
+                         else "none")
+        # "int8" = full int8 STREAMING decode (opt-in): dense kernels, the
+        # [V, D] logits embedding, and (at cache init) the cross K/V store
+        # int8 and feed double-rate int8 MXU dots. Applied AFTER the qkv
+        # fuse (ops/serving.quantize_whisper_decoder).
+        self.quant = quant_req == "int8"
+        # "embedding": int8 token embedding + logits matmul ONLY; composes
+        # with the pallas kernels (ops/serving.quantize_whisper_embedding)
+        self.quant_embedding = quant_req == "embedding"
         if self.quant:
             from misinfo_tpu.ops.serving import quantize_whisper_decoder
             self.params = quantize_whisper_decoder(self.params)
         elif self.quant_embedding:
             from misinfo_tpu.ops.serving import quantize_whisper_embedding
             self.params = quantize_whisper_embedding(self.params)
-        # fused Pallas decode step (WhisperDecodeConfig.pallas): the whole
-        # decoder layer as two kernels — measured 113.2 vs 80.9 utt/s at b4
-        # (docs/PERF.md round 4). "auto" → on for a real TPU backend with
-        # no mesh and no int8 mode (Mosaic kernels; GSPMD has no
-        # partitioning rules for them; quant keeps its own cache layouts)
-        if decode_cfg.pallas == "on":
-            self.pallas = True
-        elif decode_cfg.pallas == "off":
-            self.pallas = False
-        else:
-            self.pallas = (not self.quant and mesh is None
-                           and jax.devices()[0].platform == "tpu")
+        self.pallas = pallas
         if self.pallas and self.quant:
             raise ValueError("WhisperDecodeConfig: pallas='on' does not "
                              "compose with quant='int8' (pick one)")

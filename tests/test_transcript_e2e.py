@@ -356,6 +356,9 @@ def test_pallas_decode_mode_resolution_and_equality(trained_whisper):
     ckpt_dir, wav_path = trained_whisper
     tr_auto = WhisperTranscriber(ckpt_dir)
     assert tr_auto.pallas is False  # CPU backend
+    # quant="auto" (the default) follows the same gate: embedding-int8
+    # only in the measured fused-TPU configuration, so exact decode here
+    assert not tr_auto.quant and not tr_auto.quant_embedding
 
     tr_on = WhisperTranscriber(
         ckpt_dir, decode_cfg=_dc.replace(WhisperDecodeConfig(), pallas="on"))
