@@ -568,8 +568,10 @@ def _get_engine() -> Optional[WhisperTranscriber]:
                 dc = dataclasses.replace(
                     _DECODE_DEFAULTS,
                     language=os.getenv("WHISPER_LANGUAGE") or None,
-                    # WHISPER_QUANT=int8 → int8 streaming decode (opt-in;
-                    # core/config.py WhisperDecodeConfig.quant)
+                    # WHISPER_QUANT=auto|embedding|int8|none — "auto"
+                    # (default) = int8 logits embedding when the fused
+                    # TPU path is active; "int8" = full streaming decode
+                    # (opt-in); core/config.py WhisperDecodeConfig.quant
                     quant=os.getenv("WHISPER_QUANT", _DECODE_DEFAULTS.quant),
                     # WHISPER_PALLAS=auto|on|off → fused 2-kernel decode
                     # step (TPU default via "auto"; docs/PERF.md round 4)
