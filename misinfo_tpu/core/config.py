@@ -141,6 +141,13 @@ class PrecisionConfig:
     # "int8" quantizes the large dense kernels for serving (ops/quant.py,
     # double-rate MXU path); "none" (default) keeps bf16 everywhere.
     quant: str = "none"
+    # Which int8 Pallas kernels serve the quantized denses
+    # (ops/pallas_int8.py): "auto" → fused FFN + dense kernels on a real
+    # TPU (in-kernel activation quantize — the round-1 XLA int8 path's
+    # VPU-pass killer, docs/PERF.md), XLA path elsewhere; "off"/"ffn"/
+    # "dense"/"all" force. The engine forces "off" under a device mesh.
+    # MISINFO_TPU_INT8_PALLAS overrides for A/B.
+    quant_pallas: str = "auto"
     # GELU flavor. "auto" → tanh approximation in bf16 serving mode (erf is
     # VPU-bound: measured 757 → 869 verdicts/s; max activation divergence
     # 4.7e-4, below bf16 matmul noise) and HF-exact erf in f32 parity mode.

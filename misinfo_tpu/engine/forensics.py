@@ -60,6 +60,11 @@ class MisinfoForensics:
         self.det_cfg = det_cfg or DetectorConfig()
         self.policy = Policy(self.cfg.precision)
         self.mesh = mesh
+        if mesh is not None:
+            # GSPMD partitioning of the int8 Pallas kernels is
+            # unvalidated; mesh deployments serve quantized denses via
+            # the XLA path (ops/pallas_int8.quant_mode).
+            self.policy.quant_pallas = "off"
         t0 = time.perf_counter()
         try:
             from misinfo_tpu.core.cache import enable_compilation_cache
@@ -736,22 +741,26 @@ class MisinfoForensics:
         done: List[tuple] = []
         seen = set()
         outs = []
-        tasks: List[tuple] = []   # (variant, batch, sig) — deferred compile
+        tasks: List[tuple] = []   # (variant, make_batch, sig) — deferred
 
-        def _run_one(variant, batch, sig):
-            batch = self._place_batch(batch)
+        def _run_one(variant, make_batch, sig):
+            # synthetic inputs are BUILT here, not at dispatch time, so a
+            # deferred (parallel) grid holds at most one flush-slice worth
+            # of batches in HBM at once — not the whole grid's image/video
+            # planes (ADVICE r4)
+            batch = self._place_batch(make_batch())
             batch.update(self._vault_device)
             return self._pack_out(
                 self.programs.get(variant)(self.params, batch))
 
-        def _dispatch(variant, batch, sig):
+        def _dispatch(variant, make_batch, sig):
             if sig in seen:   # e.g. two batch_sizes rounding to one bucket
                 return
             seen.add(sig)
             if parallel > 1:
-                tasks.append((variant, batch, sig))
+                tasks.append((variant, make_batch, sig))
                 return
-            outs.append(_run_one(variant, batch, sig))
+            outs.append(_run_one(variant, make_batch, sig))
             done.append(sig)
 
         def _flush_tasks():
@@ -760,9 +769,9 @@ class MisinfoForensics:
             or the remote compile RPC (docs/PERF.md: minutes through this
             image's relay) — so concurrent jit calls on DIFFERENT
             signatures overlap those round trips. Slices bound the number
-            of in-flight synthetic batches; ``self.programs.get`` is
-            pre-warmed per variant so worker threads never race the
-            program-cache dict."""
+            of in-flight synthetic batches (inputs are built inside
+            `_run_one`); ``self.programs.get`` is pre-warmed per variant
+            so worker threads never race the program-cache dict."""
             if not tasks:
                 return
             import concurrent.futures as cf
@@ -793,36 +802,40 @@ class MisinfoForensics:
                     else (variant, B, L, r, S))
 
         def _image_sets(n):
+            """[(make_img_dict, staging_size)] — builders, not arrays, so
+            nothing is allocated until the signature actually runs."""
             if staging is None:
-                return [({"image_effnet": jnp.zeros((n, size, size, 3),
-                                                    jnp.uint8),
-                          "image_clip": jnp.zeros((n, size, size, 3),
-                                                  jnp.uint8)}, 0)]
+                return [((lambda n=n: {
+                    "image_effnet": jnp.zeros((n, size, size, 3), jnp.uint8),
+                    "image_clip": jnp.zeros((n, size, size, 3), jnp.uint8),
+                }), 0)]
             from misinfo_tpu.preprocess.image import resize_param_row
             row = resize_param_row(size, size, size)
-            return [({"image_staged": jnp.zeros((n, S, S, 3), jnp.uint8),
-                      "resize_params": jnp.asarray(np.tile(row, (n, 1)))}, S)
-                    for S in staging]
+            return [((lambda n=n, S=S: {
+                "image_staged": jnp.zeros((n, S, S, 3), jnp.uint8),
+                "resize_params": jnp.asarray(np.tile(row, (n, 1)))}), S)
+                for S in staging]
 
         for variant in variants:
             for n in batch_sizes:
                 B = self._req_bucket(n, buckets)
                 if variant == "visual_only":
-                    for img, S in _image_sets(B):
-                        _dispatch(variant, dict(img),
-                                  _sig(variant, B, 0, 0, S))
+                    for mk_img, S in _image_sets(B):
+                        _dispatch(variant, mk_img, _sig(variant, B, 0, 0, S))
                     continue
                 img_sets = (_image_sets(B) if variant == "full"
-                            else [({}, 0)])
-                for img, S in img_sets:
+                            else [((lambda: {}), 0)])
+                for mk_img, S in img_sets:
                     for L in text_buckets:
                         if dense_text:
-                            batch = {
-                                "roberta_ids": jnp.zeros((B, L), jnp.int32),
-                                "roberta_mask": jnp.ones((B, L), jnp.int32),
-                                **_clip_tokens(B), **img,
-                            }
-                            _dispatch(variant, batch, _sig(variant, B, L, 0, S))
+                            def mk_dense(B=B, L=L, mk_img=mk_img):
+                                return {
+                                    "roberta_ids": jnp.zeros((B, L), jnp.int32),
+                                    "roberta_mask": jnp.ones((B, L), jnp.int32),
+                                    **_clip_tokens(B), **mk_img(),
+                                }
+                            _dispatch(variant, mk_dense,
+                                      _sig(variant, B, L, 0, S))
                         if not packed:
                             continue
                         # row counts dispatch can actually emit: bucketed AND
@@ -837,31 +850,44 @@ class MisinfoForensics:
                             if r > B or (pack_mode is not True
                                          and r * 4 > B * 3):
                                 continue
-                            pb = {
-                                "roberta_ids": jnp.zeros((r, L), jnp.int32),
-                                "roberta_mask": jnp.ones((r, L), jnp.int32),
-                                "roberta_pos": jnp.zeros((r, L), jnp.int32),
-                                "roberta_seg": jnp.zeros((r, L), jnp.int32),
-                                "cls_rows": jnp.zeros((B,), jnp.int32),
-                                "cls_cols": jnp.zeros((B,), jnp.int32),
-                                **(_clip_tokens(B) if variant == "full"
-                                   else {}),
-                                **img,
-                            }
-                            _dispatch(variant, pb, _sig(variant, B, L, r, S))
+
+                            def mk_packed(B=B, L=L, r=r, mk_img=mk_img,
+                                          variant=variant):
+                                return {
+                                    "roberta_ids": jnp.zeros((r, L), jnp.int32),
+                                    "roberta_mask": jnp.ones((r, L), jnp.int32),
+                                    "roberta_pos": jnp.zeros((r, L), jnp.int32),
+                                    "roberta_seg": jnp.zeros((r, L), jnp.int32),
+                                    "cls_rows": jnp.zeros((B,), jnp.int32),
+                                    "cls_cols": jnp.zeros((B,), jnp.int32),
+                                    **(_clip_tokens(B) if variant == "full"
+                                       else {}),
+                                    **mk_img(),
+                                }
+                            _dispatch(variant, mk_packed,
+                                      _sig(variant, B, L, r, S))
         F = self.cfg.video.max_frames
         for n in videos:
             V = self._req_bucket(n, vbuckets)
-            for img, S in _image_sets(V * F):
-                base = {**img, "frame_valid": jnp.ones((V, F), jnp.bool_)}
-                _dispatch("video", dict(base), _sig("video", V, 0, 0, S))
+            for mk_img, S in _image_sets(V * F):
+                def mk_video(V=V, mk_img=mk_img):
+                    return {**mk_img(),
+                            "frame_valid": jnp.ones((V, F), jnp.bool_)}
+                _dispatch("video", mk_video, _sig("video", V, 0, 0, S))
                 for L in text_buckets:
-                    _dispatch("video_text", {
-                        **base,
-                        "roberta_ids": jnp.zeros((V, L), jnp.int32),
-                        "roberta_mask": jnp.ones((V, L), jnp.int32),
-                        **_clip_tokens(V),
-                    }, _sig("video_text", V, L, 0, S))
+                    def mk_video_text(V=V, L=L, mk_video=mk_video):
+                        return {
+                            **mk_video(),
+                            "roberta_ids": jnp.zeros((V, L), jnp.int32),
+                            "roberta_mask": jnp.ones((V, L), jnp.int32),
+                            **_clip_tokens(V),
+                        }
+                    _dispatch("video_text", mk_video_text,
+                              _sig("video_text", V, L, 0, S))
+        # flush BEFORE the vault branch so the returned signature order is
+        # identical in serial and parallel modes whatever the vault's
+        # schema (ADVICE r4; asserted by test_warmup_grid)
+        _flush_tasks()
         vault = self.vault
         if vault is not None and vault.text_embeddings is None:
             # vaults WITHOUT precomputed title embeddings compute the
@@ -873,7 +899,6 @@ class MisinfoForensics:
                 self.params["clip"], jnp.zeros((2, cl_len), jnp.int32),
                 jnp.ones((2, cl_len), jnp.int32)))
             done.append(_sig("caption_title_sim", 2, cl_len, 0))
-        _flush_tasks()
         from misinfo_tpu.utils.timing import sync_fetch
         sync_fetch(outs)  # data sync: relay block_until_ready can ack early
         if self.cfg.verbose:

@@ -88,7 +88,12 @@ def _encoder_apply(blocks, x, num_heads, *, mask=None, causal=False,
                                  use_pallas=attn_pallas)
         x = x + h
         h = layer_norm(blk["ln2"], x, eps, policy)
-        if ffn_fused and "kernel" in blk["mlp_in"]:
+        if "kernel_q" in blk["mlp_in"]:
+            # int8 serving mode (ops/pallas_int8.py; quick_gelu variant)
+            from misinfo_tpu.ops.pallas_int8 import int8_ffn_apply
+            h = int8_ffn_apply(blk["mlp_in"], blk["mlp_out"], h,
+                               policy=policy, mode="quick")
+        elif ffn_fused and "kernel" in blk["mlp_in"]:
             from misinfo_tpu.ops.pallas_ffn import ffn_apply
             h = ffn_apply(blk["mlp_in"], blk["mlp_out"], h,
                           policy=policy, mode="quick")

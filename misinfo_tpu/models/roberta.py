@@ -142,7 +142,13 @@ def roberta_encode(
             rng, k = jax.random.split(rng)
             attn_out = _dropout(k, attn_out, cfg.hidden_dropout, deterministic)
         x = layer_norm(layer["attn_ln"], x + attn_out, cfg.layer_norm_eps, policy)
-        if ffn_fused and "kernel" in layer["mlp_in"]:
+        if "kernel_q" in layer["mlp_in"]:
+            # int8 serving mode: the fused int8-MXU FFN kernel
+            # (ops/pallas_int8.py) when enabled, XLA int8 chain otherwise.
+            from misinfo_tpu.ops.pallas_int8 import int8_ffn_apply
+            mlp = int8_ffn_apply(layer["mlp_in"], layer["mlp_out"], x,
+                                 policy=policy, mode=policy.gelu_mode)
+        elif ffn_fused and "kernel" in layer["mlp_in"]:
             from misinfo_tpu.ops.pallas_ffn import ffn_apply
             mlp = ffn_apply(layer["mlp_in"], layer["mlp_out"], x,
                             policy=policy, mode=policy.gelu_mode)

@@ -47,6 +47,10 @@ class Policy:
         self.precision = (jax.lax.Precision.HIGHEST
                           if self.compute == jnp.dtype(jnp.float32)
                           else jax.lax.Precision.DEFAULT)
+        # int8-Pallas routing for quantized denses (ops/pallas_int8.py);
+        # a plain string resolved lazily at dispatch (no device query here
+        # — Policy is constructed at import time for DEFAULT_POLICY).
+        self.quant_pallas = getattr(cfg, "quant_pallas", "auto")
 
     def cast(self, x):
         return x.astype(self.compute)
@@ -76,8 +80,8 @@ def dense(params: Dict, x: jax.Array, policy: Policy = DEFAULT_POLICY) -> jax.Ar
     carry `kernel_q` instead of `kernel` and ride the MXU's double-rate
     int8 path."""
     if "kernel_q" in params:
-        from misinfo_tpu.ops.quant import dense_int8
-        return dense_int8(params, x, policy.compute)
+        from misinfo_tpu.ops.pallas_int8 import dense_int8_dispatch
+        return dense_int8_dispatch(params, x, policy)
     w = params["kernel"].astype(policy.compute)
     y = jnp.dot(x.astype(policy.compute), w,
                 preferred_element_type=policy.accum,

@@ -176,6 +176,17 @@ class WhisperTranscriber:
         # partitioning rules for them; quant keeps its own cache layouts).
         # Resolved BEFORE quant: the quant default depends on it.
         quant_req = decode_cfg.quant
+        if quant_req not in ("auto", "", "none", "embedding", "int8"):
+            # 'auto' gates a default behavioral mode, so a typo'd opt-in
+            # ('in8', 'int4', …) silently resolving to exact decode would
+            # be indistinguishable from 'none' — fail loudly instead
+            raise ValueError(
+                f"WhisperDecodeConfig.quant / WHISPER_QUANT: unknown value "
+                f"{quant_req!r} (expected auto|none|embedding|int8)")
+        if decode_cfg.pallas not in ("auto", "", "on", "off"):
+            raise ValueError(
+                f"WhisperDecodeConfig.pallas / WHISPER_PALLAS: unknown value "
+                f"{decode_cfg.pallas!r} (expected auto|on|off)")
         if decode_cfg.pallas == "on":
             pallas = True
         elif decode_cfg.pallas == "off":

@@ -389,6 +389,25 @@ def test_pallas_decode_mode_resolution_and_equality(trained_whisper):
         assert tr_eq.transcribe(wav_path) == TEXT
 
 
+def test_typod_quant_or_pallas_value_is_refused(trained_whisper):
+    """A typo'd WHISPER_QUANT/WHISPER_PALLAS value must raise, not
+    silently resolve to exact decode — with 'auto' gating a default
+    behavioral mode, a typo'd opt-in/opt-out would otherwise be
+    indistinguishable from 'none' (ADVICE r4)."""
+    import dataclasses as _dc
+
+    from misinfo_tpu.core.config import WhisperDecodeConfig
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    ckpt_dir, _ = trained_whisper
+    with pytest.raises(ValueError, match="WHISPER_QUANT.*'in8'"):
+        WhisperTranscriber(ckpt_dir, decode_cfg=_dc.replace(
+            WhisperDecodeConfig(), quant="in8"))
+    with pytest.raises(ValueError, match="WHISPER_PALLAS.*'yes'"):
+        WhisperTranscriber(ckpt_dir, decode_cfg=_dc.replace(
+            WhisperDecodeConfig(), pallas="yes"))
+
+
 def test_pallas_vmem_gate_per_signature(trained_whisper, monkeypatch):
     """The fused decode kernels' VMEM need scales with batch × max_len ×
     d_model: the cap helper rejects whisper-medium outright and bounds the

@@ -96,6 +96,38 @@ def test_parallel_warmup_matches_serial_grid():
             "signature after parallel full-grid warmup")
 
 
+def test_parallel_warmup_order_matches_serial_with_vault(tmp_path):
+    """ADVICE r4: with a vault lacking text_embeddings, the extra
+    caption_title_sim warm must land at the SAME position in serial and
+    parallel signature lists (the deferred grid flushes before the vault
+    branch)."""
+    from misinfo_tpu.vault.store import TruthVault
+
+    rng = np.random.default_rng(0)
+    embs = rng.normal(size=(8, DET.clip.projection_dim)).astype(np.float32)
+    vp = str(tmp_path / "v.npz")
+    TruthVault(embs, [{"title": f"t{i}", "url": "u", "date": "d"}
+                      for i in range(8)]).save(vp)
+
+    def mk():
+        cfg = ForensicsConfig(verbose=False).replace(
+            precision=PrecisionConfig.highest())
+        cfg = cfg.replace(
+            paths=cfg.paths.__class__(vault_path=vp),
+            seq=cfg.seq.__class__(roberta_max_len=64,
+                                  image_size=DET.clip.image_size),
+            serving=cfg.serving.__class__(batch_buckets=(1, 4),
+                                          pack_text=False))
+        return MisinfoForensics(config=cfg, det_cfg=DET)
+
+    eng_s, eng_p = mk(), mk()
+    assert eng_s.vault.text_embeddings is None
+    sigs_s = eng_s.warmup(full_grid=True, videos=())
+    sigs_p = eng_p.warmup(full_grid=True, videos=(), parallel=4)
+    assert any(v == "caption_title_sim" for v, *_ in sigs_s)
+    assert sigs_p == sigs_s
+
+
 def test_default_warmup_covers_endpoint_shapes():
     """The default (endpoint) warmup covers batch buckets 1 and max with
     every text bucket — single requests and max-size bursts then reuse

@@ -267,7 +267,11 @@ def main():
     for th in threads:
         th.start()
     for th in threads:
-        th.join(timeout=SECONDS * 4)
+        # unconditional join: abandoning a worker inside a device call is
+        # what forced the old os._exit teardown dodge (VERDICT r4 #7);
+        # the workloads are finite, so a hang here is a real bug and
+        # should be loud, not raced past
+        th.join()
 
     # drain: every submitted request completes (reports by-class latency
     # including queueing + micro-batching + device + fetch)
@@ -326,12 +330,9 @@ def main():
 
 
 if __name__ == "__main__":
-    rc = main()
-    sys.stdout.flush()
-    sys.stderr.flush()
-    # hard exit: a transcript/video worker thread abandoned at its join
-    # timeout can still be inside a device call, and normal interpreter
-    # teardown then races the JAX runtime destructor (observed SIGSEGV
-    # at exit AFTER results printed). The bench's output is complete by
-    # here; skip teardown.
-    os._exit(rc)
+    # normal teardown: BatchingEngine.close() now drains (every finalize
+    # ends in a device fetch) and the worker threads above are joined
+    # without timeout, so no thread can be inside a device call at
+    # interpreter exit — the round-4 os._exit dodge is gone (VERDICT r4
+    # #7; clean-exit repetitions recorded in docs/PERF.md round 5).
+    sys.exit(main())
