@@ -92,7 +92,13 @@ class WhisperDecodeConfig:
     # (opt-in): dense kernels + embedding + cross-K/V caches stored int8
     # with per-row/channel scales, consumed by int8×int8→int32 MXU dots —
     # measured +3.9% only (the decode floor is the kernel chain, not HBM
-    # bytes) but halves decoder param+cache HBM. Env: WHISPER_QUANT.
+    # bytes) but halves decoder param+cache HBM. "kernels" stores the
+    # decoder dense weights int8 INSIDE the two fused Pallas kernels
+    # (ops/pallas_decode.py / ops/pallas_cross_ffn.py int8 variants, +
+    # the int8 embedding): at the fused-decode floor the block weight
+    # stream is the largest remaining HBM term, and int8 halves it while
+    # the [B, D] activation quantize is trivial VPU work; caches stay
+    # bf16 merged-lane. Env: WHISPER_QUANT.
     quant: str = "auto"
     # Fused Pallas decode step: the whole decoder layer as TWO kernels —
     # self-attention (ops/pallas_decode.py) + cross-attention+FFN
@@ -138,8 +144,12 @@ class PrecisionConfig:
     # S=512, docs/PERF.md), f32 in parity mode. Softmax math stays f32
     # inside the fusion either way.
     score_dtype: str = "auto"
-    # "int8" quantizes the large dense kernels for serving (ops/quant.py,
-    # double-rate MXU path); "none" (default) keeps bf16 everywhere.
+    # "int8" quantizes ALL large dense kernels for serving (ops/quant.py,
+    # double-rate MXU path); "int8_ffn" quantizes ONLY the tower FFN
+    # pairs, served by the fused int8-MXU Pallas kernel while attention
+    # keeps XLA's bf16 fusion (the measured detector winner — full int8
+    # breaks cross-op fusion at every projection boundary, docs/PERF.md
+    # round 5); "none" (default) keeps bf16 everywhere.
     quant: str = "none"
     # Which int8 Pallas kernels serve the quantized denses
     # (ops/pallas_int8.py): "auto" → fused FFN + dense kernels on a real

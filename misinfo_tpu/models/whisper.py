@@ -565,7 +565,8 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
                       pallas_ffn: bool = False,
                       pallas_self_attn: bool = False,
                       pallas_cross: bool = False,
-                      quant: bool = False):
+                      quant: bool = False,
+                      unroll: int = 1):
     """KV-cached transcript decoding, O(L) per step, early-exiting the
     decode loop once every batch row has emitted EOS (post-EOS stays EOS,
     so outputs are identical to running all ``max_len`` steps).
@@ -591,7 +592,17 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
     (WhisperDecodeConfig.quant; the other half, int8 decoder params +
     token embedding, is ops/serving.quantize_whisper_decoder and is
     detected from the params). Composes only with the default unrolled
-    step."""
+    step.
+
+    ``unroll`` > 1 runs that many sequential decode steps per while-loop
+    iteration (bit-identical outputs; the early-exit granularity
+    coarsens, so a finished batch may pay up to ``unroll - 1`` masked
+    extra steps). A fixed-cost amortization experiment — the weight
+    streams repeat per step regardless (the layer stack must finish
+    token t before token t+1 starts), so only loop/bookkeeping overhead
+    is saved. Composes with every step variant."""
+    if not 1 <= unroll <= 4:
+        raise ValueError(f"unroll must be in [1, 4], got {unroll}")
     max_len = max_len or cfg.max_target_positions
     dec_p = params["decoder"]
     emb_q = "token_embedding_q" in dec_p
@@ -602,16 +613,23 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
     blocks_q = bool(dec_p.get("blocks")) and any(
         isinstance(v, dict) and "kernel_q" in v
         for v in dec_p["blocks"][0]["self_attn"].values())
-    if (quant or blocks_q) and (scan_layers or pallas_ffn
-                                or pallas_self_attn or pallas_cross
-                                or "blocks_stacked" in dec_p):
-        # the scan/Pallas variants read f32/bf16 kernel leaves and the
-        # stacked/merged cache layouts; a silently-ignored combination
-        # would mis-attribute benchmark numbers (same rule as scan+pallas)
-        raise ValueError("int8 streaming decode (quant / quantized block "
-                         "kernels) composes only with the default unrolled "
-                         "step — drop scan_layers / pallas_ffn / "
-                         "pallas_self_attn / pallas_cross")
+    if (quant or blocks_q) and (scan_layers or "blocks_stacked" in dec_p):
+        # the scanned step reads f32/bf16 kernel leaves and stacked caches
+        raise ValueError("int8 decode weights do not compose with the "
+                         "stacked-layer scan decode — drop scan_layers")
+    if quant and (pallas_ffn or pallas_self_attn or pallas_cross):
+        # int8 CACHE streaming (quant=True) uses its own int8 cache
+        # layouts; the fused kernels read bf16 merged-lane caches. int8
+        # WEIGHTS (blocks_q) DO compose with pallas_self_attn/pallas_cross
+        # — the kernels carry int8-weight variants (quant="kernels" mode,
+        # ops/pallas_decode.py / ops/pallas_cross_ffn.py)
+        raise ValueError("int8 streaming decode (quant=True) composes only "
+                         "with the default unrolled step — drop pallas_ffn "
+                         "/ pallas_self_attn / pallas_cross")
+    if blocks_q and pallas_ffn:
+        raise ValueError("pallas_ffn reads unquantized FFN kernels — with "
+                         "int8 decode weights use pallas_cross (its fused "
+                         "step carries the int8 FFN)")
     if emb_q and (scan_layers or "blocks_stacked" in dec_p):
         raise ValueError("int8 token embedding does not compose with the "
                          "stacked-layer scan decode")
@@ -666,33 +684,58 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
     if sampled and rng is None:
         rng = jax.random.PRNGKey(0)
 
-    def body(carry):
-        i, tokens, cache, done, sum_lp, cnt, ns = carry
-        # feed token i-1, predict token i; cache position i-1 gets written
-        logits, cache = step_fn(
-            params, tokens[:, i - 1], i - 1, enc_out, {**cache, **cross},
-            cfg, policy)
-        cache = {"self_k": cache["self_k"], "self_v": cache["self_v"]}
-        logits = logits.astype(jnp.float32)
-        if sampled:
-            g = jax.random.gumbel(jax.random.fold_in(rng, i), logits.shape)
-            nxt = jnp.argmax(logits / temperature + g, axis=-1)
-        else:
-            nxt = jnp.argmax(logits, axis=-1)
-        nxt = nxt.astype(jnp.int32)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        if nospeech_id is not None and start == 1:
-            # promptless decode: the first body step IS the position-0
-            # (SOT) step — capture the silence gate's probability from the
-            # log_softmax already computed for scoring (no extra softmax)
-            ns = jnp.where(i == 1, jnp.exp(logp[:, nospeech_id]), ns)
-        tok_lp = jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]
-        active = jnp.logical_not(done)
-        sum_lp = sum_lp + jnp.where(active, tok_lp, 0.0)
-        cnt = cnt + active.astype(jnp.float32)
-        nxt = jnp.where(done, cfg.eos_token_id, nxt)
-        done = jnp.logical_or(done, nxt == cfg.eos_token_id)
-        return i + 1, tokens.at[:, i].set(nxt), cache, done, sum_lp, cnt, ns
+    def _make_step(guard_range: bool):
+        def step(carry):
+            i, tokens, cache, done, sum_lp, cnt, ns = carry
+            # feed token i-1, predict token i; cache pos i-1 gets written
+            logits, cache = step_fn(
+                params, tokens[:, i - 1], i - 1, enc_out, {**cache, **cross},
+                cfg, policy)
+            cache = {"self_k": cache["self_k"], "self_v": cache["self_v"]}
+            logits = logits.astype(jnp.float32)
+            if sampled:
+                g = jax.random.gumbel(jax.random.fold_in(rng, i),
+                                      logits.shape)
+                nxt = jnp.argmax(logits / temperature + g, axis=-1)
+            else:
+                nxt = jnp.argmax(logits, axis=-1)
+            nxt = nxt.astype(jnp.int32)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            if nospeech_id is not None and start == 1:
+                # promptless decode: the first body step IS the position-0
+                # (SOT) step — capture the silence gate's probability from
+                # the log_softmax already computed (no extra softmax)
+                ns = jnp.where(i == 1, jnp.exp(logp[:, nospeech_id]), ns)
+            tok_lp = jnp.take_along_axis(logp, nxt[:, None], axis=1)[:, 0]
+            active = jnp.logical_not(done)
+            if guard_range:
+                # unrolled trailing steps can run with i == max_len: the
+                # token write is dropped (scatter OOB), so freeze scoring
+                # too — outputs stay bit-identical to the 1-step loop
+                active = jnp.logical_and(active, i < max_len)
+            sum_lp = sum_lp + jnp.where(active, tok_lp, 0.0)
+            cnt = cnt + active.astype(jnp.float32)
+            nxt = jnp.where(jnp.logical_not(active), cfg.eos_token_id, nxt)
+            done = jnp.logical_or(done, nxt == cfg.eos_token_id)
+            return (i + 1, tokens.at[:, i].set(nxt, mode="drop"), cache,
+                    done, sum_lp, cnt, ns)
+        return step
+
+    if unroll > 1:
+        # amortize the while-loop's per-iteration fixed costs over
+        # `unroll` sequential decode steps. The first step of each
+        # iteration is in-range by the loop condition; trailing steps
+        # carry the range guard. Bit-identical outputs (tested).
+        _first = _make_step(False)
+        _rest = _make_step(True)
+
+        def body(carry):
+            carry = _first(carry)
+            for _ in range(unroll - 1):
+                carry = _rest(carry)
+            return carry
+    else:
+        body = _make_step(False)
 
     def not_done(carry):
         i, _, _, done, _, _, _ = carry

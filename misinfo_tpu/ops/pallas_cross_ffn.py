@@ -233,6 +233,129 @@ def _cross_ffn_kernel(x_ref, lncs_ref, lncb_ref, wq_ref, bqc_ref,
     o_ref[...] = x2 + dense(g, w2_ref, b2_ref)
 
 
+def _cross_ffn_kernel_i8(x_ref, lncs_ref, lncb_ref, wq_ref, sq_col_ref,
+                         bqc_ref, wo_ref, so_ref, bo_ref, ln2s_ref,
+                         ln2b_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+                         b2_ref, ck_ref, cv_ref, o_ref, scores_ref,
+                         tile_ref, sem_ref, *, n_heads: int, t_actual: int,
+                         precision, ln_single_pass: bool, gelu_tanh: bool):
+    """int8-weight variant (WhisperDecodeConfig.quant="kernels"): the four
+    dense weights stream int8 (halving the step's largest HBM stream,
+    docs/PERF.md decode-floor accounting) with per-output-channel scales;
+    [B, *] activations quantize per row in VMEM (trivial at decode
+    shapes) and the dots ride the int8 MXU. Cross K/V planes stay in the
+    bf16 merged-lane layout — identical streaming to the bf16 kernel."""
+    from misinfo_tpu.ops.pallas_int8 import _quantize_rows
+
+    B, D = x_ref.shape
+    H = n_heads
+    Dh = D // H
+    Tp = ck_ref.shape[1]
+    tile = tile_ref.shape[2]
+    n_tiles = Tp // tile
+
+    x = x_ref[...]
+    compute_dtype = x.dtype
+
+    def ln(v, s_ref, b_ref):
+        vf = v.astype(jnp.float32)
+        mu = jnp.mean(vf, axis=-1, keepdims=True)
+        if ln_single_pass:
+            var = jnp.maximum(
+                jnp.mean(jnp.square(vf), axis=-1, keepdims=True)
+                - jnp.square(mu), 0.0)
+        else:
+            var = jnp.mean(jnp.square(vf - mu), axis=-1, keepdims=True)
+        y = (vf - mu) * jax.lax.rsqrt(var + 1e-5)
+        return (y * s_ref[...] + b_ref[...]).astype(compute_dtype)
+
+    def dense_q(v, w_ref, s_ref, b_ref):
+        # ops/quant.dense_int8 cast-for-cast: per-row activation scales,
+        # int32 accumulation, f32 rescale + bias, round to compute dtype
+        vq, sv = _quantize_rows(v.astype(jnp.float32))
+        y = jax.lax.dot_general(
+            vq, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * sv * s_ref[...]
+                + b_ref[...]).astype(compute_dtype)
+
+    def tile_dma(src_ref, j, slot):
+        return pltpu.make_async_copy(
+            src_ref.at[:, j * tile:(j + 1) * tile, :],
+            tile_ref.at[slot], sem_ref.at[slot])
+
+    # ---- cross-attention (same block-masked MXU form as the bf16 kernel;
+    # q is derived in [D, B] layout from the int8 weight, dequantized per
+    # batch column inside the unrolled b loop)
+    h = ln(x, lncs_ref, lncb_ref)
+    hq, sh = _quantize_rows(h.astype(jnp.float32))
+    qT_i32 = jax.lax.dot_general(
+        wq_ref[...], hq, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                  # [D, B]
+    dmask = (jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // Dh
+             == jax.lax.broadcasted_iota(jnp.int32, (D, H), 1))
+    qmask = []
+    for b in range(B):
+        q_col = (jax.lax.slice_in_dim(qT_i32, b, b + 1, axis=1)
+                 .astype(jnp.float32) * sq_col_ref[...]
+                 * jax.lax.slice(sh, (b, 0), (b + 1, 1))
+                 + bqc_ref[...])                           # [D, 1] f32
+        qmask.append((q_col.astype(compute_dtype)
+                      * dmask.astype(compute_dtype)).astype(compute_dtype))
+
+    tile_dma(ck_ref, 0, 0).start()
+    for j in range(n_tiles):
+        slot = j % 2
+        if j + 1 < n_tiles:
+            tile_dma(ck_ref, j + 1, (j + 1) % 2).start()
+        tile_dma(ck_ref, j, slot).wait()
+        for b in range(B):
+            kt_b = tile_ref[slot, b]
+            part = jax.lax.dot_general(
+                kt_b, qmask[b], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision) / np.sqrt(Dh)
+            scores_ref[j * tile:(j + 1) * tile, b * H:(b + 1) * H] = part
+
+    scores = scores_ref[...]
+    if t_actual < Tp:
+        pad = (jax.lax.broadcasted_iota(jnp.int32, (Tp, B * H), 0)
+               >= t_actual)
+        scores = jnp.where(pad, -1e9, scores)
+    scores = scores - jnp.max(scores, axis=0, keepdims=True)
+    e = jnp.exp(scores)
+    probs = (e / jnp.sum(e, axis=0, keepdims=True)).astype(compute_dtype)
+
+    hmask = (jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // Dh
+             == jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+             ).astype(jnp.float32)
+    ctx_rows = [jnp.zeros((1, D), jnp.float32) for _ in range(B)]
+    tile_dma(cv_ref, 0, 0).start()
+    for j in range(n_tiles):
+        slot = j % 2
+        if j + 1 < n_tiles:
+            tile_dma(cv_ref, j + 1, (j + 1) % 2).start()
+        tile_dma(cv_ref, j, slot).wait()
+        for b in range(B):
+            vt_b = tile_ref[slot, b]
+            pt_b = probs[j * tile:(j + 1) * tile, b * H:(b + 1) * H]
+            hd = jax.lax.dot_general(
+                pt_b, vt_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)
+            ctx_rows[b] = ctx_rows[b] + jnp.sum(hd * hmask, axis=0,
+                                                keepdims=True)
+    ctx = jnp.concatenate(ctx_rows, axis=0).astype(compute_dtype)
+    x2 = x + dense_q(ctx, wo_ref, so_ref, bo_ref)
+
+    # ---- FFN: LN → int8 dense → GELU → int8 dense, residual
+    h2 = ln(x2, ln2s_ref, ln2b_ref)
+    mid = dense_q(h2, w1_ref, s1_ref, b1_ref)
+    g = jax.nn.gelu(mid.astype(jnp.float32),
+                    approximate=gelu_tanh).astype(compute_dtype)
+    o_ref[...] = x2 + dense_q(g, w2_ref, s2_ref, b2_ref)
+
+
 def fused_cross_ffn_step(x: jax.Array, ln_cross: Dict, q: Dict, o: Dict,
                          ln2: Dict, mlp_in: Dict, mlp_out: Dict,
                          cache_k: jax.Array, cache_v: jax.Array,
@@ -248,7 +371,8 @@ def fused_cross_ffn_step(x: jax.Array, ln_cross: Dict, q: Dict, o: Dict,
     Returns x₃ = x₂ + FFN(LN(x₂)) where x₂ = x + crossAttn(LN(x)).
     """
     B, D = x.shape
-    F = mlp_in["kernel"].shape[1]
+    quant = "kernel_q" in q
+    F = (mlp_in["kernel_q"] if quant else mlp_in["kernel"]).shape[1]
     Tp = cache_k.shape[1]
     tile = min(_TILE, Tp)
     # shrink the tile as B grows so the double-buffered scratch stays
@@ -260,30 +384,63 @@ def fused_cross_ffn_step(x: jax.Array, ln_cross: Dict, q: Dict, o: Dict,
     assert Tp % tile == 0, (Tp, tile)
     compute = policy.compute
     x = x.astype(compute)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)    # noqa: E731
+    scratch = [
+        pltpu.VMEM((Tp, B * n_heads), jnp.float32),       # scores
+        pltpu.VMEM((2, B, tile, D), cache_k.dtype),       # K/V tiles
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    cost = pl.CostEstimate(
+        flops=2 * B * (2 * D * D + 2 * D * F)
+        + 4 * B * t_actual * D,
+        bytes_accessed=(2 * D * D + 2 * D * F) * (1 if quant else 2)
+        + 2 * Tp * D * B * cache_k.dtype.itemsize,
+        transcendentals=B * (Tp * n_heads + F),
+    )
+    if quant:
+        kern = functools.partial(
+            _cross_ffn_kernel_i8, n_heads=n_heads, t_actual=t_actual,
+            precision=policy.precision,
+            ln_single_pass=policy.compute == jnp.dtype(jnp.bfloat16),
+            gelu_tanh=policy.compute == jnp.dtype(jnp.bfloat16))
+        return pl.pallas_call(
+            kern,
+            in_specs=[vmem() for _ in range(17)] + [hbm(), hbm()],
+            out_specs=vmem(),
+            out_shape=jax.ShapeDtypeStruct((B, D), compute),
+            scratch_shapes=scratch,
+            cost_estimate=cost,
+        )(x,
+          ln_cross["scale"].astype(jnp.float32).reshape(1, D),
+          ln_cross["bias"].astype(jnp.float32).reshape(1, D),
+          q["kernel_q"],
+          q["w_scale"].astype(jnp.float32).reshape(D, 1),
+          q["bias"].astype(jnp.float32).reshape(D, 1),
+          o["kernel_q"],
+          o["w_scale"].astype(jnp.float32).reshape(1, D),
+          o["bias"].astype(jnp.float32).reshape(1, D),
+          ln2["scale"].astype(jnp.float32).reshape(1, D),
+          ln2["bias"].astype(jnp.float32).reshape(1, D),
+          mlp_in["kernel_q"],
+          mlp_in["w_scale"].astype(jnp.float32).reshape(1, F),
+          mlp_in["bias"].astype(jnp.float32).reshape(1, F),
+          mlp_out["kernel_q"],
+          mlp_out["w_scale"].astype(jnp.float32).reshape(1, D),
+          mlp_out["bias"].astype(jnp.float32).reshape(1, D),
+          cache_k, cache_v)
     kern = functools.partial(
         _cross_ffn_kernel, n_heads=n_heads, t_actual=t_actual,
         precision=policy.precision,
         ln_single_pass=policy.compute == jnp.dtype(jnp.bfloat16),
         gelu_tanh=policy.compute == jnp.dtype(jnp.bfloat16))
-    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
-    hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)    # noqa: E731
     return pl.pallas_call(
         kern,
         in_specs=[vmem() for _ in range(13)] + [hbm(), hbm()],
         out_specs=vmem(),
         out_shape=jax.ShapeDtypeStruct((B, D), compute),
-        scratch_shapes=[
-            pltpu.VMEM((Tp, B * n_heads), jnp.float32),       # scores
-            pltpu.VMEM((2, B, tile, D), cache_k.dtype),       # K/V tiles
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * (2 * D * D + 2 * D * F)
-            + 4 * B * t_actual * D,
-            bytes_accessed=(2 * D * D + 2 * D * F) * 2
-            + 2 * Tp * D * B * cache_k.dtype.itemsize,
-            transcendentals=B * (Tp * n_heads + F),
-        ),
+        scratch_shapes=scratch,
+        cost_estimate=cost,
     )(x,
       ln_cross["scale"].astype(jnp.float32).reshape(1, D),
       ln_cross["bias"].astype(jnp.float32).reshape(1, D),

@@ -145,6 +145,100 @@ def _self_attn_step_kernel(pos_ref, x_ref, lns_ref, lnb_ref, wqkv_ref,
     o_ref[...] = x + out
 
 
+def _self_attn_step_kernel_i8(pos_ref, x_ref, lns_ref, lnb_ref, wqkv_ref,
+                              sqkv_ref, bqkv_ref, sq_col_ref, bqc_ref,
+                              wo_ref, so_ref, bo_ref, ck_in_ref, cv_in_ref,
+                              o_ref, ck_ref, cv_ref, *, n_heads: int,
+                              precision, ln_single_pass: bool):
+    """int8-weight variant (WhisperDecodeConfig.quant="kernels"): Wqkv/Wo
+    are int8 with per-output-channel scales — the decode step is
+    bandwidth-bound on weights (docs/PERF.md decode-floor accounting), so
+    halving the stream is the payoff; the [B, D] activation quantize is
+    trivial VPU work and the dots ride the int8 MXU. Math mirrors
+    ops/quant.dense_int8 (f32 abs-max rows, round, clip, f32 rescale)."""
+    from misinfo_tpu.ops.pallas_int8 import _quantize_rows
+
+    B, D = x_ref.shape
+    H = n_heads
+    Dh = D // H
+    S = ck_in_ref.shape[1]
+    pos = pos_ref[0]
+
+    x = x_ref[...]
+    compute_dtype = x.dtype
+
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    if ln_single_pass:
+        var = jnp.maximum(
+            jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+            - jnp.square(mu), 0.0)
+    else:
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    h = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+    h = (h * lns_ref[...] + lnb_ref[...]).astype(compute_dtype)
+
+    hq, sh = _quantize_rows(h.astype(jnp.float32))          # [B,D] i8, [B,1]
+
+    kv_i32 = jax.lax.dot_general(
+        hq, wqkv_ref[:, D:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    kv = (kv_i32.astype(jnp.float32) * sh * sqkv_ref[..., D:]
+          + bqkv_ref[..., D:]).astype(compute_dtype)
+    k_new = kv[:, :D]
+    v_new = kv[:, D:]
+
+    row_is_pos = (jax.lax.broadcasted_iota(jnp.int32, (B, S, D), 1) == pos)
+    ck_ref[...] = jnp.where(row_is_pos, k_new[:, None, :], ck_in_ref[...])
+    cv_ref[...] = jnp.where(row_is_pos, v_new[:, None, :], cv_in_ref[...])
+
+    # q in [D, B] layout (same block-masked MXU attention as the bf16
+    # kernel); per-column dequant happens in the unrolled b loop where the
+    # per-row activation scale is a static (1,1) slice
+    qT_i32 = jax.lax.dot_general(
+        wqkv_ref[:, :D], hq, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                   # [D, B]
+    dmask = (jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // Dh
+             == jax.lax.broadcasted_iota(jnp.int32, (D, H), 1))
+    hmask = (jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // Dh
+             == jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+             ).astype(jnp.float32)
+    smask_col = (jax.lax.broadcasted_iota(jnp.int32, (S, H), 0) > pos)
+    ctx_rows = []
+    for b in range(B):
+        q_col = (jax.lax.slice_in_dim(qT_i32, b, b + 1, axis=1)
+                 .astype(jnp.float32) * sq_col_ref[...]
+                 * jax.lax.slice(sh, (b, 0), (b + 1, 1))
+                 + bqc_ref[...])                            # [D, 1] f32
+        qmask_b = (q_col.astype(compute_dtype)
+                   * dmask.astype(compute_dtype)).astype(compute_dtype)
+        k_b = ck_ref[b].astype(compute_dtype)               # [S, D]
+        v_b = cv_ref[b].astype(compute_dtype)
+        scores = jax.lax.dot_general(
+            k_b, qmask_b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision) / np.sqrt(Dh)              # [S, H]
+        scores = jnp.where(smask_col, -1e9, scores)
+        scores = scores - jnp.max(scores, axis=0, keepdims=True)
+        e = jnp.exp(scores)
+        probs = (e / jnp.sum(e, axis=0, keepdims=True)).astype(
+            compute_dtype)
+        hd = jax.lax.dot_general(
+            probs, v_b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                            # [H, D]
+        ctx_rows.append(jnp.sum(hd * hmask, axis=0, keepdims=True))
+    ctx = jnp.concatenate(ctx_rows, axis=0).astype(compute_dtype)
+
+    cq, sc = _quantize_rows(ctx.astype(jnp.float32))
+    out_i32 = jax.lax.dot_general(
+        cq, wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = (out_i32.astype(jnp.float32) * sc * so_ref[...]
+           + bo_ref[...]).astype(compute_dtype)
+    o_ref[...] = x + out
+
+
 def fused_self_attn_step(x: jax.Array, ln: Dict, qkv: Dict, o: Dict,
                          cache_k: jax.Array, cache_v: jax.Array,
                          pos, *, n_heads: int,
@@ -161,11 +255,44 @@ def fused_self_attn_step(x: jax.Array, ln: Dict, qkv: Dict, o: Dict,
     compute = policy.compute
     x = x.astype(compute)
     pos = jnp.asarray(pos, jnp.int32).reshape(1)
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    if "kernel_q" in qkv:
+        # int8-weight mode (quantize_whisper_decoder applied after the qkv
+        # fuse): per-channel scales ride along; the q slice of the scale
+        # vector is passed in column layout for the [D, B] q derivation
+        kern = functools.partial(
+            _self_attn_step_kernel_i8, n_heads=n_heads,
+            precision=policy.precision,
+            ln_single_pass=policy.compute == jnp.dtype(jnp.bfloat16))
+        sqkv = qkv["w_scale"].astype(jnp.float32)
+        out, ck, cv = pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [vmem() for _ in range(13)],
+            out_specs=[vmem(), vmem(), vmem()],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, D), compute),
+                jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+                jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+            ],
+            input_output_aliases={12: 1, 13: 2},
+        )(pos,
+          x,
+          ln["scale"].astype(jnp.float32), ln["bias"].astype(jnp.float32),
+          qkv["kernel_q"],
+          sqkv.reshape(1, 3 * D),
+          qkv["bias"].astype(jnp.float32).reshape(1, 3 * D),
+          sqkv[:D].reshape(D, 1),
+          qkv["bias"].astype(jnp.float32)[:D].reshape(D, 1),
+          o["kernel_q"],
+          o["w_scale"].astype(jnp.float32).reshape(1, D),
+          o["bias"].astype(jnp.float32).reshape(1, D),
+          cache_k, cache_v)
+        return out, ck, cv
     kern = functools.partial(
         _self_attn_step_kernel, n_heads=n_heads,
         precision=policy.precision,
         ln_single_pass=policy.compute == jnp.dtype(jnp.bfloat16))
-    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     out, ck, cv = pl.pallas_call(
         kern,
         in_specs=[

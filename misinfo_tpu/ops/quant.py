@@ -61,6 +61,32 @@ def quantize_params(tree, min_elems: int = MIN_KERNEL_ELEMS):
     return tree
 
 
+def quantize_ffn_params(tree, min_elems: int = MIN_KERNEL_ELEMS):
+    """Quantize ONLY the tower FFN pairs (dicts carrying both `mlp_in` and
+    `mlp_out` with large 2-D kernels); attention projections and heads
+    stay bf16. This is the measured detector int8 serving mode
+    (quant="int8_ffn"): the FFN runs as the fused int8-MXU Pallas kernel
+    (ops/pallas_int8.py) whose kernel boundary is free (the bf16 Pallas
+    FFN measured parity with XLA, docs/PERF.md), while the attention
+    stack keeps XLA's cross-op fusion — the full-int8 mode measured
+    SLOWER (838 vs 905 v/s) precisely because per-projection kernel
+    boundaries broke those fusions."""
+    if isinstance(tree, dict):
+        out = {}
+        for key, v in tree.items():
+            if (key in ("mlp_in", "mlp_out") and isinstance(v, dict)
+                    and getattr(v.get("kernel"), "ndim", 0) == 2
+                    and v["kernel"].size >= min_elems
+                    and "mlp_in" in tree and "mlp_out" in tree):
+                out[key] = quantize_dense(v)
+            else:
+                out[key] = quantize_ffn_params(v, min_elems)
+        return out
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(quantize_ffn_params(v, min_elems) for v in tree)
+    return tree
+
+
 def dense_int8(params: Dict, x: jax.Array, out_dtype) -> jax.Array:
     """y = dequant(quant(x) @ kernel_q) + bias with per-token activation
     scales and per-channel weight scales; int32 accumulation on the MXU."""

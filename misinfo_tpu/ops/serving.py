@@ -234,6 +234,16 @@ def optimize_for_serving(params, policy, quant: str = "none",
     if quant == "int8":
         from misinfo_tpu.ops.quant import quantize_params
         return quantize_params(params)
+    if quant == "int8_ffn":
+        # FFN-only int8 (ops/quant.quantize_ffn_params): the FFNs ride the
+        # fused int8-MXU Pallas kernel, everything else stays bf16 under
+        # XLA's fusion — the measured winner over full int8 (docs/PERF.md
+        # round 5)
+        from misinfo_tpu.ops.quant import quantize_ffn_params
+        params = quantize_ffn_params(params)
+        if cast and policy.compute == jnp.dtype(jnp.bfloat16):
+            params = cast_big_kernels(params, jnp.bfloat16)
+        return params
     if cast and policy.compute == jnp.dtype(jnp.bfloat16):
         params = cast_big_kernels(params, jnp.bfloat16)
     return params

@@ -176,13 +176,14 @@ class WhisperTranscriber:
         # partitioning rules for them; quant keeps its own cache layouts).
         # Resolved BEFORE quant: the quant default depends on it.
         quant_req = decode_cfg.quant
-        if quant_req not in ("auto", "", "none", "embedding", "int8"):
+        if quant_req not in ("auto", "", "none", "embedding", "int8",
+                             "kernels"):
             # 'auto' gates a default behavioral mode, so a typo'd opt-in
             # ('in8', 'int4', …) silently resolving to exact decode would
             # be indistinguishable from 'none' — fail loudly instead
             raise ValueError(
                 f"WhisperDecodeConfig.quant / WHISPER_QUANT: unknown value "
-                f"{quant_req!r} (expected auto|none|embedding|int8)")
+                f"{quant_req!r} (expected auto|none|embedding|int8|kernels)")
         if decode_cfg.pallas not in ("auto", "", "on", "off"):
             raise ValueError(
                 f"WhisperDecodeConfig.pallas / WHISPER_PALLAS: unknown value "
@@ -213,7 +214,14 @@ class WhisperTranscriber:
         # "embedding": int8 token embedding + logits matmul ONLY; composes
         # with the pallas kernels (ops/serving.quantize_whisper_embedding)
         self.quant_embedding = quant_req == "embedding"
-        if self.quant:
+        # "kernels": int8 decoder weights INSIDE the fused Pallas kernels
+        # (+ the int8 embedding) — halves the per-step weight stream that
+        # remains the largest HBM term at the fused-decode floor
+        # (docs/PERF.md round 4). Same param transform as the streaming
+        # mode; the CACHES stay bf16 merged-lane (the kernels' layout) and
+        # the decode flag `quant` stays False.
+        self.quant_kernels = quant_req == "kernels"
+        if self.quant or self.quant_kernels:
             from misinfo_tpu.ops.serving import quantize_whisper_decoder
             self.params = quantize_whisper_decoder(self.params)
         elif self.quant_embedding:

@@ -167,6 +167,74 @@ def test_quant_mode_resolution(monkeypatch):
     assert quant_mode(pol2) == "dense"
 
 
+def test_quantize_ffn_params_is_selective():
+    """int8_ffn mode: only mlp_in/mlp_out pairs quantize; attention
+    projections, heads, and non-paired dicts stay float."""
+    import jax as _jax
+
+    from misinfo_tpu.ops.common import dense_init
+    from misinfo_tpu.ops.quant import quantize_ffn_params
+
+    key = _jax.random.PRNGKey(0)
+    tree = {
+        "layers": [{
+            "attn": {"q": dense_init(key, 768, 768)},
+            "mlp_in": dense_init(key, 768, 3072),
+            "mlp_out": dense_init(key, 3072, 768),
+        }],
+        "mlp_in": dense_init(key, 768, 3072),   # no mlp_out sibling → skip
+        "head": {"fc1": dense_init(key, 768, 256)},
+    }
+    q = quantize_ffn_params(tree)
+    blk = q["layers"][0]
+    assert "kernel_q" in blk["mlp_in"] and "kernel_q" in blk["mlp_out"]
+    assert "kernel" in blk["attn"]["q"]
+    assert "kernel" in q["mlp_in"]              # unpaired: untouched
+    assert "kernel" in q["head"]["fc1"]
+
+
+def test_int8_ffn_mode_scores_drift_bounded():
+    """quant="int8_ffn" end-to-end through optimize_for_serving on a tiny
+    detector: FFN-only quantization drifts scores less than the full-int8
+    mode bound (0.15, test_quant.py)."""
+    import jax as _jax
+
+    from misinfo_tpu.core.config import ForensicsConfig
+    from misinfo_tpu.engine.signals import signals_program
+    from misinfo_tpu.models.detector import DetectorConfig, detector_init
+    from misinfo_tpu.ops.quant import quantize_ffn_params
+    from misinfo_tpu.ops.serving import optimize_for_serving
+
+    det_cfg = DetectorConfig.tiny()
+    cfg = ForensicsConfig(verbose=False)
+    params = detector_init(_jax.random.PRNGKey(0), det_cfg)
+    policy = Policy(cfg.precision)
+    params_q = quantize_ffn_params(params, min_elems=1)
+
+    rng = np.random.default_rng(7)
+    B, S, C = 2, 16, 16
+    batch = {
+        "roberta_ids": jnp.asarray(rng.integers(3, 900, (B, S)), jnp.int32),
+        "roberta_mask": jnp.ones((B, S), jnp.int32),
+        "clip_ids": jnp.asarray(rng.integers(1, 500, (B, C)), jnp.int32),
+        "clip_mask": jnp.ones((B, C), jnp.int32),
+    }
+    out = signals_program(params, batch, variant="text_only",
+                          det_cfg=det_cfg, cfg=cfg, policy=policy)
+    out_q = signals_program(params_q, batch, variant="text_only",
+                            det_cfg=det_cfg, cfg=cfg, policy=policy)
+    for name in ("ai_score", "misinfo_score"):
+        a = np.asarray(getattr(out, name), np.float32)
+        b = np.asarray(getattr(out_q, name), np.float32)
+        assert np.all(np.abs(a - b) < 0.1), (name, a, b)
+    # optimize_for_serving plumbs the mode
+    pq = optimize_for_serving(params, policy, quant="int8_ffn")
+    flat = _jax.tree_util.tree_leaves(pq)
+    assert any(getattr(x, "dtype", None) == jnp.int8 for x in flat) or \
+        det_cfg.roberta.intermediate_size * det_cfg.roberta.hidden_size < \
+        262_144  # tiny kernels sit below the size gate
+
+
 def test_tower_int8_route_on_cpu_falls_back_to_xla_chain():
     """roberta_encode with quantized FFN params on CPU routes through
     int8_ffn_apply → XLA chain and stays finite/shaped."""

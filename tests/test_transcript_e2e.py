@@ -389,6 +389,38 @@ def test_pallas_decode_mode_resolution_and_equality(trained_whisper):
         assert tr_eq.transcribe(wav_path) == TEXT
 
 
+def test_quant_kernels_mode_transcript_fidelity(trained_whisper):
+    """quant="kernels" (int8 weights inside the fused Pallas decode
+    kernels + int8 embedding): on a trained model the transcript must
+    survive the composition — run under interpret mode with pallas
+    forced on, and via the XLA fallback path (pallas off), both against
+    the exact transcript."""
+    import dataclasses as _dc
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from misinfo_tpu.core.config import WhisperDecodeConfig
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    ckpt_dir, wav_path = trained_whisper
+    tr = WhisperTranscriber(ckpt_dir, decode_cfg=_dc.replace(
+        WhisperDecodeConfig(), quant="kernels", pallas="on"))
+    assert tr.quant_kernels and not tr.quant and not tr.quant_embedding
+    blk = tr.params["decoder"]["blocks"][0]
+    assert blk["self_attn"]["qkv"]["kernel_q"].dtype == jnp.int8
+    assert blk["mlp_in"]["kernel_q"].dtype == jnp.int8
+    assert tr.params["decoder"]["token_embedding_q"].dtype == jnp.int8
+    with pltpu.force_tpu_interpret_mode():
+        assert tr.transcribe(wav_path) == TEXT
+
+    # pallas unavailable (CPU auto) → the same quantized params decode
+    # through the XLA dense_int8 path
+    tr_cpu = WhisperTranscriber(ckpt_dir, decode_cfg=_dc.replace(
+        WhisperDecodeConfig(), quant="kernels"))
+    assert tr_cpu.quant_kernels and tr_cpu.pallas is False
+    assert tr_cpu.transcribe(wav_path) == TEXT
+
+
 def test_typod_quant_or_pallas_value_is_refused(trained_whisper):
     """A typo'd WHISPER_QUANT/WHISPER_PALLAS value must raise, not
     silently resolve to exact decode — with 'auto' gating a default

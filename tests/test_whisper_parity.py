@@ -490,6 +490,88 @@ def test_pallas_cross_ffn_decode_matches():
     np.testing.assert_allclose(np.asarray(ns_a), np.asarray(ns_d), atol=1e-6)
 
 
+def test_pallas_int8_weight_decode_matches_xla_int8():
+    """quant="kernels" layout: int8 decoder weights INSIDE the fused
+    kernels (ops/pallas_decode.py / pallas_cross_ffn.py int8 variants).
+    Against the XLA path over the SAME quantized params (dense_int8
+    dispatch), the fused step must be token-identical with close
+    log-probs — the weight quantization error is shared, the kernels add
+    only cast-ordering noise."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from misinfo_tpu.models.whisper import (decode_transcript,
+                                            fuse_whisper_decoder_qkv)
+    from misinfo_tpu.ops.serving import quantize_whisper_decoder
+
+    params = whisper_init(jax.random.PRNGKey(18), TINY)
+    params_q = quantize_whisper_decoder(fuse_whisper_decoder_qkv(params))
+    assert "kernel_q" in params_q["decoder"]["blocks"][0]["self_attn"]["qkv"]
+    rng = np.random.default_rng(19)
+    T = 2 * TINY.max_source_positions
+    mel = jnp.asarray(rng.normal(size=(2, T, TINY.num_mel_bins))
+                      .astype(np.float32))
+    tok_a, lp_a = decode_transcript(params_q, mel, TINY, F32, max_len=12)
+    with pltpu.force_tpu_interpret_mode():
+        tok_b, lp_b = decode_transcript(
+            params_q, mel, TINY, F32, max_len=12,
+            pallas_cross=True, pallas_self_attn=True)
+    np.testing.assert_array_equal(np.asarray(tok_a), np.asarray(tok_b))
+    np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_b), atol=2e-3)
+
+
+def test_unrolled_decode_loop_bit_identical():
+    """decode_transcript(unroll=2/3): multiple sequential steps per
+    while-loop iteration — tokens, avg_logprob and the nospeech capture
+    must be BIT-identical to the 1-step loop (the trailing-step range
+    guard freezes scoring exactly where the 1-step loop would have
+    exited), including at an odd max_len."""
+    from misinfo_tpu.models.whisper import decode_transcript
+
+    params = whisper_init(jax.random.PRNGKey(22), TINY)
+    rng = np.random.default_rng(23)
+    T = 2 * TINY.max_source_positions
+    mel = jnp.asarray(rng.normal(size=(3, T, TINY.num_mel_bins))
+                      .astype(np.float32))
+    for max_len in (13, 14):
+        tok_a, lp_a, ns_a = decode_transcript(
+            params, mel, TINY, F32, max_len=max_len, nospeech_id=7)
+        for u in (2, 3):
+            tok_b, lp_b, ns_b = decode_transcript(
+                params, mel, TINY, F32, max_len=max_len, nospeech_id=7,
+                unroll=u)
+            np.testing.assert_array_equal(np.asarray(tok_a),
+                                          np.asarray(tok_b))
+            np.testing.assert_array_equal(np.asarray(lp_a),
+                                          np.asarray(lp_b))
+            np.testing.assert_array_equal(np.asarray(ns_a),
+                                          np.asarray(ns_b))
+    # sampled rung: the gumbel fold-in is keyed on the absolute step
+    # index, so sampling is unroll-invariant too
+    tok_s, lp_s = decode_transcript(params, mel, TINY, F32, max_len=13,
+                                    temperature=0.7,
+                                    rng=jax.random.PRNGKey(3))
+    tok_s2, lp_s2 = decode_transcript(params, mel, TINY, F32, max_len=13,
+                                      temperature=0.7,
+                                      rng=jax.random.PRNGKey(3), unroll=2)
+    np.testing.assert_array_equal(np.asarray(tok_s), np.asarray(tok_s2))
+    np.testing.assert_array_equal(np.asarray(lp_s), np.asarray(lp_s2))
+    with pytest.raises(ValueError, match="unroll"):
+        decode_transcript(params, mel, TINY, F32, max_len=8, unroll=5)
+
+
+def test_int8_weights_reject_pallas_ffn():
+    from misinfo_tpu.models.whisper import (decode_transcript,
+                                            fuse_whisper_decoder_qkv)
+    from misinfo_tpu.ops.serving import quantize_whisper_decoder
+
+    params = quantize_whisper_decoder(
+        fuse_whisper_decoder_qkv(whisper_init(jax.random.PRNGKey(20), TINY)))
+    mel = jnp.zeros((1, 2 * TINY.max_source_positions, TINY.num_mel_bins),
+                    jnp.float32)
+    with pytest.raises(ValueError, match="pallas_ffn"):
+        decode_transcript(params, mel, TINY, F32, max_len=8, pallas_ffn=True)
+
+
 def test_pallas_cross_rejects_conflicting_flags():
     """pallas_cross subsumes the FFN; combinations that would silently
     double-run or mislabel kernels raise."""

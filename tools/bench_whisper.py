@@ -94,10 +94,17 @@ def main():
         # int8 token embedding/logits only — composes with the pallas flags
         from misinfo_tpu.ops.serving import quantize_whisper_embedding
         params = quantize_whisper_embedding(params)
+    elif qmode == "kernels":
+        # int8 decoder weights INSIDE the fused Pallas kernels (+ int8
+        # embedding); caches stay bf16 — the quant="kernels" serving mode
+        from misinfo_tpu.models.whisper import fuse_whisper_decoder_qkv
+        from misinfo_tpu.ops.serving import quantize_whisper_decoder
+        params = quantize_whisper_decoder(fuse_whisper_decoder_qkv(params))
+    unroll = int(os.environ.get("BENCH_UNROLL", "1"))
     dec_fn = jax.jit(lambda p, e: decode_transcript(
         p, None, cfg, policy, max_len=DECODE_LEN, enc_out=e,
         pallas_ffn=pallas_ffn, pallas_self_attn=pallas_self_attn,
-        pallas_cross=pallas_cross, quant=quant))
+        pallas_cross=pallas_cross, quant=quant, unroll=unroll))
     dt_dec, _ = time_program(lambda: dec_fn(params, enc_out), ITERS)
     dec_ms = dt_dec / ITERS * 1000.0
     # random-init weights never argmax EOS → all (max_len - 1) steps run
@@ -118,6 +125,7 @@ def main():
         "pallas_self_attn": pallas_self_attn,
         "pallas_cross": pallas_cross,
         "quant": qmode or "none",
+        "unroll": unroll,
         "device": str(jax.devices()[0]),
     }))
 
