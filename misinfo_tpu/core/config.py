@@ -329,12 +329,15 @@ class ForensicsConfig:
             cfg = dataclasses.replace(
                 cfg, serving=dataclasses.replace(
                     cfg.serving, fast_decode=_fd in ("1", "true", "on")))
-        if os.getenv("MISINFO_TPU_HOST_POLICY") == "auto" and _fd is None:
-            # measure THIS host's image-prep ceiling once and apply the
-            # safe knobs when it is the serving constraint (VERDICT r3 #5;
-            # an explicit MISINFO_TPU_FAST_DECODE always wins)
+        if os.getenv("MISINFO_TPU_HOST_POLICY") == "auto" and (
+                _fd is None or _dr is None):
+            # measure THIS host's image-prep ceiling (and, on TPU, the
+            # host↔device link) once and apply the knobs it justifies
+            # (VERDICT r3 #5 / r4 #6; explicit MISINFO_TPU_FAST_DECODE /
+            # MISINFO_TPU_DEVICE_RESIZE always win per knob)
             from misinfo_tpu.preprocess.hostprobe import auto_policy
-            updates = auto_policy()
+            updates = auto_policy(allow_fast_decode=_fd is None,
+                                  allow_device_resize=_dr is None)
             if updates:
                 import logging
                 logging.getLogger("misinfo_tpu.config").warning(

@@ -660,6 +660,12 @@ class MisinfoForensics:
             "device_resize": self.cfg.serving.device_resize,
             "prep_pool_workers": min(16, (os.cpu_count() or 1)),
         }
+        # link probe numbers (VERDICT r4 #6) when one has been taken —
+        # never triggered from /metrics itself (a cold probe moves MBs
+        # through the link); HOST_POLICY=auto takes it at boot
+        from misinfo_tpu.preprocess import hostprobe
+        if hostprobe._link_cache is not None:
+            rec["link"] = dict(hostprobe._link_cache)
         return rec
 
     def warmup(self, batch_sizes: Optional[Sequence[int]] = None,
@@ -668,7 +674,8 @@ class MisinfoForensics:
                videos: Optional[Sequence[int]] = None,
                packed: Optional[bool] = None,
                full_grid: bool = False,
-               parallel: Optional[int] = None) -> List[tuple]:
+               parallel: Optional[int] = None,
+               progress=None) -> List[tuple]:
         """Precompile serving signatures before traffic arrives.
 
         Cold TPU compiles of the fused programs take minutes through this
@@ -743,6 +750,16 @@ class MisinfoForensics:
         outs = []
         tasks: List[tuple] = []   # (variant, make_batch, sig) — deferred
 
+        def _mark(sig):
+            done.append(sig)
+            if progress is not None:
+                # serve-while-warming progress hook (serve/api.py); kept
+                # outside the worker threads' hot path exceptions
+                try:
+                    progress(sig)
+                except Exception:
+                    pass
+
         def _run_one(variant, make_batch, sig):
             # synthetic inputs are BUILT here, not at dispatch time, so a
             # deferred (parallel) grid holds at most one flush-slice worth
@@ -761,7 +778,7 @@ class MisinfoForensics:
                 tasks.append((variant, make_batch, sig))
                 return
             outs.append(_run_one(variant, make_batch, sig))
-            done.append(sig)
+            _mark(sig)
 
         def _flush_tasks():
             """Compile/load the queued signatures ``parallel`` at a time.
@@ -784,7 +801,7 @@ class MisinfoForensics:
                     for (variant, _, sig), out in zip(
                             chunk, ex.map(lambda t: _run_one(*t), chunk)):
                         outs.append(out)
-                        done.append(sig)
+                        _mark(sig)
             tasks.clear()
 
         def _clip_tokens(n):
@@ -898,7 +915,7 @@ class MisinfoForensics:
             outs.append(self._clip_text_jit(
                 self.params["clip"], jnp.zeros((2, cl_len), jnp.int32),
                 jnp.ones((2, cl_len), jnp.int32)))
-            done.append(_sig("caption_title_sim", 2, cl_len, 0))
+            _mark(_sig("caption_title_sim", 2, cl_len, 0))
         from misinfo_tpu.utils.timing import sync_fetch
         sync_fetch(outs)  # data sync: relay block_until_ready can ack early
         if self.cfg.verbose:

@@ -192,14 +192,24 @@ def int8_dense_pallas(x: jax.Array, wq: jax.Array, w_scale: jax.Array,
     return out.reshape(*orig_shape[:-1], N)
 
 
+_DENSE_MIN_ROWS = 256
+
+
 def dense_int8_dispatch(params: Dict, x: jax.Array, policy: Policy) -> jax.Array:
-    """`ops.common.dense`'s int8 route: the Pallas kernel when enabled and
-    the shapes are MXU-aligned, the XLA `dense_int8` otherwise. Trace-time
+    """`ops.common.dense`'s int8 route: the Pallas kernel when enabled,
+    the shapes are MXU-aligned AND the row count is serving-scale, the
+    XLA `dense_int8` otherwise. The row gate keeps tiny-M callers (the
+    Whisper int8 streaming decode at B≤16 — a separately measured mode)
+    on their unchanged XLA path: at a handful of rows the activation
+    quantize is trivial and a kernel boundary only costs. Trace-time
     static dispatch (platform/env/shapes are all Python values)."""
     wq = params["kernel_q"]
     K, N = wq.shape
+    M = 1
+    for s in x.shape[:-1]:
+        M *= s
     if (dense_kernel_enabled(policy) and K % 128 == 0 and N % 128 == 0
-            and _on_tpu()):
+            and M >= _DENSE_MIN_ROWS and _on_tpu()):
         return int8_dense_pallas(x, wq, params["w_scale"],
                                  params.get("bias"),
                                  out_dtype=policy.compute)

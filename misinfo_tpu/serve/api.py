@@ -73,6 +73,7 @@ class ForensicsAPI:
 
         self.engine = engine or MisinfoForensics(config=config, mesh=mesh)
         self.batcher = BatchingEngine(self.engine)
+        self.warming = None  # serve-while-warming state (start_background_warmup)
         # /reload_vault is a MUTATION endpoint that reads operator-named
         # files (incl. reference pickles) — it stays 403 unless the
         # operator opts in (--allow-reload); never expose it on an
@@ -82,7 +83,7 @@ class ForensicsAPI:
     def health(self) -> Dict:
         import jax
 
-        return {
+        out = {
             "status": "ok",
             "device": str(jax.devices()[0]),
             "vault_loaded": self.engine.vault_loaded,
@@ -93,6 +94,45 @@ class ForensicsAPI:
                                         False),
             "tokenizer_grades": getattr(self.engine, "tokenizer_grades", {}),
         }
+        if self.warming is not None:
+            out["warming"] = dict(self.warming)
+        return out
+
+    def start_background_warmup(self, transcriber: bool = False,
+                                parallel: Optional[int] = None) -> None:
+        """Serve-while-warming (VERDICT r4 #3): the caller has already
+        warmed the default endpoint shapes synchronously; this fills the
+        REST of the full signature grid from a background thread while
+        the API serves traffic. A request that hits a not-yet-warmed
+        signature compiles/loads it inline — exactly the cost it would
+        have paid with no warmup — and the mint diagnostics (tracer /
+        bench_serve `minted_by_program`) stay live. /healthz reports
+        {active, done, signatures, seconds}."""
+        import time as _time
+
+        state = {"active": True, "done": 0,
+                 "started": round(_time.time(), 1)}
+        self.warming = state
+
+        def run():
+            t0 = _time.monotonic()
+            try:
+                sigs = self.engine.warmup(
+                    full_grid=True, parallel=parallel,
+                    progress=lambda sig: state.__setitem__(
+                        "done", state["done"] + 1))
+                if transcriber and os.getenv("WHISPER_CHECKPOINT"):
+                    from misinfo_tpu.serve.transcript import \
+                        warmup_transcriber
+                    warmup_transcriber()
+                state["signatures"] = len(sigs)
+            except Exception as e:
+                state["error"] = str(e)
+            state["seconds"] = round(_time.monotonic() - t0, 1)
+            state["active"] = False
+
+        threading.Thread(target=run, daemon=True,
+                         name="misinfo-bg-warmup").start()
 
     def metrics(self) -> Dict:
         """Serving counters from the structured tracer (SURVEY §5 metrics
@@ -227,11 +267,15 @@ def main(argv=None) -> int:
     p.add_argument("--mesh", default=None,
                    help="Serve over a device mesh: 'data=N[,model=M]'")
     p.add_argument("--warmup", nargs="?", const="default",
-                   choices=["default", "full"], default=None,
+                   choices=["default", "full", "background"], default=None,
                    help="Precompile serving signatures before accepting "
                         "traffic (engine.warmup()); '--warmup full' warms "
                         "EVERY emittable signature so no request shape "
-                        "compiles mid-flight")
+                        "compiles mid-flight; '--warmup background' warms "
+                        "the default endpoint shapes synchronously, opens "
+                        "the API, and fills the rest of the full grid from "
+                        "a background thread (serve-while-warming — "
+                        "/healthz reports progress)")
     p.add_argument("--allow-reload", action="store_true",
                    help="Enable POST /reload_vault (a mutation endpoint "
                         "that reads operator-named files — only behind a "
@@ -262,10 +306,15 @@ def main(argv=None) -> int:
     api = ForensicsAPI(config=cfg, mesh=mesh,
                        allow_reload=args.allow_reload)
     if args.warmup:
+        # all modes warm the default endpoint shapes before the socket
+        # opens; "full" finishes the whole grid first, "background" fills
+        # the remainder while serving (VERDICT r4 #3 serve-while-warming)
         api.engine.warmup(full_grid=args.warmup == "full")
-        if os.getenv("WHISPER_CHECKPOINT"):
+        if args.warmup != "background" and os.getenv("WHISPER_CHECKPOINT"):
             from misinfo_tpu.serve.transcript import warmup_transcriber
             warmup_transcriber()
+        if args.warmup == "background":
+            api.start_background_warmup(transcriber=True)
     httpd = serve(api, args.port, args.host)
     print(f"misinfo_tpu API listening on {args.host}:{httpd.server_address[1]}")
     try:

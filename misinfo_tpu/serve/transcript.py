@@ -347,6 +347,12 @@ class WhisperTranscriber:
 
         from misinfo_tpu.utils.timing import sync_fetch
 
+        if os.environ.get("MISINFO_TPU_TRANSCRIPT_ISOLATION",
+                          "auto") not in ("0", "off", "false"):
+            # pre-spawn the host-prep worker so the first transcript
+            # request doesn't pay the process start (~1-2 s)
+            self._host_pool()
+
         frames = 2 * self.cfg.max_source_positions
         encode, greedy, sampled, detect = self._programs()
         warmed = []
@@ -373,31 +379,87 @@ class WhisperTranscriber:
 
     # -------------------------------------------------------- transcribe
 
-    def _window_mels(self, audio: np.ndarray) -> np.ndarray:
-        """Full audio → [W, frames, n_mels] stacked 30 s mel windows.
-
-        whisper/transcribe.py computes ONE log-mel over the whole clip plus
-        a trailing window of silence (``padding=N_SAMPLES``) — so the
-        normalizing ``log_spec.max()`` is global, not per-window — then
-        slices 30 s segments from it. Mirrored here; window count is capped
-        at decode_cfg.max_windows (10 min of audio)."""
-        from misinfo_tpu.preprocess.audio import (HOP_LENGTH,
-                                                  log_mel_spectrogram)
+    def _host_prep(self, media_path: str):
+        """Audio decode → windowing → log-mel: the transcript's host-side
+        heavy half (preprocess/audio.prep_mel_windows). By default this
+        runs in an ISOLATED low-priority worker process
+        (`MISINFO_TPU_TRANSCRIPT_ISOLATION=auto|1|0`): on a 1-core host
+        the in-thread version's numpy/ffmpeg CPU bursts starve the
+        serving collector through the GIL and the shared core — measured
+        as a ~30 s p50 for ALL traffic classes from ONE concurrent
+        transcript (docs/PERF.md round 4) — while an os.nice'd subprocess
+        is preempted at OS granularity and holds no GIL. Device steps
+        stay in-process. Falls back inline if the worker can't spawn."""
+        from misinfo_tpu.preprocess.audio import prep_mel_windows
 
         frames = 2 * self.cfg.max_source_positions
-        window = frames * HOP_LENGTH
-        full = max(1, -(-len(audio) // window))
-        n_w = min(full, self.decode_cfg.max_windows)
-        if n_w < full:
+        max_w = self.decode_cfg.max_windows
+        mode = os.environ.get("MISINFO_TPU_TRANSCRIPT_ISOLATION", "auto")
+        if mode not in ("0", "off", "false"):
+            pool = self._host_pool()
+            if pool is not None:
+                try:
+                    mels, full = pool.submit(
+                        prep_mel_windows, media_path, frames, max_w).result()
+                except Exception:
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "transcript host worker failed; running inline",
+                        exc_info=True)
+                    type(self)._POOL = None
+                    type(self)._POOL_BROKEN = True
+                    mels, full = prep_mel_windows(media_path, frames, max_w)
+            else:
+                mels, full = prep_mel_windows(media_path, frames, max_w)
+        else:
+            mels, full = prep_mel_windows(media_path, frames, max_w)
+        if mels is not None and full > mels.shape[0]:
             import logging
+            from misinfo_tpu.preprocess.audio import HOP_LENGTH
             logging.getLogger(__name__).warning(
                 "transcribe: audio is %d windows but max_windows=%d — "
                 "transcript truncated to the first %.0f s",
-                full, n_w, n_w * window / 16000)
-        padded = np.pad(audio[: n_w * window],
-                        (0, (n_w + 1) * window - min(len(audio), n_w * window)))
-        mel = log_mel_spectrogram(padded)
-        return np.stack([mel[w * frames:(w + 1) * frames] for w in range(n_w)])
+                full, max_w, mels.shape[0] * frames * HOP_LENGTH / 16000)
+        return mels
+
+    def _window_mels(self, audio: np.ndarray) -> np.ndarray:
+        """In-memory variant of the host prep (tests / direct callers):
+        same windowing as the worker path (preprocess/audio.mel_windows),
+        max_windows cap applied, truncation logged."""
+        from misinfo_tpu.preprocess.audio import mel_windows
+
+        frames = 2 * self.cfg.max_source_positions
+        mels, full = mel_windows(audio, frames, self.decode_cfg.max_windows)
+        if full > mels.shape[0]:
+            import logging
+            logging.getLogger(__name__).warning(
+                "transcribe: audio is %d windows but max_windows=%d",
+                full, self.decode_cfg.max_windows)
+        return mels
+
+    _POOL = None
+    _POOL_BROKEN = False
+
+    @classmethod
+    def _host_pool(cls):
+        """Shared 1-worker spawn-context ProcessPoolExecutor (lazy).
+        `spawn`, not fork: the parent holds a live JAX runtime and forked
+        children deadlock in it. The child imports only numpy-side
+        modules (preprocess/audio has no device deps) and drops its OS
+        priority (_isolation_worker_init)."""
+        if cls._POOL is None and not cls._POOL_BROKEN:
+            try:
+                import concurrent.futures as cf
+                import multiprocessing as mp
+
+                from misinfo_tpu.preprocess.audio import \
+                    _isolation_worker_init
+                cls._POOL = cf.ProcessPoolExecutor(
+                    max_workers=1, mp_context=mp.get_context("spawn"),
+                    initializer=_isolation_worker_init)
+            except Exception:
+                cls._POOL_BROKEN = True
+        return cls._POOL
 
     def transcribe(self, media_path: str) -> str:
         """Transcribe a media file's audio track.
@@ -412,15 +474,12 @@ class WhisperTranscriber:
         for repetition loops. The temperature ladder, acceptance checks,
         and no-speech gate apply PER WINDOW, exactly as whisper applies
         them per segment."""
-        from misinfo_tpu.preprocess.audio import decode_audio
-
         if not self.has_weights or not self.tokenizer_compatible:
             return ""  # capability absent → empty transcript (reference :32-34)
-        audio = decode_audio(media_path)
-        if audio is None or len(audio) == 0:
+        mels = self._host_prep(media_path)
+        if mels is None:
             return ""
         try:
-            mels = self._window_mels(audio)
             language = self._resolve_language(mels)
             dc = self.decode_cfg
             # chunk at the largest bucket so no clip length ever mints a

@@ -183,3 +183,49 @@ def test_metrics_surface_gemini_error_classes(api_server):
         body = json.loads(r.read())
     assert body.get("gemini_error_auth_count", 0) >= 1
     assert body.get("gemini_error_quota_count", 0) >= 1
+
+
+def test_serve_while_warming_background(api_server):
+    """VERDICT r4 #3: --warmup background fills the full grid from a
+    background thread while the API serves; /healthz exposes progress and
+    requests succeed mid-warmup."""
+    import time
+    import urllib.request
+
+    # reuse the module server's api object through a fresh background warm
+    from misinfo_tpu.serve.api import ForensicsAPI  # noqa: F401 (clarity)
+
+    # grab the api object via a tiny second server to keep fixtures simple
+    cfg = ForensicsConfig(verbose=False)
+    cfg = cfg.replace(seq=cfg.seq.__class__(roberta_max_len=32,
+                                            image_size=DET.clip.image_size),
+                      serving=cfg.serving.__class__(batch_buckets=(1, 4),
+                                                    pack_text=False))
+    engine = MisinfoForensics(config=cfg, det_cfg=DET,
+                              params=detector_init(jax.random.PRNGKey(0),
+                                                   DET))
+    api = ForensicsAPI(engine=engine)
+    httpd = serve(api, port=0)
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        api.start_background_warmup()
+        # requests succeed while warming
+        code, out = _post(f"{base}/analyze", {"text": "warming claim"})
+        assert code == 200 and out["verdict_text"] in ("REAL", "FAKE")
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            h = json.loads(r.read())
+        assert "warming" in h
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+                h = json.loads(r.read())
+            if not h["warming"]["active"]:
+                break
+            time.sleep(0.5)
+        assert not h["warming"]["active"], h
+        assert "error" not in h["warming"], h
+        assert h["warming"]["signatures"] > 0
+        assert h["warming"]["done"] == h["warming"]["signatures"]
+    finally:
+        httpd.shutdown()
+        api.close()

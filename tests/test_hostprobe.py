@@ -98,3 +98,70 @@ def test_engine_host_prep_report(monkeypatch):
                              "prep_pool_workers": rep["active"]
                              ["prep_pool_workers"]}
     assert rep["active"]["prep_pool_workers"] >= 1
+
+
+def test_probe_link_measures_and_caches():
+    from misinfo_tpu.preprocess import hostprobe
+
+    hostprobe._link_cache = None
+    link = hostprobe.probe_link(staging=320, image_size=64, iters=3)
+    assert link is not None
+    assert link["platform"] == "cpu"           # test backend
+    assert link["staged_h2d_ms_per_image"] >= 0
+    assert link["crops_h2d_ms_per_image"] >= 0
+    assert hostprobe.probe_link() is link      # cached
+    hostprobe._link_cache = None
+
+
+def test_auto_policy_device_resize_link_gate(monkeypatch):
+    """VERDICT r4 #6: auto flips device_resize only on a TPU backend whose
+    measured link delta is under half the host resize saving; a relay-class
+    link (big delta) and an explicit env both leave it off."""
+    from misinfo_tpu.core.config import ForensicsConfig
+    from misinfo_tpu.preprocess import hostprobe
+
+    probe = {"cores": 1, "probe_resolution": 1080,
+             "exact_ms_per_image": 75.0, "fast_ms_per_image": 34.0,
+             "decode_ms_per_image": 45.0,     # resize work = 30 ms/image
+             "exact_ceiling_images_per_s": 13.3,
+             "fast_ceiling_images_per_s": 29.4}
+    monkeypatch.setattr(hostprobe, "probe_host_prep", lambda *a, **k: probe)
+
+    class _Dev:
+        platform = "tpu"
+    monkeypatch.setattr(jax, "devices", lambda *a: [_Dev()])
+
+    # PCIe-class link: 1 ms extra per staged frame < 15 ms margin → ON
+    pcie = {"platform": "tpu", "staging": 640,
+            "staged_h2d_ms_per_image": 1.2, "crops_h2d_ms_per_image": 0.2,
+            "delta_ms_per_image": 1.0}
+    monkeypatch.setattr(hostprobe, "probe_link", lambda *a, **k: pcie)
+    out = hostprobe.auto_policy()
+    assert out.get("device_resize") is True and out.get("fast_decode") is True
+
+    # relay-class link: 40 ms extra > the 15 ms margin → OFF
+    relay = dict(pcie, staged_h2d_ms_per_image=45.0, delta_ms_per_image=40.0)
+    monkeypatch.setattr(hostprobe, "probe_link", lambda *a, **k: relay)
+    out2 = hostprobe.auto_policy()
+    assert "device_resize" not in out2
+
+    # explicit env suppresses the knob even on a PCIe link
+    monkeypatch.setattr(hostprobe, "probe_link", lambda *a, **k: pcie)
+    monkeypatch.setenv("MISINFO_TPU_HOST_POLICY", "auto")
+    monkeypatch.setenv("MISINFO_TPU_DEVICE_RESIZE", "0")
+    cfg = ForensicsConfig.from_env(verbose=False)
+    assert cfg.serving.device_resize is False
+    assert cfg.serving.fast_decode is True     # the other knob still applies
+
+
+def test_auto_policy_cpu_backend_never_flips_device_resize(monkeypatch):
+    from misinfo_tpu.preprocess import hostprobe
+
+    probe = {"cores": 1, "probe_resolution": 1080,
+             "exact_ms_per_image": 75.0, "fast_ms_per_image": 34.0,
+             "decode_ms_per_image": 45.0,
+             "exact_ceiling_images_per_s": 13.3,
+             "fast_ceiling_images_per_s": 29.4}
+    monkeypatch.setattr(hostprobe, "probe_host_prep", lambda *a, **k: probe)
+    out = hostprobe.auto_policy()              # real (cpu) backend
+    assert "device_resize" not in out

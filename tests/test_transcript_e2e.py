@@ -421,6 +421,25 @@ def test_quant_kernels_mode_transcript_fidelity(trained_whisper):
     assert tr_cpu.transcribe(wav_path) == TEXT
 
 
+def test_transcript_host_isolation_matches_inline(trained_whisper,
+                                                  monkeypatch):
+    """VERDICT r4 #2: the transcript's host-side work (audio decode +
+    log-mel) runs in an isolated low-priority worker process by default;
+    the transcript must be identical to the inline path, and the pool
+    must survive repeated requests."""
+    from misinfo_tpu.serve.transcript import WhisperTranscriber
+
+    ckpt_dir, wav_path = trained_whisper
+    monkeypatch.setenv("MISINFO_TPU_TRANSCRIPT_ISOLATION", "0")
+    tr = WhisperTranscriber(ckpt_dir)
+    assert tr.transcribe(wav_path) == TEXT
+
+    monkeypatch.setenv("MISINFO_TPU_TRANSCRIPT_ISOLATION", "1")
+    assert tr.transcribe(wav_path) == TEXT      # worker-process prep
+    assert tr.transcribe(wav_path) == TEXT      # pool reuse
+    assert WhisperTranscriber._POOL is not None
+
+
 def test_typod_quant_or_pallas_value_is_refused(trained_whisper):
     """A typo'd WHISPER_QUANT/WHISPER_PALLAS value must raise, not
     silently resolve to exact decode — with 'auto' gating a default
