@@ -25,7 +25,10 @@ ITERS = int(os.environ.get("BENCH_ITERS", "50"))
 _p = os.environ.get("BENCH_PALLAS", "0")   # "1" ours | "flash" jax kernel
 USE_PALLAS = {"0": False, "1": True}.get(_p, _p)
 SEQ_LEN = int(os.environ.get("BENCH_SEQ", "0"))  # 0 → config default (512)
-QUANT = os.environ.get("BENCH_QUANT", "none")    # "int8" → quantized serving
+# "auto" (default) resolves like the engine: int8_ffn on single-chip TPU
+# bf16 serving, none elsewhere (ops/serving.resolve_quant); "none"/"int8"/
+# "int8_ffn" force
+QUANT = os.environ.get("BENCH_QUANT", "auto")
 VARIANT = os.environ.get("BENCH_VARIANT", "full")  # full|text_only|visual_only
 PACK = os.environ.get("BENCH_PACK", "0") == "1"    # pack ragged text rows
 VAULT_ROWS = int(os.environ.get("BENCH_VAULT", "2176"))  # reference ~2170

@@ -144,13 +144,18 @@ class PrecisionConfig:
     # S=512, docs/PERF.md), f32 in parity mode. Softmax math stays f32
     # inside the fusion either way.
     score_dtype: str = "auto"
-    # "int8" quantizes ALL large dense kernels for serving (ops/quant.py,
-    # double-rate MXU path); "int8_ffn" quantizes ONLY the tower FFN
-    # pairs, served by the fused int8-MXU Pallas kernel while attention
-    # keeps XLA's bf16 fusion (the measured detector winner — full int8
-    # breaks cross-op fusion at every projection boundary, docs/PERF.md
-    # round 5); "none" (default) keeps bf16 everywhere.
-    quant: str = "none"
+    # Detector serving quantization (ops/serving.resolve_quant):
+    # "auto" (default) → "int8_ffn" on a single-chip real-TPU bf16
+    # serving deployment, "none" everywhere else (f32 parity mode, CPU,
+    # mesh). "int8_ffn" quantizes ONLY the tower FFN pairs, served by the
+    # fused int8-MXU Pallas kernel while attention keeps XLA's bf16
+    # fusion — measured 973.0 vs 904.7 verdicts/s (+7.6%) at b32/S512 and
+    # 2342.7 vs 2256.8 at the S=128/b64 bucket (docs/PERF.md round 5).
+    # "int8" quantizes ALL large dense kernels (measured SLOWER than bf16
+    # at the program level — per-projection kernel boundaries break XLA's
+    # cross-op fusion — kept for weight-memory-constrained deployments);
+    # "none" keeps bf16 everywhere.
+    quant: str = "auto"
     # Which int8 Pallas kernels serve the quantized denses
     # (ops/pallas_int8.py): "auto" → fused FFN + dense kernels on a real
     # TPU (in-kernel activation quantize — the round-1 XLA int8 path's
@@ -324,6 +329,10 @@ class ForensicsConfig:
             cfg = dataclasses.replace(
                 cfg, serving=dataclasses.replace(
                     cfg.serving, device_resize=_dr in ("1", "true", "on")))
+        _q = os.getenv("MISINFO_TPU_QUANT")
+        if _q in ("auto", "none", "int8", "int8_ffn"):
+            cfg = dataclasses.replace(
+                cfg, precision=dataclasses.replace(cfg.precision, quant=_q))
         _fd = os.getenv("MISINFO_TPU_FAST_DECODE")
         if _fd in ("1", "true", "on", "0", "false", "off"):
             cfg = dataclasses.replace(

@@ -125,7 +125,7 @@ class MisinfoForensics:
         from misinfo_tpu.ops.serving import optimize_for_serving
         params = optimize_for_serving(
             params, self.policy,
-            quant=getattr(self.cfg.precision, "quant", "none"))
+            quant=getattr(self.cfg.precision, "quant", "auto"), mesh=mesh)
         if mesh is not None:
             from misinfo_tpu.parallel.sharding import shard_params
             params = shard_params(mesh, params)

@@ -220,8 +220,25 @@ def quantize_whisper_embedding(params):
     return {**params, "decoder": new_dec}
 
 
+def resolve_quant(quant: str, policy, mesh=None) -> str:
+    """Resolve PrecisionConfig.quant="auto" (the default): int8_ffn on a
+    single-chip real-TPU bf16 serving deployment — the configuration the
+    +7.6% headline A/B measured (docs/PERF.md round 5) — and "none"
+    everywhere else: f32 parity mode (exactness), CPU backends (no Mosaic
+    lowering; the XLA int8 chain is slower than bf16), and meshes (GSPMD
+    partitioning of the int8 kernels is unvalidated)."""
+    if quant != "auto":
+        return quant
+    import jax.numpy as _jnp
+    if policy.compute != _jnp.dtype(_jnp.bfloat16) or mesh is not None:
+        return "none"
+    import jax as _jax
+    return "int8_ffn" if _jax.devices()[0].platform == "tpu" else "none"
+
+
 def optimize_for_serving(params, policy, quant: str = "none",
-                         fuse: bool = False, cast: bool = True):
+                         fuse: bool = False, cast: bool = True,
+                         mesh=None):
     """The engine's standard serving pipeline: optionally fuse QKV, then
     quantize (int8 mode) or cast big kernels to the compute dtype (bf16).
 
@@ -229,6 +246,7 @@ def optimize_for_serving(params, policy, quant: str = "none",
     full bench — the post-matmul split of the [B,S,3D] output materializes
     three layout copies per layer, costing more than the saved dispatches
     (docs/PERF.md)."""
+    quant = resolve_quant(quant, policy, mesh)
     if fuse:
         params = fuse_qkv_params(params)
     if quant == "int8":

@@ -195,15 +195,19 @@ class WhisperTranscriber:
         else:
             pallas = (quant_req != "int8" and mesh is None
                       and jax.devices()[0].platform == "tpu")
-        # quant="auto" (the default): int8 token embedding + logits — the
-        # largest per-step stream of the fused-kernel decode — exactly in
-        # the MEASURED configuration: fused kernels active on a real TPU.
-        # A/B at the fused baseline: 131.1 vs 112.5 utt/s (+16.6%,
-        # docs/PERF.md round 4); trained-model transcript equality under
-        # the composition is tested, and the int8-superset token A/B
-        # bounds the divergence (0/66 tokens, Δavg_logprob ≤4e-4).
+        # quant="auto" (the default): int8 weights INSIDE the fused
+        # kernels + int8 embedding ("kernels") — exactly in the MEASURED
+        # configuration: fused kernels active on a real TPU. Same-session
+        # A/B at the fused baseline (docs/PERF.md round 5): kernels 148.6
+        # vs embedding-only 122.5 utt/s (+21%; decode 25.1 → 19.5 ms at
+        # b4). Fidelity: trained-model transcript equality under the
+        # composition (tests/test_transcript_e2e.py,
+        # tests/test_whisper_parity.py token equality), and the mode's
+        # quantization is a strict SUBSET of the int8 streaming mode
+        # (weights only, bf16 caches), whose token A/B measured 0/66
+        # diverged with Δavg_logprob ≤4e-4 (round 4).
         if quant_req in ("auto", ""):
-            quant_req = ("embedding"
+            quant_req = ("kernels"
                          if pallas and jax.devices()[0].platform == "tpu"
                          else "none")
         # "int8" = full int8 STREAMING decode (opt-in): dense kernels, the

@@ -251,3 +251,28 @@ def test_tower_int8_route_on_cpu_falls_back_to_xla_chain():
     h = roberta_encode(params_q, ids, mask, cfg, DEFAULT_POLICY)
     assert h.shape == (2, 16, cfg.hidden_size)
     assert np.all(np.isfinite(np.asarray(h, np.float32)))
+
+
+def test_resolve_quant_auto():
+    """quant="auto" (the serving default): int8_ffn only on a single-chip
+    real-TPU bf16 deployment; none on CPU, in f32 parity mode, and under
+    a mesh (this test runs on the CPU backend → none)."""
+    from misinfo_tpu.core.config import PrecisionConfig
+    from misinfo_tpu.ops.serving import resolve_quant
+
+    assert resolve_quant("auto", Policy()) == "none"           # CPU backend
+    assert resolve_quant("auto", Policy(PrecisionConfig.highest())) == "none"
+    assert resolve_quant("auto", Policy(), mesh=object()) == "none"
+    assert resolve_quant("int8_ffn", Policy()) == "int8_ffn"   # explicit wins
+    assert resolve_quant("none", Policy()) == "none"
+
+
+def test_quant_env_override(monkeypatch):
+    from misinfo_tpu.core.config import ForensicsConfig
+
+    monkeypatch.setenv("MISINFO_TPU_QUANT", "none")
+    assert ForensicsConfig.from_env().precision.quant == "none"
+    monkeypatch.setenv("MISINFO_TPU_QUANT", "int8_ffn")
+    assert ForensicsConfig.from_env().precision.quant == "int8_ffn"
+    monkeypatch.delenv("MISINFO_TPU_QUANT")
+    assert ForensicsConfig.from_env().precision.quant == "auto"

@@ -106,11 +106,16 @@ def test_quant_params_logits_close_to_exact():
 
 def test_quant_composition_refusals():
     params, enc_out, _ = _tiny_setup()
-    with pytest.raises(ValueError, match="unrolled step"):
+    with pytest.raises(ValueError, match="scan_layers"):
         decode_transcript(params, None, TINY, F32, max_len=4,
                           enc_out=enc_out, quant=True, scan_layers=True)
-    qparams = quantize_whisper_decoder(fuse_whisper_decoder_qkv(params))
+    # int8 CACHE streaming still refuses the pallas kernels (they read
+    # bf16 merged caches); int8 WEIGHTS now compose (quant="kernels")
     with pytest.raises(ValueError, match="unrolled step"):
+        decode_transcript(params, None, TINY, F32, max_len=4,
+                          enc_out=enc_out, quant=True, pallas_cross=True)
+    qparams = quantize_whisper_decoder(fuse_whisper_decoder_qkv(params))
+    with pytest.raises(ValueError, match="pallas_cross"):
         decode_transcript(qparams, None, TINY, F32, max_len=4,
                           enc_out=enc_out, pallas_ffn=True)
     with pytest.raises(ValueError, match="AFTER"):
