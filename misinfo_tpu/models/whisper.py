@@ -172,7 +172,8 @@ def _cached_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
                          cfg: WhisperConfig, policy: Policy,
                          pallas_ffn: bool = False,
                          pallas_self_attn: bool = False,
-                         pallas_cross: bool = False):
+                         pallas_cross: bool = False,
+                         pallas_layer: bool = False):
     """One decoder step with KV caching.
 
     token [B] int32, pos scalar int32 → (logits [B,V], updated cache).
@@ -203,12 +204,26 @@ def _cached_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
     x = (emb + dec["positions"][pos]).astype(policy.compute)  # [B, D]
     x = x[:, None, :]                                          # [B, 1, D]
 
-    S_max = (kv_cache["self_k"][0].shape[1] if pallas_self_attn
+    S_max = (kv_cache["self_k"][0].shape[1]
+             if (pallas_self_attn or pallas_layer)
              else kv_cache["self_k"][0].shape[2])
     pos_mask = (jnp.arange(S_max)[None, :] <= pos).astype(jnp.float32)  # [1,S]
 
     new_cache = {"self_k": [], "self_v": []}
     for li, blk in enumerate(dec["blocks"]):
+        if pallas_layer:
+            # the whole layer as ONE kernel (ops/pallas_layer.py; int8
+            # weights required — VMEM only fits with them)
+            from misinfo_tpu.ops.pallas_layer import fused_layer_step
+            x2, ck, cv = fused_layer_step(
+                x[:, 0], blk, kv_cache["self_k"][li],
+                kv_cache["self_v"][li], kv_cache["cross_k"][li],
+                kv_cache["cross_v"][li], pos, enc_out.shape[1],
+                n_heads=H, policy=policy)
+            x = x2[:, None, :]
+            new_cache["self_k"].append(ck)
+            new_cache["self_v"].append(cv)
+            continue
         if pallas_self_attn and "qkv" in blk["self_attn"]:
             # ONE kernel for the whole self-attention step (LN → QKV →
             # cache write → masked attention → output proj → residual);
@@ -565,6 +580,7 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
                       pallas_ffn: bool = False,
                       pallas_self_attn: bool = False,
                       pallas_cross: bool = False,
+                      pallas_layer: bool = False,
                       quant: bool = False,
                       unroll: int = 1):
     """KV-cached transcript decoding, O(L) per step, early-exiting the
@@ -617,6 +633,21 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
         # the scanned step reads f32/bf16 kernel leaves and stacked caches
         raise ValueError("int8 decode weights do not compose with the "
                          "stacked-layer scan decode — drop scan_layers")
+    if pallas_layer:
+        # the whole-layer kernel (ops/pallas_layer.py) subsumes both fused
+        # halves and exists only for the int8-weight layout (VMEM fits
+        # because the weights are int8)
+        if not blocks_q:
+            raise ValueError("pallas_layer needs int8 decode weights "
+                             "(quant='kernels') — the bf16 layer does not "
+                             "fit the VMEM budget")
+        if pallas_ffn or pallas_self_attn or pallas_cross:
+            raise ValueError("pallas_layer subsumes pallas_self_attn / "
+                             "pallas_cross / pallas_ffn — drop them")
+        if quant:
+            raise ValueError("pallas_layer reads bf16 merged caches — it "
+                             "does not compose with quant=True cache "
+                             "streaming")
     if quant and (pallas_ffn or pallas_self_attn or pallas_cross):
         # int8 CACHE streaming (quant=True) uses its own int8 cache
         # layouts; the fused kernels read bf16 merged-lane caches. int8
@@ -659,8 +690,10 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
             params = fuse_whisper_decoder_qkv(params)  # kernel's layout
         step_fn = (_ft.partial(_cached_decoder_step, pallas_ffn=pallas_ffn,
                                pallas_self_attn=pallas_self_attn,
-                               pallas_cross=pallas_cross)
-                   if (pallas_ffn or pallas_self_attn or pallas_cross)
+                               pallas_cross=pallas_cross,
+                               pallas_layer=pallas_layer)
+                   if (pallas_ffn or pallas_self_attn or pallas_cross
+                       or pallas_layer)
                    else _cached_decoder_step)
     B = enc_out.shape[0]
     sampled = not (isinstance(temperature, (int, float)) and temperature == 0)
@@ -671,10 +704,11 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
         P = prompt_tokens.shape[1]
         tokens = tokens.at[:, 1:1 + P].set(prompt_tokens)
         start = 1 + P
-    cache0 = init_kv_cache(params, enc_out, max_len, cfg, policy,
-                           merged_self=pallas_self_attn and not scan_layers,
-                           quant=quant,
-                           merged_cross=pallas_cross and not scan_layers)
+    cache0 = init_kv_cache(
+        params, enc_out, max_len, cfg, policy,
+        merged_self=(pallas_self_attn or pallas_layer) and not scan_layers,
+        quant=quant,
+        merged_cross=(pallas_cross or pallas_layer) and not scan_layers)
     # cross K/V are per-utterance constants: close over them instead of
     # threading them through the loop carry, so the loop state is only
     # the (small) self caches + tokens

@@ -559,6 +559,43 @@ def test_unrolled_decode_loop_bit_identical():
         decode_transcript(params, mel, TINY, F32, max_len=8, unroll=5)
 
 
+def test_pallas_whole_layer_decode_matches_two_kernel():
+    """decode_transcript(pallas_layer=True): ONE kernel per decoder layer
+    (ops/pallas_layer.py — the int8 bodies of the self-attn and
+    cross+FFN kernels composed) must reproduce the 2-kernel int8 decode
+    exactly (same ops in the same order), and refuse unquantized params
+    and conflicting flags."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from misinfo_tpu.models.whisper import (decode_transcript,
+                                            fuse_whisper_decoder_qkv)
+    from misinfo_tpu.ops.serving import quantize_whisper_decoder
+
+    params = whisper_init(jax.random.PRNGKey(24), TINY)
+    params_q = quantize_whisper_decoder(fuse_whisper_decoder_qkv(params))
+    rng = np.random.default_rng(25)
+    T = 2 * TINY.max_source_positions
+    mel = jnp.asarray(rng.normal(size=(2, T, TINY.num_mel_bins))
+                      .astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        tok_a, lp_a, ns_a = decode_transcript(
+            params_q, mel, TINY, F32, max_len=12, nospeech_id=7,
+            pallas_cross=True, pallas_self_attn=True)
+        tok_b, lp_b, ns_b = decode_transcript(
+            params_q, mel, TINY, F32, max_len=12, nospeech_id=7,
+            pallas_layer=True)
+    np.testing.assert_array_equal(np.asarray(tok_a), np.asarray(tok_b))
+    np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ns_a), np.asarray(ns_b), atol=1e-7)
+
+    with pytest.raises(ValueError, match="int8 decode weights"):
+        decode_transcript(params, mel, TINY, F32, max_len=8,
+                          pallas_layer=True)
+    with pytest.raises(ValueError, match="subsumes"):
+        decode_transcript(params_q, mel, TINY, F32, max_len=8,
+                          pallas_layer=True, pallas_cross=True)
+
+
 def test_int8_weights_reject_pallas_ffn():
     from misinfo_tpu.models.whisper import (decode_transcript,
                                             fuse_whisper_decoder_qkv)

@@ -68,8 +68,10 @@ def main():
     def run(quant: str, precision: PrecisionConfig):
         policy = Policy(precision)
         p = optimize_for_serving(params, policy, quant=quant)
-        out = signals_program(p, batch, variant="full", det_cfg=det_cfg,
-                              cfg=cfg, policy=policy)
+        fn = jax.jit(functools.partial(
+            signals_program, variant="full", det_cfg=det_cfg, cfg=cfg,
+            policy=policy))
+        out = fn(p, batch)
         return {name: np.asarray(getattr(out, name), np.float32)
                 for name in ("ai_score", "misinfo_score", "deepfake_score",
                              "clip_similarity", "vault_discrepancy",
