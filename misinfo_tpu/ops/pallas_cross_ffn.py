@@ -385,7 +385,7 @@ def fused_cross_ffn_step(x: jax.Array, ln_cross: Dict, q: Dict, o: Dict,
     compute = policy.compute
     x = x.astype(compute)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
-    hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)    # noqa: E731
+    hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)    # noqa: E731
     scratch = [
         pltpu.VMEM((Tp, B * n_heads), jnp.float32),       # scores
         pltpu.VMEM((2, B, tile, D), cache_k.dtype),       # K/V tiles

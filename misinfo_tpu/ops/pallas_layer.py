@@ -241,7 +241,7 @@ def fused_layer_step(x: jax.Array, blk: Dict,
         ln_single_pass=policy.compute == jnp.dtype(jnp.bfloat16),
         gelu_tanh=policy.compute == jnp.dtype(jnp.bfloat16))
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
-    hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)    # noqa: E731
+    hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)    # noqa: E731
     sqkv = sa["qkv"]["w_scale"].astype(jnp.float32)
     out, ck, cv = pl.pallas_call(
         kern,

@@ -47,6 +47,22 @@ _SLOW_MODULES = {
 }
 
 _SLOW_TESTS = {
+    # round-5 rebalance (VERDICT r4 #8): the round-5 kernel/quant additions
+    # plus the 82 s fusion-conversion test push the fast gate past 5 min
+    "test_fusion_conversion_matches_torch",
+    "test_converter_cli_detector",
+    "test_pallas_int8_weight_decode_matches_xla_int8",
+    "test_pallas_whole_layer_decode_matches_two_kernel",
+    "test_int8_ffn_mode_scores_drift_bounded",
+    "test_quant_kernels_mode_transcript_fidelity",
+    "test_transcript_host_isolation_matches_inline",
+    "test_ffn_kernel_chunked_tracks_f32_reference",
+    "test_ffn_kernel_single_chunk_tracks_xla_chain",
+    "test_ffn_kernel_row_padding",
+    "test_dense_kernel_no_bias_and_3d_input",
+    "test_dense_kernel_exact_on_integer_grid",
+    "test_quantize_ffn_params_is_selective",
+    "test_unrolled_decode_loop_bit_identical",
     "test_quantized_detector_scores_drift_bounded",
     "test_video_aggregation_matches_per_frame",
     "test_dashboard_predict_contract",

@@ -122,6 +122,11 @@ def test_nan_guard_raises_then_restores():
     with nan_guard(True):
         assert jax.config.jax_debug_nans is True
         with pytest.raises(FloatingPointError):
-            jnp.zeros(()) / jnp.zeros(())  # nan under the guard
+            # a FRESH jit function: its executable is traced UNDER the
+            # guard, so the nan check is baked in deterministically —
+            # the bare eager `0/0` form intermittently failed to raise
+            # late in the full suite (a mature-process dispatch-cache
+            # state; never reproducible in isolation)
+            jax.jit(lambda x: x / x)(jnp.zeros(()))
     assert jax.config.jax_debug_nans == before
-    jnp.zeros(()) / jnp.zeros(())  # outside the guard: no raise
+    jax.jit(lambda x: x / x)(jnp.zeros(()))  # outside the guard: no raise
