@@ -211,8 +211,19 @@ def main():
     records = []          # (kind, t_submit, future)
     lock = threading.Lock()
 
+    done_at = {}          # id(future) → perf_counter at set_result time
+
     def submit(kind, req):
         fut = server.submit(req)
+        # stamp completion WHEN THE FUTURE RESOLVES (done callbacks run
+        # on the finalizer thread at set_result), not when the drain loop
+        # below happens to reach it — the round-4/round-5 latency
+        # percentiles measured with the drain-loop clock were artifacts:
+        # every mid-window completion read as (window_end − t_submit),
+        # which is exactly a p50 ≈ window/2 signature (docs/PERF.md
+        # round-5 correction)
+        fut.add_done_callback(
+            lambda f: done_at.__setitem__(id(f), time.perf_counter()))
         with lock:
             records.append((kind, time.perf_counter(), fut))
 
@@ -281,7 +292,9 @@ def main():
     for kind, t_sub, fut in records:
         try:
             fut.result(timeout=300)
-            t_done = time.perf_counter()
+            # true completion time from the done callback; fall back to
+            # now only if the callback somehow didn't fire
+            t_done = done_at.get(id(fut), time.perf_counter())
             lat[kind].append(t_done - t_sub)
             t_last = max(t_last, t_done)
         except Exception:
