@@ -69,7 +69,8 @@ _TILE = 512
 
 def pallas_decode_max_batch(d_model: int, ffn_dim: int,
                             max_len: int, t_enc: int,
-                            budget_bytes: int = 13 * 2 ** 20) -> int:
+                            budget_bytes: int = 13 * 2 ** 20,
+                            int8_weights: bool = False) -> int:
     """Largest decode batch for which BOTH fused decode kernels fit the
     ~16 MB VMEM core budget (conservative 13 MB working budget), or 0 when
     the layer's weights alone don't fit (whisper-medium/large — their
@@ -82,10 +83,16 @@ def pallas_decode_max_batch(d_model: int, ffn_dim: int,
     accounting is the binding constraint, not HBM). The transcriber uses
     this to resolve `WhisperDecodeConfig.pallas="auto"` PER jit signature
     — window buckets past the cap decode through the XLA path, small
-    buckets (the 1-window dashboard case) get the fused kernels."""
+    buckets (the 1-window dashboard case) get the fused kernels.
+
+    ``int8_weights`` (the quant="kernels" serving default, round 5)
+    halves the weight terms: whisper-medium's FFN pair no longer
+    overflows the budget, so the fused decode reaches model sizes the
+    bf16 layout could not."""
     D, F = d_model, ffn_dim
-    cross_weights = (2 * D * D + 2 * D * F) * 2
-    self_weights = (3 * D * D + D * D) * 2
+    wbytes = 1 if int8_weights else 2
+    cross_weights = (2 * D * D + 2 * D * F) * wbytes
+    self_weights = (3 * D * D + D * D) * wbytes
     tp = cross_cache_pad(t_enc)
     for b in range(16, 0, -1):
         tile = min(_TILE, tp)

@@ -300,7 +300,10 @@ class WhisperTranscriber:
                 pallas_decode_max_batch
             return enc.shape[0] <= pallas_decode_max_batch(
                 cfg.d_model, cfg.ffn_dim, cfg.max_target_positions,
-                enc.shape[1])
+                enc.shape[1],
+                # int8 decode weights (quant="kernels", the TPU default)
+                # halve the kernels' weight VMEM — whisper-medium fits
+                int8_weights=self.quant_kernels)
 
         def _greedy(p, enc, prompt):
             pk = use_pallas(enc)

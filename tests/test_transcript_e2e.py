@@ -477,6 +477,12 @@ def test_pallas_vmem_gate_per_signature(trained_whisper, monkeypatch):
     # base fits a handful of windows; medium's FFN weights alone overflow
     assert 4 <= pallas_decode_max_batch(512, 2048, 448, 1500) <= 8
     assert pallas_decode_max_batch(1024, 4096, 448, 1500) == 0
+    # int8 decode weights (quant="kernels", the round-5 default) halve
+    # the weight VMEM: whisper-medium's 1-window dashboard case now fits
+    assert pallas_decode_max_batch(1024, 4096, 448, 1500,
+                                   int8_weights=True) >= 1
+    assert pallas_decode_max_batch(1280, 5120, 448, 1500,
+                                   int8_weights=True) == 0  # large still not
     assert pallas_decode_max_batch(64, 128, 32, 128) >= 16  # tiny
 
     ckpt_dir, wav_path = trained_whisper
