@@ -61,7 +61,10 @@ from misinfo_tpu.ops.common import DEFAULT_POLICY, Policy
 # weights 1.5 (2-buffered) + scratch xq/acc 1.9 + i32/f32 stack ~6.5.
 # Weight re-streaming grows to M/512 fetches/layer (~0.18 ms vs ~0.39 ms
 # int8 compute at b32/S=512 — still DMA-overlappable).
-_TM = 512
+# MISINFO_TPU_INT8_FFN_TM overrides for tile experiments; >512 also
+# raises the kernel's scoped-VMEM limit proportionally (fewer weight
+# re-fetches traded against double-buffering headroom — A/B only).
+_TM = int(os.environ.get("MISINFO_TPU_INT8_FFN_TM", "512"))
 # FFN intermediate chunk target (columns of W1 per grid step).
 _JC = 512
 
@@ -288,9 +291,13 @@ def int8_ffn_pallas(x: jax.Array, w1q: jax.Array, s1: jax.Array,
     jc = jc or _pick(N, _JC, 128)
     n_chunks = N // jc
 
+    comp = (pltpu.CompilerParams(
+        vmem_limit_bytes=int(16 * 2 ** 20 * tm / 512))
+        if tm > 512 else None)
     out = pl.pallas_call(
         functools.partial(_ffn_kernel, mode=mode, n_chunks=n_chunks,
                           compute_dtype=x.dtype),
+        compiler_params=comp,
         grid=(Mp // tm, n_chunks),
         in_specs=[
             pl.BlockSpec((tm, K), lambda i, j: (i, 0),
