@@ -54,17 +54,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from misinfo_tpu.ops.common import DEFAULT_POLICY, Policy
 
-# Row-tile target. 1024 rows measured OVER Mosaic's 16 MB scoped-VMEM
-# limit at the serving FFN shape (16.54 MB — the i32 accumulator and f32
-# dequant transients double-count against the bf16 sibling kernel's
-# budget); 512 rows put the worst case ≈13 MB: blocks x/out 3.0 +
-# weights 1.5 (2-buffered) + scratch xq/acc 1.9 + i32/f32 stack ~6.5.
-# Weight re-streaming grows to M/512 fetches/layer (~0.18 ms vs ~0.39 ms
-# int8 compute at b32/S=512 — still DMA-overlappable).
-# MISINFO_TPU_INT8_FFN_TM overrides for tile experiments; >512 also
-# raises the kernel's scoped-VMEM limit proportionally (fewer weight
-# re-fetches traded against double-buffering headroom — A/B only).
-_TM = int(os.environ.get("MISINFO_TPU_INT8_FFN_TM", "512"))
+# Row-tile target. 1024 needs the kernel's scoped-VMEM limit raised past
+# Mosaic's 16 MB default (the worst case is ≈26 MB: blocks x/out 6 +
+# weights 1.5 + scratch xq/acc 7.8 + i32/f32 stack ~11) — granted via
+# CompilerParams below — and halves the weight re-fetch count vs 512
+# (M/tm fetches of W1+W2 per layer). Measured A/B at b32/S=512 (same
+# session, docs/PERF.md round 5): tm=1024 989.5 vs tm=512 961.2
+# verdicts/s (+2.9%); tm=768 regressed (uneven 21.3-tile grid + padded
+# rows). Row tiling does not change the math (activation scales are
+# per-row, chunking is per-jc). MISINFO_TPU_INT8_FFN_TM overrides.
+_TM = int(os.environ.get("MISINFO_TPU_INT8_FFN_TM", "1024"))
 # FFN intermediate chunk target (columns of W1 per grid step).
 _JC = 512
 
