@@ -271,12 +271,16 @@ def _cached_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
             # residual (ops/pallas_cross_ffn.py; decode is kernel-chain-
             # bound — docs/PERF.md round 4)
             from misinfo_tpu.ops.pallas_cross_ffn import fused_cross_ffn_step
+            msc = kv_cache.get("cross_k_mscale")
             x = fused_cross_ffn_step(
                 x[:, 0], blk["ln_cross"], blk["cross_attn"]["q"],
                 blk["cross_attn"]["o"], blk["ln2"], blk["mlp_in"],
                 blk["mlp_out"], kv_cache["cross_k"][li],
                 kv_cache["cross_v"][li], enc_out.shape[1], n_heads=H,
-                policy=policy)[:, None, :]
+                policy=policy,
+                k_scale=None if msc is None else msc[li],
+                v_scale=(None if msc is None
+                         else kv_cache["cross_v_mscale"][li]))[:, None, :]
             continue
 
         h = layer_norm(blk["ln_cross"], x, policy=policy)
@@ -490,7 +494,8 @@ def _scan_decoder_step(params: Dict, token: jax.Array, pos: jax.Array,
 def init_kv_cache(params: Dict, enc_out: jax.Array, max_len: int,
                   cfg: WhisperConfig, policy: Policy,
                   merged_self: bool = False, quant: bool = False,
-                  merged_cross: bool = False) -> Dict:
+                  merged_cross: bool = False,
+                  cross_int8: bool = False) -> Dict:
     """Allocate self-attention cache buffers and precompute cross K/V —
     everything in the head-major [B, H, S, Dh] layout the decode-step
     einsums contract without transposing (the cross K/V transpose happens
@@ -508,7 +513,16 @@ def init_kv_cache(params: Dict, enc_out: jax.Array, max_len: int,
     ``merged_cross=True`` keeps the cross K/V heads merged in the lane
     dimension ([B, T, D], no head transpose) — the layout the fused
     cross-attention+FFN Pallas step consumes (ops/pallas_cross_ffn.py;
-    lane-splitting reshapes don't lower in Mosaic)."""
+    lane-splitting reshapes don't lower in Mosaic).
+
+    ``cross_int8=True`` (merged_cross only) stores the merged planes int8
+    with per-(batch, position) row scales over the merged D lanes,
+    transposed to [Tp, B] for the kernel's static [tile, 1] slices
+    (``cross_k_mscale``/``cross_v_mscale``). At the round-5 fused-decode
+    floor the cross planes are the step's LARGEST HBM stream (~75 MB/step
+    bf16 for base — bigger than the now-int8 weights), and the streamed
+    passes are DMA-bound, so halving the bytes halves the kernel's
+    dominant term (docs/PERF.md round 5)."""
     dec = params["decoder"]
     B, T = enc_out.shape[0], enc_out.shape[1]
     H, Dh = cfg.num_heads, cfg.d_model // cfg.num_heads
@@ -534,6 +548,9 @@ def init_kv_cache(params: Dict, enc_out: jax.Array, max_len: int,
         raise ValueError("quant=True supports only the unstacked, "
                          "unmerged cache layout (no scan_layers / "
                          "pallas_self_attn / pallas_cross)")
+    if cross_int8 and not merged_cross:
+        raise ValueError("cross_int8 requires the merged_cross layout "
+                         "(it is the fused kernel's cache quantization)")
     if "blocks_stacked" in dec:
         stacked = dec["blocks_stacked"]
         L = stacked["ln1"]["scale"].shape[0]
@@ -551,9 +568,30 @@ def init_kv_cache(params: Dict, enc_out: jax.Array, max_len: int,
     if quant:
         cache["cross_k_scale"] = []
         cache["cross_v_scale"] = []
+    if cross_int8:
+        cache["cross_k_mscale"] = []
+        cache["cross_v_mscale"] = []
+
+    def merged_row_quant(y):
+        # per-(b, t) scale over the merged D lanes; scales transposed to
+        # [Tp, B] so the kernel slices [tile, 1] columns statically
+        yf = y.astype(jnp.float32)
+        sc = jnp.maximum(jnp.max(jnp.abs(yf), axis=-1) / 127.0, 1e-8)
+        q = jnp.clip(jnp.round(yf / sc[..., None]), -127,
+                     127).astype(jnp.int8)
+        return q, sc.T.astype(jnp.float32)          # int8 [B,Tp,D], [Tp,B]
+
     for blk in dec["blocks"]:
         cache["self_k"].append(jnp.zeros(self_shape, policy.compute))
         cache["self_v"].append(jnp.zeros(self_shape, policy.compute))
+        if cross_int8:
+            kq, ks = merged_row_quant(cross_kv(blk, "k"))
+            vq, vs = merged_row_quant(cross_kv(blk, "v"))
+            cache["cross_k"].append(kq)
+            cache["cross_k_mscale"].append(ks)
+            cache["cross_v"].append(vq)
+            cache["cross_v_mscale"].append(vs)
+            continue
         if quant:
             kq, ks = row_quant(cross_kv(blk, "k"))
             vq, vs = row_quant(cross_kv(blk, "v"))
@@ -582,6 +620,7 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
                       pallas_cross: bool = False,
                       pallas_layer: bool = False,
                       quant: bool = False,
+                      cross_int8: bool = False,
                       unroll: int = 1):
     """KV-cached transcript decoding, O(L) per step, early-exiting the
     decode loop once every batch row has emitted EOS (post-EOS stays EOS,
@@ -661,6 +700,10 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
         raise ValueError("pallas_ffn reads unquantized FFN kernels — with "
                          "int8 decode weights use pallas_cross (its fused "
                          "step carries the int8 FFN)")
+    if cross_int8 and not (pallas_cross and blocks_q):
+        raise ValueError("cross_int8 is the fused kernel's cache "
+                         "quantization — it requires pallas_cross AND "
+                         "int8 decode weights (quant='kernels')")
     if emb_q and (scan_layers or "blocks_stacked" in dec_p):
         raise ValueError("int8 token embedding does not compose with the "
                          "stacked-layer scan decode")
@@ -708,7 +751,8 @@ def decode_transcript(params: Dict, mel: Optional[jax.Array],
         params, enc_out, max_len, cfg, policy,
         merged_self=(pallas_self_attn or pallas_layer) and not scan_layers,
         quant=quant,
-        merged_cross=(pallas_cross or pallas_layer) and not scan_layers)
+        merged_cross=(pallas_cross or pallas_layer) and not scan_layers,
+        cross_int8=cross_int8)
     # cross K/V are per-utterance constants: close over them instead of
     # threading them through the loop carry, so the loop state is only
     # the (small) self caches + tokens

@@ -363,11 +363,149 @@ def _cross_ffn_kernel_i8(x_ref, lncs_ref, lncb_ref, wq_ref, sq_col_ref,
     o_ref[...] = x2 + dense_q(g, w2_ref, s2_ref, b2_ref)
 
 
+def _cross_ffn_kernel_i8cc(x_ref, lncs_ref, lncb_ref, wq_ref, sq_col_ref,
+                           bqc_ref, wo_ref, so_ref, bo_ref, ln2s_ref,
+                           ln2b_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+                           b2_ref, ksc_ref, vsc_ref, ck_ref, cv_ref, o_ref,
+                           scores_ref, tile_ref, sem_ref, *, n_heads: int,
+                           t_actual: int, precision, ln_single_pass: bool,
+                           gelu_tanh: bool):
+    """int8-weight AND int8-cross-cache variant: the K/V planes stream as
+    int8 tiles (HALF the kernel's dominant DMA term, docs/PERF.md round
+    5) with per-(batch, position) row scales resident in VMEM
+    ([Tp, B] f32, ~24 KB). Both streamed passes stay int8 MXU dots: the
+    q columns quantize per batch row (scalar scale), and the V pass
+    folds the row scales into the probabilities BEFORE their (per-batch,
+    per-tile scalar) quantization — the XLA int8 streaming mode's
+    scheme (models/whisper.py :284-296) executed in-kernel."""
+    from misinfo_tpu.ops.pallas_int8 import _quantize_rows
+
+    B, D = x_ref.shape
+    H = n_heads
+    Dh = D // H
+    Tp = ck_ref.shape[1]
+    tile = tile_ref.shape[2]
+    n_tiles = Tp // tile
+
+    x = x_ref[...]
+    compute_dtype = x.dtype
+
+    def ln(v, s_ref, b_ref):
+        vf = v.astype(jnp.float32)
+        mu = jnp.mean(vf, axis=-1, keepdims=True)
+        if ln_single_pass:
+            var = jnp.maximum(
+                jnp.mean(jnp.square(vf), axis=-1, keepdims=True)
+                - jnp.square(mu), 0.0)
+        else:
+            var = jnp.mean(jnp.square(vf - mu), axis=-1, keepdims=True)
+        y = (vf - mu) * jax.lax.rsqrt(var + 1e-5)
+        return (y * s_ref[...] + b_ref[...]).astype(compute_dtype)
+
+    def dense_q(v, w_ref, s_ref, b_ref):
+        vq, sv = _quantize_rows(v.astype(jnp.float32))
+        y = jax.lax.dot_general(
+            vq, w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return (y.astype(jnp.float32) * sv * s_ref[...]
+                + b_ref[...]).astype(compute_dtype)
+
+    def tile_dma(src_ref, j, slot):
+        return pltpu.make_async_copy(
+            src_ref.at[:, j * tile:(j + 1) * tile, :],
+            tile_ref.at[slot], sem_ref.at[slot])
+
+    h = ln(x, lncs_ref, lncb_ref)
+    hq, sh = _quantize_rows(h.astype(jnp.float32))
+    qT_i32 = jax.lax.dot_general(
+        wq_ref[...], hq, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                  # [D, B]
+    dmask = (jax.lax.broadcasted_iota(jnp.int32, (D, H), 0) // Dh
+             == jax.lax.broadcasted_iota(jnp.int32, (D, H), 1))
+    qq = []       # per batch row: (int8 masked q [D, H], scalar scale (1,1))
+    for b in range(B):
+        q_col = (jax.lax.slice_in_dim(qT_i32, b, b + 1, axis=1)
+                 .astype(jnp.float32) * sq_col_ref[...]
+                 * jax.lax.slice(sh, (b, 0), (b + 1, 1))
+                 + bqc_ref[...])                           # [D, 1] f32
+        qmask_b = q_col * dmask.astype(jnp.float32)        # [D, H] f32
+        sq_b = jnp.maximum(
+            jnp.max(jnp.abs(qmask_b), keepdims=True), 1e-30) / 127.0
+        qq_b = jnp.clip(jnp.round(qmask_b / sq_b), -127,
+                        127).astype(jnp.int8)
+        qq.append((qq_b, sq_b))
+
+    # pass 1: int8 K tiles · int8 q — rescale by (row scale × q scale)
+    tile_dma(ck_ref, 0, 0).start()
+    for j in range(n_tiles):
+        slot = j % 2
+        if j + 1 < n_tiles:
+            tile_dma(ck_ref, j + 1, (j + 1) % 2).start()
+        tile_dma(ck_ref, j, slot).wait()
+        ks_tile = ksc_ref[j * tile:(j + 1) * tile, :]       # [tile, B]
+        for b in range(B):
+            kt_b = tile_ref[slot, b]                        # [tile, D] int8
+            qq_b, sq_b = qq[b]
+            part = jax.lax.dot_general(
+                kt_b, qq_b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)           # [tile, H]
+            part = (part.astype(jnp.float32) * sq_b
+                    * jax.lax.slice(ks_tile, (0, b), (tile, b + 1))
+                    / np.sqrt(Dh))
+            scores_ref[j * tile:(j + 1) * tile, b * H:(b + 1) * H] = part
+
+    scores = scores_ref[...]
+    if t_actual < Tp:
+        pad = (jax.lax.broadcasted_iota(jnp.int32, (Tp, B * H), 0)
+               >= t_actual)
+        scores = jnp.where(pad, -1e9, scores)
+    scores = scores - jnp.max(scores, axis=0, keepdims=True)
+    e = jnp.exp(scores)
+    probs = e / jnp.sum(e, axis=0, keepdims=True)           # f32 [Tp, B·H]
+
+    # pass 2: fold V row scales into the probs, quantize per (b, tile)
+    # scalar, int8 dot, rescale — row scales cannot factor out of the
+    # t-sum, the prob fold is the exact algebraic equivalent
+    hmask = (jax.lax.broadcasted_iota(jnp.int32, (H, D), 1) // Dh
+             == jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+             ).astype(jnp.float32)
+    ctx_rows = [jnp.zeros((1, D), jnp.float32) for _ in range(B)]
+    tile_dma(cv_ref, 0, 0).start()
+    for j in range(n_tiles):
+        slot = j % 2
+        if j + 1 < n_tiles:
+            tile_dma(cv_ref, j + 1, (j + 1) % 2).start()
+        tile_dma(cv_ref, j, slot).wait()
+        vs_tile = vsc_ref[j * tile:(j + 1) * tile, :]       # [tile, B]
+        for b in range(B):
+            vt_b = tile_ref[slot, b]                        # [tile, D] int8
+            pt_b = probs[j * tile:(j + 1) * tile, b * H:(b + 1) * H]
+            pv = pt_b * jax.lax.slice(vs_tile, (0, b), (tile, b + 1))
+            sp_b = jnp.maximum(jnp.max(pv, keepdims=True), 1e-30) / 127.0
+            pq = jnp.clip(jnp.round(pv / sp_b), 0, 127).astype(jnp.int8)
+            hd = jax.lax.dot_general(
+                pq, vt_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)           # [H, D]
+            ctx_rows[b] = ctx_rows[b] + jnp.sum(
+                hd.astype(jnp.float32) * sp_b * hmask, axis=0,
+                keepdims=True)
+    ctx = jnp.concatenate(ctx_rows, axis=0).astype(compute_dtype)
+    x2 = x + dense_q(ctx, wo_ref, so_ref, bo_ref)
+
+    h2 = ln(x2, ln2s_ref, ln2b_ref)
+    mid = dense_q(h2, w1_ref, s1_ref, b1_ref)
+    g = jax.nn.gelu(mid.astype(jnp.float32),
+                    approximate=gelu_tanh).astype(compute_dtype)
+    o_ref[...] = x2 + dense_q(g, w2_ref, s2_ref, b2_ref)
+
+
 def fused_cross_ffn_step(x: jax.Array, ln_cross: Dict, q: Dict, o: Dict,
                          ln2: Dict, mlp_in: Dict, mlp_out: Dict,
                          cache_k: jax.Array, cache_v: jax.Array,
                          t_actual: int, *, n_heads: int,
-                         policy: Policy = DEFAULT_POLICY) -> jax.Array:
+                         policy: Policy = DEFAULT_POLICY,
+                         k_scale: jax.Array = None,
+                         v_scale: jax.Array = None) -> jax.Array:
     """One decoder layer's cross-attention + FFN decode step in one kernel.
 
     x [B, D] (seq-len-1 squeezed), ln_cross/ln2 {scale, bias}, q/o the
@@ -405,6 +543,53 @@ def fused_cross_ffn_step(x: jax.Array, ln_cross: Dict, q: Dict, o: Dict,
         + 2 * Tp * D * B * cache_k.dtype.itemsize,
         transcendentals=B * (Tp * n_heads + F),
     )
+    if k_scale is not None:
+        # int8 merged cross caches (init_kv_cache cross_int8=True); the
+        # weights must be int8 too (the quant="kernels" layout)
+        if not quant:
+            raise ValueError("int8 cross caches require int8 decode "
+                             "weights (quant='kernels')")
+        kern = functools.partial(
+            _cross_ffn_kernel_i8cc, n_heads=n_heads, t_actual=t_actual,
+            precision=policy.precision,
+            ln_single_pass=policy.compute == jnp.dtype(jnp.bfloat16),
+            gelu_tanh=policy.compute == jnp.dtype(jnp.bfloat16))
+        return pl.pallas_call(
+            kern,
+            in_specs=[vmem() for _ in range(19)] + [hbm(), hbm()],
+            out_specs=vmem(),
+            out_shape=jax.ShapeDtypeStruct((B, D), compute),
+            scratch_shapes=[
+                pltpu.VMEM((Tp, B * n_heads), jnp.float32),
+                pltpu.VMEM((2, B, tile, D), cache_k.dtype),   # int8 tiles
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * (2 * D * D + 2 * D * F)
+                + 4 * B * t_actual * D,
+                bytes_accessed=(2 * D * D + 2 * D * F)
+                + 2 * Tp * D * B,
+                transcendentals=B * (Tp * n_heads + F),
+            ),
+        )(x,
+          ln_cross["scale"].astype(jnp.float32).reshape(1, D),
+          ln_cross["bias"].astype(jnp.float32).reshape(1, D),
+          q["kernel_q"],
+          q["w_scale"].astype(jnp.float32).reshape(D, 1),
+          q["bias"].astype(jnp.float32).reshape(D, 1),
+          o["kernel_q"],
+          o["w_scale"].astype(jnp.float32).reshape(1, D),
+          o["bias"].astype(jnp.float32).reshape(1, D),
+          ln2["scale"].astype(jnp.float32).reshape(1, D),
+          ln2["bias"].astype(jnp.float32).reshape(1, D),
+          mlp_in["kernel_q"],
+          mlp_in["w_scale"].astype(jnp.float32).reshape(1, F),
+          mlp_in["bias"].astype(jnp.float32).reshape(1, F),
+          mlp_out["kernel_q"],
+          mlp_out["w_scale"].astype(jnp.float32).reshape(1, D),
+          mlp_out["bias"].astype(jnp.float32).reshape(1, D),
+          k_scale.astype(jnp.float32), v_scale.astype(jnp.float32),
+          cache_k, cache_v)
     if quant:
         kern = functools.partial(
             _cross_ffn_kernel_i8, n_heads=n_heads, t_actual=t_actual,

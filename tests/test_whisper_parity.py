@@ -596,6 +596,54 @@ def test_pallas_whole_layer_decode_matches_two_kernel():
                           pallas_layer=True, pallas_cross=True)
 
 
+def test_cross_int8_cache_decode_close_and_validated():
+    """cross_int8 (int8 merged cross caches inside the fused kernel):
+    single-step logits must stay within the int8 cache/prob quantization
+    band of the bf16-cache fused step (random-init logit GAPS are ~0.02,
+    so token-sequence equality is only meaningful on trained models —
+    the transcript e2e test covers that); invalid combinations raise."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from misinfo_tpu.models.whisper import (
+        _cached_decoder_step, decode_transcript, fuse_whisper_decoder_qkv,
+        init_kv_cache, whisper_encode)
+    from misinfo_tpu.ops.serving import quantize_whisper_decoder
+
+    params = whisper_init(jax.random.PRNGKey(26), TINY)
+    params_q = quantize_whisper_decoder(fuse_whisper_decoder_qkv(params))
+    rng = np.random.default_rng(27)
+    T = 2 * TINY.max_source_positions
+    mel = jnp.asarray(rng.normal(size=(2, T, TINY.num_mel_bins))
+                      .astype(np.float32))
+    enc = whisper_encode(params_q, mel, TINY, F32)
+    tok = jnp.asarray([TINY.decoder_start_token_id] * 2, jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        c_a = init_kv_cache(params_q, enc, 12, TINY, F32,
+                            merged_self=True, merged_cross=True)
+        la, _ = _cached_decoder_step(params_q, tok, 0, enc, c_a, TINY, F32,
+                                     pallas_self_attn=True,
+                                     pallas_cross=True)
+        c_b = init_kv_cache(params_q, enc, 12, TINY, F32,
+                            merged_self=True, merged_cross=True,
+                            cross_int8=True)
+        assert c_b["cross_k"][0].dtype == jnp.int8
+        assert c_b["cross_k_mscale"][0].shape == (c_b["cross_k"][0].shape[1],
+                                                  2)
+        lb, _ = _cached_decoder_step(params_q, tok, 0, enc, c_b, TINY, F32,
+                                     pallas_self_attn=True,
+                                     pallas_cross=True)
+    d = float(jnp.max(jnp.abs(la - lb)))
+    spread = float(jnp.max(la) - jnp.min(la))
+    assert d < 0.05 * spread, (d, spread)   # measured ~0.008 of a ~0.9 range
+
+    with pytest.raises(ValueError, match="cross_int8"):
+        decode_transcript(params_q, mel, TINY, F32, max_len=8,
+                          cross_int8=True)            # no pallas_cross
+    with pytest.raises(ValueError, match="cross_int8"):
+        decode_transcript(params, mel, TINY, F32, max_len=8,
+                          pallas_cross=True, cross_int8=True)  # bf16 weights
+
+
 def test_int8_weights_reject_pallas_ffn():
     from misinfo_tpu.models.whisper import (decode_transcript,
                                             fuse_whisper_decoder_qkv)

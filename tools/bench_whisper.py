@@ -102,11 +102,12 @@ def main():
         params = quantize_whisper_decoder(fuse_whisper_decoder_qkv(params))
     unroll = int(os.environ.get("BENCH_UNROLL", "1"))
     pallas_layer = os.environ.get("BENCH_PALLAS_LAYER", "0") == "1"
+    cross_int8 = os.environ.get("BENCH_CROSS_INT8", "0") == "1"
     dec_fn = jax.jit(lambda p, e: decode_transcript(
         p, None, cfg, policy, max_len=DECODE_LEN, enc_out=e,
         pallas_ffn=pallas_ffn, pallas_self_attn=pallas_self_attn,
         pallas_cross=pallas_cross, pallas_layer=pallas_layer,
-        quant=quant, unroll=unroll))
+        quant=quant, cross_int8=cross_int8, unroll=unroll))
     dt_dec, _ = time_program(lambda: dec_fn(params, enc_out), ITERS)
     dec_ms = dt_dec / ITERS * 1000.0
     # random-init weights never argmax EOS → all (max_len - 1) steps run
@@ -127,6 +128,7 @@ def main():
         "pallas_self_attn": pallas_self_attn,
         "pallas_cross": pallas_cross,
         "pallas_layer": pallas_layer,
+        "cross_int8": cross_int8,
         "quant": qmode or "none",
         "unroll": unroll,
         "device": str(jax.devices()[0]),
