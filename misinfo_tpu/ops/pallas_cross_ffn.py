@@ -90,6 +90,13 @@ def pallas_decode_max_batch(d_model: int, ffn_dim: int,
     overflows the budget, so the fused decode reaches model sizes the
     bf16 layout could not."""
     D, F = d_model, ffn_dim
+    if D % 128:
+        # Mosaic lane alignment: the kernels' merged-lane cache slices
+        # need a 128-multiple d_model on real hardware (a D=64 tiny model
+        # fails in tpu.memref_slice — caught by the round-5 real-TPU
+        # default-resolution smoke, tools/smoke_transcriber_tpu.py);
+        # sub-lane models decode through the XLA path
+        return 0
     wbytes = 1 if int8_weights else 2
     cross_weights = (2 * D * D + 2 * D * F) * wbytes
     self_weights = (3 * D * D + D * D) * wbytes

@@ -483,7 +483,12 @@ def test_pallas_vmem_gate_per_signature(trained_whisper, monkeypatch):
                                    int8_weights=True) >= 1
     assert pallas_decode_max_batch(1280, 5120, 448, 1500,
                                    int8_weights=True) == 0  # large still not
-    assert pallas_decode_max_batch(64, 128, 32, 128) >= 16  # tiny
+    # sub-lane d_model (tiny/test configs): Mosaic's memref slices need a
+    # 128-multiple — the gate rejects so real hardware falls back to XLA
+    # (interpret-mode tests drive the kernels with explicit flags instead);
+    # found by tools/smoke_transcriber_tpu.py on the real chip
+    assert pallas_decode_max_batch(64, 128, 32, 128) == 0
+    assert pallas_decode_max_batch(128, 256, 32, 128) >= 16  # lane-aligned tiny
 
     ckpt_dir, wav_path = trained_whisper
     tr = WhisperTranscriber(
