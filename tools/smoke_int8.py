@@ -89,7 +89,7 @@ def main():
     t_xla8 = timeit(lambda: dense_int8(p_proj, x, jnp.bfloat16))
 
     def bfd():
-        w = p_proj  # reuse shapes with bf16 weights
+        # bf16 projection at the same [M, K]×[K, K] shape for the ratio
         return jnp.dot(x, d_in["kernel"][:, :K].astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
     t_bfd = timeit(bfd)
