@@ -29,6 +29,7 @@ SEQ_LEN = int(os.environ.get("BENCH_SEQ", "0"))  # 0 → config default (512)
 # bf16 serving, none elsewhere (ops/serving.resolve_quant); "none"/"int8"/
 # "int8_ffn" force
 QUANT = os.environ.get("BENCH_QUANT", "auto")
+QUANT_RESOLVED = QUANT  # set after policy resolution in main()
 VARIANT = os.environ.get("BENCH_VARIANT", "full")  # full|text_only|visual_only
 PACK = os.environ.get("BENCH_PACK", "0") == "1"    # pack ragged text rows
 VAULT_ROWS = int(os.environ.get("BENCH_VAULT", "2176"))  # reference ~2170
@@ -98,6 +99,9 @@ def main():
     policy = Policy(cfg.precision)  # bf16 serving mode
     params = detector_init(jax.random.PRNGKey(0), det_cfg)
     from misinfo_tpu.ops.serving import optimize_for_serving
+    from misinfo_tpu.ops.serving import resolve_quant
+    global QUANT_RESOLVED
+    QUANT_RESOLVED = resolve_quant(QUANT, policy)
     params = optimize_for_serving(
         params, policy, quant=QUANT,
         fuse=os.environ.get("BENCH_FUSE", "0") == "1",
@@ -152,7 +156,7 @@ def main():
             "value": round(throughput, 2), "unit": "videos/sec/chip",
             "vs_baseline": None, "videos_per_batch": V, "frames": F,
             "p50_batch_latency_ms": round(dt / ITERS * 1000.0, 2),
-            "device": str(jax.devices()[0]),
+            "quant": QUANT_RESOLVED, "device": str(jax.devices()[0]),
         }))
         return
 
@@ -184,7 +188,7 @@ def main():
             "vs_baseline": vs, "batch": B,
             "packed_rows": int(p.ids.shape[0]), "row_len": S,
             "p50_batch_latency_ms": round(dt / ITERS * 1000.0, 2),
-            "device": str(jax.devices()[0]),
+            "quant": QUANT_RESOLVED, "device": str(jax.devices()[0]),
         }))
         return
     if IVF and VAULT_DTYPE == "int4":
@@ -328,7 +332,7 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "batch": B,
         "p50_batch_latency_ms": round(p50_latency_ms, 2),
-        "device": str(jax.devices()[0]),
+        "quant": QUANT_RESOLVED, "device": str(jax.devices()[0]),
         **(ivf_info if IVF else {}),
     }))
 
