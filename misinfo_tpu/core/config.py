@@ -249,6 +249,16 @@ class ServingConfig:
     # Square staging sizes (one jit signature each per image-bearing
     # program); frames beyond the last bucket are host-shrunk into it.
     image_staging_buckets: Tuple[int, ...] = (320, 640, 1280)
+    # AOT-serialized executable cache (engine/aotcache.py): warmup
+    # serializes each compiled signature to disk and later boots
+    # deserialize-and-load it, skipping trace+lower+compile — measured
+    # ~2.9-4.0 s → 1.1-1.2 s per cached full-modality signature through
+    # this image's relay (docs/PERF.md restart-attribution row). Opt-in
+    # (`MISINFO_TPU_AOT=1`): entries are tens of MB each, so deployments
+    # enable it for the priority buckets that gate time-to-ready
+    # (serve-while-warming defaults). Single-chip only; ignored under a
+    # mesh. Directory: MISINFO_TPU_AOT_DIR (default <cache>/aot).
+    aot_cache: bool = False
     # Mesh serving: vaults at/above this row count are ROW-SHARDED across
     # the data axis (vault/search.py vault_search_sharded — local matmul +
     # per-shard top-k + O(K·devices) candidate merge) instead of being
@@ -333,6 +343,11 @@ class ForensicsConfig:
         if _q in ("auto", "none", "int8", "int8_ffn"):
             cfg = dataclasses.replace(
                 cfg, precision=dataclasses.replace(cfg.precision, quant=_q))
+        _aot = os.getenv("MISINFO_TPU_AOT")
+        if _aot in ("1", "true", "on", "0", "false", "off"):
+            cfg = dataclasses.replace(
+                cfg, serving=dataclasses.replace(
+                    cfg.serving, aot_cache=_aot in ("1", "true", "on")))
         _fd = os.getenv("MISINFO_TPU_FAST_DECODE")
         if _fd in ("1", "true", "on", "0", "false", "off"):
             cfg = dataclasses.replace(

@@ -140,10 +140,19 @@ class MisinfoForensics:
         self._use_pallas = use_pallas
         self._reload_lock = threading.Lock()  # serializes reload_vault
 
+        # Opt-in AOT executable registry (engine/aotcache.py): single-chip
+        # only — sharded executables bake device assignments. The
+        # fingerprint pins everything but the batch shapes, so a config
+        # or quant-mode change is a clean cache miss.
+        self._aot = None
+        if self.cfg.serving.aot_cache and mesh is None:
+            from misinfo_tpu.engine.aotcache import AotCache
+            self._aot = AotCache(fingerprint=AotCache.environment_fingerprint(
+                self.det_cfg, self.cfg, self.policy, use_pallas, params))
         self.programs = SignalPrograms(
             self.det_cfg, self.cfg, self.policy, use_pallas=use_pallas,
             vault_mesh=self.mesh if self._vault_sharded else None,
-            data_mesh=self.mesh)
+            data_mesh=self.mesh, aot=self._aot)
         # Results coalesce into ONE device buffer before the host fetch:
         # a SignalOutput pytree fetch pays a round trip per leaf (12×),
         # which dominates e2e latency on remote-attached TPUs
@@ -383,7 +392,7 @@ class MisinfoForensics:
                 self.det_cfg, self.cfg, self.policy,
                 use_pallas=self._use_pallas,
                 vault_mesh=self.mesh if sharded else None,
-                data_mesh=self.mesh)
+                data_mesh=self.mesh, aot=self._aot)
 
     def reload_vault(self, path: Optional[str] = None,
                      drop_first: bool = False) -> Dict:
@@ -768,7 +777,7 @@ class MisinfoForensics:
             batch = self._place_batch(make_batch())
             batch.update(self._vault_device)
             return self._pack_out(
-                self.programs.get(variant)(self.params, batch))
+                self.programs.warm(variant, self.params, batch))
 
         def _dispatch(variant, make_batch, sig):
             if sig in seen:   # e.g. two batch_sizes rounding to one bucket
@@ -1173,7 +1182,7 @@ class MisinfoForensics:
         batch = self._place_batch(batch)
         batch.update(self._vault_device)
         out = self._pack_out(
-            self.programs.get(variant)(self.params, batch))  # async
+            self.programs.call(variant, self.params, batch))  # async
         return variant, out, idxs
 
     def _finalize_batch(self, dispatches, results, requests: List[Dict],
@@ -1247,7 +1256,7 @@ class MisinfoForensics:
         batch = self._place_batch(batch)
         batch.update(self._vault_device)
         return self._pack_out(
-            self.programs.get(variant)(self.params, batch))  # async
+            self.programs.call(variant, self.params, batch))  # async
 
     # ------------------------------------------------------- formatting
 

@@ -367,7 +367,7 @@ class SignalPrograms:
 
     def __init__(self, det_cfg: DetectorConfig, cfg: ForensicsConfig,
                  policy: Policy, use_pallas: bool = False,
-                 vault_mesh=None, data_mesh=None):
+                 vault_mesh=None, data_mesh=None, aot=None):
         self.det_cfg = det_cfg
         self.cfg = cfg
         self.policy = policy
@@ -377,6 +377,13 @@ class SignalPrograms:
         # switches to the collective-friendly one-hot contraction
         self.data_mesh = data_mesh
         self._jitted: Dict[str, object] = {}
+        # AOT-serialized executable registry (engine/aotcache.py): warmed
+        # signatures loaded from disk dispatch through these callables —
+        # they never enter the jit caches, so `call()` must consult this
+        # dict first. None ⇒ the feature is off and call() is exactly
+        # get()(…).
+        self.aot = aot
+        self._aot_loaded: Dict[tuple, object] = {}
 
     def get(self, variant: str):
         if variant not in self._jitted:
@@ -401,3 +408,55 @@ class SignalPrograms:
                     mesh_gather=self.data_mesh is not None)
             self._jitted[variant] = jax.jit(fn)
         return self._jitted[variant]
+
+    def call(self, variant: str, params, batch):
+        """Serving dispatch: an AOT-loaded executable when the signature
+        was warmed from the disk registry, else the jit path. The shape-key
+        probe is a few µs of host work against a ≥ms device program, and
+        only runs when the opt-in cache is active."""
+        if self.aot is not None:
+            from misinfo_tpu.engine.aotcache import shape_key
+            ex = self._aot_loaded.get((variant, shape_key(batch)))
+            if ex is not None:
+                return ex(params, batch)
+        return self.get(variant)(params, batch)
+
+    def warm(self, variant: str, params, batch):
+        """Warmup-time load-or-compile for one signature.
+
+        AOT hit: deserialize_and_load skips trace+lower+compile entirely
+        (the measured −40%/signature restart lever, docs/PERF.md). Miss:
+        lower+compile through the normal path (persistent compile cache
+        applies) and serialize the executable for the next boot. Either
+        way the resulting callable is registered for `call()` and executed
+        once here — warmup's contract is that the first real request pays
+        nothing."""
+        if self.aot is None:
+            return self.get(variant)(params, batch)
+        from misinfo_tpu.engine.aotcache import shape_key
+        key = (variant, shape_key(batch))
+        ex = self._aot_loaded.get(key)
+        if ex is not None:
+            return ex(params, batch)
+        digest = self.aot.digest(variant, batch)
+        ex = self.aot.load(digest)
+        if ex is not None:
+            # registration is gated on one successful SYNCHRONOUS
+            # execution: dispatch is async, so a stale executable that
+            # deserializes but cannot run (seen on the XLA:CPU backend
+            # cross-process — missing-function dispatch errors) only
+            # surfaces its error at the data fetch. One warmup-time fetch
+            # per loaded signature keeps such executables off the serving
+            # path.
+            try:
+                out = ex(params, batch)
+                from misinfo_tpu.utils.timing import sync_fetch
+                sync_fetch(out)
+                self._aot_loaded[key] = ex
+                return out
+            except Exception as e:
+                self.aot.invalidate(digest, e)
+        ex = self.get(variant).lower(params, batch).compile()
+        self.aot.save(digest, ex)
+        self._aot_loaded[key] = ex
+        return ex(params, batch)

@@ -158,6 +158,10 @@ class ForensicsAPI:
             out["host_prep"] = self.engine.host_prep_report()
         except Exception:
             pass
+        if getattr(self.engine, "_aot", None) is not None:
+            # AOT executable registry counters (engine/aotcache.py):
+            # hits = signatures that skipped trace+lower+compile at boot
+            out["aot_cache"] = dict(self.engine._aot.stats)
         return out
 
     def analyze(self, req: Dict) -> Dict:
