@@ -126,6 +126,7 @@ _SLOW_TESTS = {
     "test_engine_host_prep_report",
     "test_pallas_decode_mode_resolution_and_equality",
     "test_sharded_search_equivalence",
+    "test_aot_save_load_and_dispatch",
 }
 
 
